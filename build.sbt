@@ -23,8 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: on this VM an oversized lazily-committed heap causes
+// multi-second allocation stalls (first-touch page faults froze the JVM long
+// enough for Spark to time out 10s RPCs to itself; a 22-query bench went
+// 637s -> 47s by shrinking 48g -> 4g). Keep the heap modest and pre-touch it
+// once at startup so no faults land mid-query.
+val driverHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "4g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms$driverHeap", s"-Xmx$driverHeap", "-XX:+AlwaysPreTouch",
+  "-XX:ReservedCodeCacheSize=512m",
 )

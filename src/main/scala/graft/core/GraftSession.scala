@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * The reference (noperformance/clickhouse-table-copier) keeps a lazily
+  * initialised singleton connection per server (`database/database.go:28-34`,
+  * `once.Do`); in Spark the session IS that singleton. The reference's
+  * timezone paranoia (fatal mismatch between the two servers,
+  * `copy/copy.go:151-160`) collapses to pinning one session zone: UTC.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replace any hand-tuned partition counts.
+  *  - `shuffle.partitions` here is only the local-mode floor; on a real
+  *    cluster AQE's advisory size drives the effective number.
+  */
+object GraftSession {
+
+  /** Apply engine-standard runtime confs to an existing session (safe to call
+    * on a session we did not build — all of these are runtime-settable). */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
+    // refuses to read; read as Long nanoseconds and convert explicitly.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.parquet.filterPushdown", "true")
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate())
+}

@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Catalog access over the parquet fixture layout (one `<name>.parquet` per
+  * table under a scale-factor dir), mirroring the reference's introspection
+  * surface:
+  *
+  *  - `EXISTS db.table`       (`/root/reference/database/database.go:342-364`) → [[exists]]
+  *  - `DESCRIBE TABLE`        (`/root/reference/database/database.go:322-330`) → [[describe]]
+  *  - `SELECT count(*)`       (`/root/reference/database/database.go:366-388`) → `df.count()`
+  *  - `system.tables` meta    (`/root/reference/database/database.go:332-340`) → [[TableHandle.partitionKey]]
+  *
+  * The same handle abstraction would front a JDBC ClickHouse source in
+  * production (`spark.read.format("jdbc")`); parquet is the fixture path.
+  * Both are lazy scans — Catalyst pushes filters/projections into either.
+  */
+object Tables {
+
+  /** Load a fixture table. `dir` is e.g. "/root/testdata/sf0.01". */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Runtime-settable; required before first read of events.parquet (ns ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // ts arrives as Long nanoseconds (nanosAsLong); expose both the raw
+      // nanos and a usable microsecond-precision timestamp column.
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** A1/A2 table scan with projection applied at the source: the Spark
+    * analogue of the reference embedding the column list in its generated
+    * `SELECT … FROM remote(…)` (`/root/reference/database/database.go:488-489`). */
+  def scan(spark: SparkSession, dir: String, name: String, cols: Seq[String] = Nil): DataFrame = {
+    val df = load(spark, dir, name)
+    if (cols.isEmpty) df else df.select(cols.map(col): _*)
+  }
+
+  def exists(dir: String, name: String): Boolean =
+    new java.io.File(s"$dir/$name.parquet").exists()
+
+  /** DESCRIBE TABLE as data: (col_name, col_type) rows in schema order. */
+  def describe(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = load(spark, dir, name).schema
+    describeSchema(spark, schema)
+  }
+
+  def describeSchema(spark: SparkSession, schema: StructType): DataFrame = {
+    import spark.implicits._
+    schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString)).toDF("col_name", "col_type")
+  }
+}
+
+/** Resolved table: the Spark analogue of the reference's `tableSettings`
+  * struct (`/root/reference/database/database.go:42-50`, assembled by
+  * `CreateTableSettings` `:52-62`). Row data never materialises on the
+  * driver — `df` is a lazy plan; `totalRows` is an action run on demand.
+  *
+  * @param partitionKey partition-key *expressions* in Spark SQL syntax, the
+  *   analogue of `system.tables.partition_key` (e.g. ClickHouse
+  *   `toYYYYMM(date)` ≙ `date_format(l_shipdate,'yyyyMM')`). Functional keys
+  *   need no regex parsing here (reference:
+  *   `/root/reference/database/sidefunctions.go:17-50`) — Catalyst's `expr()`
+  *   parses them directly.
+  */
+final case class TableHandle(
+    spark: SparkSession,
+    dir: String,
+    name: String,
+    partitionKey: Seq[String]) {
+
+  def df: DataFrame = Tables.load(spark, dir, name)
+  def schema: StructType = df.schema
+  def exists: Boolean = Tables.exists(dir, name)
+  def totalRows: Long = df.count()
+  def partitionKeyCols: Seq[Column] = partitionKey.map(expr)
+}

@@ -1,0 +1,138 @@
+package graft.recon
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fp.Fingerprint
+
+/** The reconciliation engine — the reference's heart
+  * (`/root/reference/copy/copy.go:194-271` sync, `:67-132` info/dry-run),
+  * re-architected set-based for scale.
+  *
+  * The reference loops partitions on the driver, issuing 2 fingerprint
+  * queries per partition (2×P table scans server-side). At 100 TB / 10k
+  * partitions that is 20k scans. Here both sides are aggregated ONCE —
+  * `groupBy(partitionKey).agg(count, bit_xor(xxhash64(cols)))` per side (one
+  * map-side-combined shuffle each, 16 bytes per partition out), then a
+  * single join on the partition key produces every verdict at once. The
+  * join is tiny (P rows) — Spark broadcasts it automatically under AQE.
+  *
+  * Decision ladder (`/root/reference/copy/copy.go:237-266`):
+  *   dst rows == 0            → COPY      (cheap-check short-circuit `:215,262-266`)
+  *   fingerprints+counts equal→ SKIP      (`:258-260`)
+  *   differ, dst present      → DELETE_RECOPY (`:246-257`, honouring
+  *                              skip_delete / skip_reimport
+  *                              `/root/reference/config/config.go:35-36`)
+  *   partition only in dst    → DEST_ONLY (reference iterates source
+  *                              partitions only, so it never touches these;
+  *                              we surface them)
+  *
+  * B18 hash-side asymmetry preserved: the SOURCE fingerprint is computed
+  * over the *cast* expressions (`destinationValues`) while the DEST
+  * fingerprint is over plain columns (`/root/reference/copy/copy.go:88-89,221-222`)
+  * — i.e. we compare post-conversion source content against dest content.
+  * Callers pass `srcCols` already cast (from `SchemaReconciler.castPlan`).
+  */
+object Reconciler {
+
+  object Verdict {
+    val Skip = "skip"
+    val Copy = "copy"
+    val DeleteRecopy = "delete_recopy"
+    val DestOnly = "dest_only"
+  }
+
+  final case class Config(
+      checkHashes: Boolean = true, // `check_hashes` /root/reference/config/config.go:34
+      skipDelete: Boolean = false, // `skip_delete`  /root/reference/config/config.go:35
+      skipReimport: Boolean = false) // `skip_reimport` /root/reference/config/config.go:36
+
+  /** Dry-run (`--info`) and plan phase of `--sync`: one verdict row per
+    * partition present on either side.
+    *
+    * @param partKeys (alias, groupingExpression) — evaluated on BOTH sides
+    * @param srcCols  source content columns, post-cast (B18)
+    * @param dstCols  dest content columns, plain
+    */
+  def verdicts(
+      src: DataFrame,
+      dst: DataFrame,
+      partKeys: Seq[(String, Column)],
+      srcCols: Seq[Column],
+      dstCols: Seq[Column],
+      conf: Config = Config()): DataFrame = {
+    val keys = partKeys.map(_._1)
+    val s = Fingerprint.byPartition(src, partKeys, srcCols)
+      .withColumnsRenamed(Map("rows" -> "src_rows", "fp" -> "src_fp"))
+    val d = Fingerprint.byPartition(dst, partKeys, dstCols)
+      .withColumnsRenamed(Map("rows" -> "dst_rows", "fp" -> "dst_fp"))
+    val joined = s.join(d, keys, "full_outer")
+
+    val dstEmpty = col("dst_rows").isNull || col("dst_rows") === 0L
+    val contentEqual =
+      if (conf.checkHashes) col("src_fp") === col("dst_fp") && col("src_rows") === col("dst_rows")
+      else col("src_rows") === col("dst_rows") // check_hashes=false → row-count compare only
+    val verdict =
+      when(col("src_rows").isNull, Verdict.DestOnly)
+        .when(dstEmpty, Verdict.Copy)
+        .when(contentEqual, Verdict.Skip)
+        .otherwise(Verdict.DeleteRecopy)
+
+    joined.select(
+      keys.map(col) ++ Seq(
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("dst_rows"), lit(0L)).as("dst_rows"),
+        col("src_fp"), col("dst_fp"),
+        verdict.as("verdict")): _*)
+  }
+
+  /** Pre-flight warnings (`/root/reference/copy/copy.go:35-41,162-168`):
+    * equal totals (likely nothing to do) / dest ahead of source. */
+  def preflight(srcRows: Long, dstRows: Long): Seq[String] =
+    (if (srcRows == dstRows) Seq(s"source and destination row counts are already equal ($srcRows)") else Nil) ++
+      (if (dstRows > srcRows) Seq(s"destination has MORE rows ($dstRows) than source ($srcRows)") else Nil)
+
+  /** Execute mode (`--sync`): repair a file-backed destination.
+    *
+    * A19 re-architecture (SURVEY §7): vanilla Spark file sources cannot
+    * `ALTER TABLE … DELETE`, so delete+recopy becomes *dynamic partition
+    * overwrite* — only the partitions with verdict copy/delete_recopy are
+    * rewritten from the (cast) source; untouched partitions' files are left
+    * in place. This is atomic per partition directory and shuffles only the
+    * affected partitions' data.
+    *
+    * @param partKeyAlias  name of the partition column in the verdict DF /
+    *                      the dest layout (dest is partitioned by it)
+    * @param srcWithKey    source rows with the partition key materialised as
+    *                      column `partKeyAlias` and content already cast
+    * @return partition values repaired (copy + delete_recopy)
+    */
+  def repair(
+      spark: SparkSession,
+      verdictDf: DataFrame,
+      srcWithKey: DataFrame,
+      partKeyAlias: String,
+      dstPath: String,
+      conf: Config = Config()): Seq[Any] = {
+    val wanted = Seq(Verdict.Copy) ++ (if (conf.skipDelete || conf.skipReimport) Nil else Seq(Verdict.DeleteRecopy))
+    // P partition ids on the driver: same cardinality the reference loops
+    // over; fine at any data scale (partitions, not rows).
+    val affected = verdictDf
+      .filter(col("verdict").isin(wanted: _*))
+      .select(partKeyAlias).collect().map(_.get(0)).toSeq
+    if (affected.nonEmpty) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      srcWithKey
+        .filter(col(partKeyAlias).isin(affected: _*))
+        .write.partitionBy(partKeyAlias)
+        .mode("overwrite")
+        .parquet(dstPath)
+    }
+    affected
+  }
+
+  /** A3 insert sink: schema-mapped append (`INSERT INTO dest (cols) SELECT
+    * castedExprs`, `/root/reference/database/database.go:486-495`). */
+  def copyInto(src: DataFrame, castCols: Seq[Column], dstPath: String): Unit =
+    src.select(castCols: _*).write.mode("append").parquet(dstPath)
+}
