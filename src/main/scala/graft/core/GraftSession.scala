@@ -30,6 +30,11 @@ object GraftSession {
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.parquet.filterPushdown", "true")
+    // Partition ids stay strings end-to-end (the reference round-trips them
+    // as strings, database/sidefunctions.go:11-15); inference would turn
+    // part=199605 into an int on read-back and break verdict joins.
+    c.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark
   }
 

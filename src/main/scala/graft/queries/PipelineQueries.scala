@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** North-star training-data-pipeline operators (dedup, similarity search,
+  * text analysis, multimodal, sessionization) as oracle-checked queries.
+  * Same conventions as [[ReferenceQueries]]. Hash-based operators (minhash/
+  * simhash/LSH/xxhash fingerprints) have no DuckDB equivalent → rows-only. */
+object PipelineQueries {
+  import ReferenceQueries.Q
+
+  val all: Map[String, Q] = Map(
+    // exact dedup: deterministic keeper + group size per distinct content
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select("keep_id", "n_dups").orderBy("keep_id")),
+
+    // MinHash-LSH candidate pairs (hash-specific → rows-only)
+    "q31_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash signatures (hash-specific → rows-only)
+    "q32_simhash" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // exact token-set Jaccard over bounded candidate pairs
+    "q33_jaccard_pairs" -> ((s, dir) =>
+      Dedup.tokenJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-10 for 8 query vectors (exact ANN baseline)
+    "q34_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-10 (hash-bucketed → rows-only)
+    "q35_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10, 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-duplicate pairs (bounded to same label)
+    "q36_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")),
+
+    // language-ID heuristic
+    "q40_langid" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // quality scoring
+    "q41_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // per-document token statistics
+    "q42_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.tokenCountBpeIsh(t).cast("int").as("n_bpe"),
+        TextAnalysis.charCount(t).as("n_chars"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus statistics grouped by language and source
+    "q43_text_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source")),
+
+    // content-hash + simhash document fingerprints (hash → rows-only)
+    "q44_doc_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprints(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // multimodal stub pipeline: binary media column → per-partition decode
+    "q45_multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, Tables.load(s, dir, "documents"), partitions = 32)
+        .select("doc_id", "n_bytes", "head_byte", "width", "height")
+        .orderBy("doc_id")),
+
+    // sessionization over the events stream (30-min gap), batch form of the
+    // mapGroupsWithState streaming operator
+    "q46_sessionize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+      e.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_s", when(gap.isNull || gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  private val Toks = "string_split_regex(trim(text), '\\s+')"
+  private def listCount(list: String, markers: String) =
+    s"len(list_filter($list, t -> list_contains([$markers], t)))"
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY keep_id",
+    "q33_jaccard_pairs" ->
+      (s"WITH toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.ts, b.ts)) AS n_common, " +
+        "len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard " +
+        "FROM toks a JOIN toks b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 ORDER BY id_a, id_b"),
+    "q34_knn_bruteforce" ->
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8), " +
+        "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q, embeddings c WHERE c.vec_id <> q.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, round(cos, 6) AS cos_r FROM pairs) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_r FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q36_embedding_neardup" ->
+      ("WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND b.vec_id > a.vec_id) " +
+        "SELECT id_a, id_b, round(cos, 6) AS cos_r FROM pairs WHERE cos >= 0.25 ORDER BY id_a, id_b"),
+    "q40_langid" -> {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        lang -> listCount(Toks, ms.map(m => s"'$m'").mkString(","))
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (SELECT doc_id, text, $best AS best FROM documents) ORDER BY doc_id"
+    },
+    "q41_quality" ->
+      ("SELECT doc_id, round((CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END) + " +
+        "(CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) + " +
+        s"(CASE WHEN CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) > 0.01 THEN 0.3 ELSE 0.0 END), 1) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "q42_token_stats" ->
+      (s"SELECT doc_id, len($Toks) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe, " +
+        "length(text) AS n_chars, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "q43_text_stats" ->
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang, source ORDER BY lang, source",
+    "q45_multimodal_features" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_byte, " +
+        "CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width, CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height " +
+        "FROM documents ORDER BY doc_id"),
+    "q46_sessionize" ->
+      ("WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
+        "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id")
+  )
+}

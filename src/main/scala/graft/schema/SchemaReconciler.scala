@@ -79,6 +79,15 @@ object SchemaReconciler {
       case (StringType, t: NumericType) => Some(c.cast(t))
       case (StringType, DateType) => Some(to_date(c))
       case (StringType, TimestampType) => Some(to_timestamp(c))
+      // TIMESTAMP_NTZ: what Spark 4 infers for parquet timestamps written
+      // without UTC adjustment (the fixture tables) — ClickHouse DateTime is
+      // likewise zone-naive, so NTZ is the faithful mapping.
+      case (StringType, TimestampNTZType) => Some(to_timestamp_ntz(c))
+      case (TimestampNTZType, StringType) => Some(date_format(c, "yyyy-MM-dd HH:mm:ss"))
+      case (TimestampNTZType, DateType) => Some(c.cast(DateType))
+      case (DateType, TimestampNTZType) => Some(c.cast(TimestampNTZType))
+      case (TimestampNTZType, TimestampType) => Some(c.cast(TimestampType))
+      case (TimestampType, TimestampNTZType) => Some(c.cast(TimestampNTZType))
       // ---- numeric/temporal → String: ClickHouse toString-equivalent
       case (_: NumericType, StringType) => Some(c.cast(StringType))
       case (DateType, StringType) => Some(date_format(c, "yyyy-MM-dd"))

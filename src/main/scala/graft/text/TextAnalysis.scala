@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension; no reference counterpart — the reference copies
+  * tables, these prepare the 100 TB corpus the tables would hold).
+  *
+  * All operators are composed Spark builtins/HOFs — fully codegen'd, no
+  * UDFs, so a 100 TB documents scan stays in one WholeStageCodegen span
+  * with column pruning (only `text` is read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenisation. `split` on \s+ after trim — the BPE-ish
+    * token-count regex variant is [[tokenCountBpeIsh]]. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Sub-word-ish token count: alphanumeric runs plus each standalone
+    * symbol, the cheap stand-in for a BPE tokenizer's token count. RE2-safe
+    * pattern (no lookarounds) so the DuckDB oracle can mirror it. */
+  def tokenCountBpeIsh(c: Column): Column =
+    regexp_count(c, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Punctuation ratio over a fixed class (kept mirrorable in ANSI SQL). */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") / length(c)
+
+  private val StopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val sw = array(StopwordsEn.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** Quality score in [0,1]: length in a sane band, not punctuation-soup,
+    * has some stopword glue. Deterministic integer/double arithmetic. */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(length(c) >= 100 && length(c) <= 10000, 0.4).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.1, 0.3).otherwise(0.0)
+    val swOk = when(stopwordRatio(c) > 0.01, 0.3).otherwise(0.0)
+    round(lenOk + punctOk + swOk, 1)
+  }
+
+  /** Marker stopwords per language for the n-gram-free language-ID
+    * heuristic: score = number of tokens in each language's marker set,
+    * argmax wins, ties broken by fixed language order, all-zero → "und". */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val sw = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(sw, t)))
+  }
+
+  /** Predicted language code (heuristic). First language in [[LangMarkers]]
+    * order with the maximal nonzero score; "und" when no marker hits. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}

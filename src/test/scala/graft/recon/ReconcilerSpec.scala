@@ -1,0 +1,116 @@
+package graft.recon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fp.Fingerprint
+import graft.recon.Reconciler._
+
+/** Reconciliation scenarios from FIXTURES.md §B — the reference's decision
+  * ladder (copy/copy.go:237-266) exercised end-to-end, including repair. */
+class ReconcilerSpec extends SparkSpec {
+
+  private lazy val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+  private def withPart(df: DataFrame) =
+    df.withColumn("part", date_format(col("l_shipdate"), "yyyyMM"))
+  private val partKeys = Seq("part" -> col("part"))
+  private def cols(df: DataFrame) = li.columns.toSeq.map(col)
+
+  test("identical tables -> all skip") {
+    val src = withPart(li)
+    val v = verdicts(src, src, partKeys, cols(li), cols(li)).collect()
+    assert(v.nonEmpty && v.forall(_.getAs[String]("verdict") == Verdict.Skip))
+  }
+
+  test("dest missing partition -> copy via count==0 short-circuit") {
+    val src = withPart(li)
+    val dst = src.filter(col("part") =!= "199607")
+    val v = verdicts(src, dst, partKeys, cols(li), cols(li))
+    assert(v.filter(col("verdict") === Verdict.Copy).select("part")
+      .collect().map(_.getString(0)).toSeq == Seq("199607"))
+  }
+
+  test("dest corrupted partition -> delete_recopy; dest extra partition -> dest_only") {
+    val src0 = withPart(li)
+    val src = src0.filter(col("part") =!= "199711")
+    val dst = src0.withColumn("l_quantity",
+      when(col("part") === "199609" && col("l_linenumber") === 1, col("l_quantity") + 1)
+        .otherwise(col("l_quantity")))
+    val v = verdicts(src, dst, partKeys, cols(li), cols(li))
+    val byVerdict = v.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byVerdict(Verdict.DeleteRecopy) == 1L)
+    assert(byVerdict(Verdict.DestOnly) == 1L)
+    assert(v.filter(col("verdict") === Verdict.DestOnly).head().getString(0) == "199711")
+  }
+
+  test("check_hashes=false compares row counts only (config.go:34)") {
+    val src = withPart(li)
+    // same counts, different content: hash mode flags it, count mode skips
+    val dst = src.withColumn("l_quantity",
+      when(col("part") === "199610" && col("l_linenumber") === 1, col("l_quantity") + 1)
+        .otherwise(col("l_quantity")))
+    val hashMode = verdicts(src, dst, partKeys, cols(li), cols(li))
+    val countMode = verdicts(src, dst, partKeys, cols(li), cols(li), Config(checkHashes = false))
+    assert(hashMode.filter(col("verdict") === Verdict.DeleteRecopy).count() == 1)
+    assert(countMode.filter(col("verdict") === Verdict.DeleteRecopy).count() == 0)
+  }
+
+  test("B18 asymmetry: source fingerprint over cast expressions") {
+    val src = withPart(li).withColumn("l_quantity", col("l_quantity").cast("string"))
+    val dst = withPart(li)
+    val srcCols = li.columns.toSeq.map {
+      case "l_quantity" => col("l_quantity").cast("double")
+      case c => col(c)
+    }
+    val v = verdicts(src, dst, partKeys, srcCols, cols(li))
+    assert(v.collect().forall(_.getAs[String]("verdict") == Verdict.Skip))
+  }
+
+  test("preflight warnings (copy.go:35-41,162-168)") {
+    assert(preflight(100, 100).size == 1)
+    assert(preflight(100, 150).size == 1)
+    assert(preflight(150, 100).isEmpty)
+    assert(preflight(100, 100).head.contains("equal"))
+  }
+
+  test("repair end-to-end: corrupt dest, repair, fingerprints equal") {
+    val dstPath = tmpDir("recon-dst")
+    val src = withPart(li)
+    // dest: one partition missing, one corrupted
+    src.filter(col("part") =!= "199605")
+      .withColumn("l_quantity",
+        when(col("part") === "199606" && col("l_linenumber") === 1, col("l_quantity") + 99)
+          .otherwise(col("l_quantity")))
+      .write.partitionBy("part").mode("overwrite").parquet(dstPath)
+
+    def readDst = spark.read.parquet(dstPath)
+      .select(src.columns.map(col): _*) // partition col order normalization
+    val v1 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    val repaired = repair(spark, v1, src, "part", dstPath)
+    assert(repaired.map(_.toString).toSet == Set("199605", "199606"))
+
+    val v2 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    assert(v2.collect().forall(_.getAs[String]("verdict") == Verdict.Skip))
+    val (fpS, nS) = Fingerprint.ofDataFrame(src.select(cols(li): _*))
+    val (fpD, nD) = Fingerprint.ofDataFrame(readDst.select(cols(li): _*))
+    assert(fpS == fpD && nS == nD)
+  }
+
+  test("skip_delete leaves corrupted partitions untouched (config.go:35)") {
+    val dstPath = tmpDir("recon-skipdel")
+    val src = withPart(li)
+    src.withColumn("l_quantity",
+      when(col("part") === "199607" && col("l_linenumber") === 1, col("l_quantity") + 99)
+        .otherwise(col("l_quantity")))
+      .write.partitionBy("part").mode("overwrite").parquet(dstPath)
+    def readDst = spark.read.parquet(dstPath).select(src.columns.map(col): _*)
+    val v = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    val repaired = repair(spark, v, src, "part", dstPath, Config(skipDelete = true))
+    assert(repaired.isEmpty)
+    // still inconsistent afterwards
+    val v2 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    assert(v2.filter(col("verdict") === Verdict.DeleteRecopy).count() == 1)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  test("cosine: identical vectors -> 1, orthogonal -> 0") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+  }
+
+  test("bruteForceKnn: k rows per query, self excluded, descending") {
+    val res = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+    val rows = res.orderBy("query_id", "rank").collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshKnn candidates are a subset ranked identically to exact cosine") {
+    val res = Similarity.lshKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5, 2)
+    // every returned neighbor's cosine matches the exact computation
+    val exact = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 500)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cos")) < 1e-12)
+    }
+  }
+
+  test("planted near-duplicate embedding is found with top similarity") {
+    val planted = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(990000L))
+      .withColumn("embedding", transform(col("embedding"), x => x * 1.000001f))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.bruteForceKnn(emb.filter(col("vec_id") === 7), corpus, "vec_id", "embedding", 1)
+      .head()
+    assert(top.getAs[Long]("neighbor_id") == 990000L)
+    assert(top.getAs[Double]("cos") > 0.999999)
+  }
+
+  test("cosineNearDupPairs respects group bound and threshold") {
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("id_a")) == labels(r.getAs[Long]("id_b")))
+      assert(r.getAs[Double]("cos") >= 0.25)
+    }
+  }
+}

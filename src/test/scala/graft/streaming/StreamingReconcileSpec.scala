@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed fingerprint equals the batch computation") {
+    val stream = StreamingReconcile.readEvents(spark, sf001)
+    val q = StreamingReconcile.windowedFingerprint(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winfp")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("winfp").orderBy("win_start", "event_type").collect()
+      val batch = StreamingReconcile.windowedFingerprint(
+        graft.core.Tables.load(spark, sf001, "events"), watermark = None)
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization matches the batch window form") {
+    val events = graft.core.Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamingReconcile.Event]
+    val got = StreamingReconcile.sessionize(events)
+      .orderBy("user_id").collect()
+      .map(u => (u.user_id, u.n_sessions, u.n_events)).toSeq
+    // batch oracle: q46 logic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+    val expected = events.toDF()
+      .withColumn("new_s", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.{TextAnalysis => T}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column, text: String): A =
+    Seq(text).toDF("text").select(c).head().getAs[A](0)
+
+  test("token count: whitespace runs and trim") {
+    assert(one[Int](T.tokenCount(col("text")), "the quick  brown\tfox ") == 4)
+    assert(one[Int](T.tokenCount(col("text")), "one") == 1)
+  }
+
+  test("BPE-ish count: words plus standalone symbols") {
+    assert(one[Int](T.tokenCountBpeIsh(col("text")).cast("int"), "don't stop, now!") == 7)
+    // don + ' + t + stop + , + now + !
+  }
+
+  test("punct ratio over fixed class") {
+    assert(one[Double](T.punctRatio(col("text")), "ab.,") == 0.5)
+    assert(one[Double](T.punctRatio(col("text")), "abcd") == 0.0)
+  }
+
+  test("stopword ratio") {
+    assert(one[Double](T.stopwordRatio(col("text")), "the cat and a dog") == 0.6)
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    assert(one[String](T.langId(col("text")), "le chat et la souris dans les bois") == "fr")
+    assert(one[String](T.langId(col("text")), "der hund und die katze ist da") == "de")
+    assert(one[String](T.langId(col("text")), "el perro y los gatos es bueno") == "es")
+    assert(one[String](T.langId(col("text")), "the cat and the dog is a pet") == "en")
+    assert(one[String](T.langId(col("text")), "xyzzy plugh qwert") == "und")
+  }
+
+  test("quality score bands") {
+    val good = ("word " * 40).trim + " the and of it is" // >100 chars, no punct, stopwords
+    assert(one[Double](T.qualityScore(col("text")), good) == 1.0)
+    assert(one[Double](T.qualityScore(col("text")), "short") == 0.3) // only the punct band passes
+  }
+}
