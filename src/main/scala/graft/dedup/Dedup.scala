@@ -48,8 +48,15 @@ object Dedup {
   }
 
   /** k per-document minhashes: for seed i, min over shingles of
-    * xxhash64(i, shingle). Computed with a single aggregate HOF. */
+    * xxhash64(i, shingle). Production path is the native Catalyst
+    * expression (~10x the HOF throughput, bit-identical — see
+    * [[graft.functions.expressions.TextHashExpressions]]). */
   def minhashSignature(shingles: Column, k: Int = 32): Column =
+    graft.functions.expressions.TextHashExpressions.minhashSignature(shingles, k)
+
+  /** Builtin-HOF reference formulation of [[minhashSignature]] (kept as the
+    * executable spec the expression is property-tested against). */
+  def minhashSignatureHof(shingles: Column, k: Int = 32): Column =
     aggregate(
       shingles,
       array_repeat(lit(Long.MaxValue), k),
@@ -97,8 +104,13 @@ object Dedup {
   private val BitMasks = array((0 until 64).map(i => lit(1L << i)): _*)
 
   /** 64-bit SimHash over tokens: bit i of the result is 1 iff the majority
-    * of token-hashes have bit i set. HOF-only (no explode/shuffle). */
-  def simhash(c: Column): Column = {
+    * of token-hashes have bit i set. Production path is the native
+    * Catalyst expression (bit-identical to [[simhashHof]]). */
+  def simhash(c: Column): Column =
+    graft.functions.expressions.TextHashExpressions.simhash64(c)
+
+  /** Builtin-HOF reference formulation of [[simhash]]. */
+  def simhashHof(c: Column): Column = {
     val toks = TextAnalysis.tokens(c)
     // counts[i] = number of tokens with bit i set, via aggregate over tokens
     val counts = aggregate(

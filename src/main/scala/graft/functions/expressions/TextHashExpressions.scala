@@ -1,0 +1,107 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy dedup operators.
+  *
+  * The builtin-HOF formulations (see [[graft.dedup.Dedup]] scaladoc) are
+  * correct but allocate a 64-slot array per token (simhash) or k-slot array
+  * per shingle (minhash) inside `aggregate`/`zip_with` — measured ~6s per
+  * 5000-doc pass. These expressions compute the same values imperatively in
+  * one pass over the bytes, preserving bit-for-bit parity with the HOF
+  * versions (same xxhash64 seed chaining as the builtin `xxhash64(...)`).
+  *
+  * CodegenFallback is acceptable here: the per-row work (hundreds of hash
+  * calls) dwarfs the virtual-call overhead, and the expression sits in a
+  * projection, not a join/filter hot path.
+  */
+object TextHashExpressions {
+
+  private val Seed = 42L // builtin xxhash64's fixed seed
+
+  /** Whitespace tokens of a UTF8String, matching Spark's
+    * split(trim(c), "\\s+") exactly — including the [""] it produces for
+    * empty/blank input (Java split semantics). */
+  private[expressions] def tokenize(s: UTF8String): Array[String] =
+    s.toString.trim.split("\\s+")
+
+  /** 64-bit SimHash, identical to Dedup's HOF formulation: per token
+    * h = xxhash64(token); bit i of the result set iff the majority of
+    * token-hashes have bit i set. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val counts = new Array[Int](64)
+      var ti = 0
+      while (ti < toks.length) {
+        val h = XxHash64Function.hash(UTF8String.fromString(toks(ti)), StringType, Seed)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        ti += 1
+      }
+      val n = toks.length
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) * 2 > n) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** k MinHash values over a shingle array, identical to the HOF version:
+    * slot i holds min over shingles of xxhash64(i, shingle) — the builtin's
+    * left-fold seed chaining hash(s, hash(i, 42)). */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    // per-slot seed: xxhash64's fold state after hashing the int i
+    private lazy val slotSeeds: Array[Long] =
+      Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, Seed))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(Long.MaxValue)
+      var si = 0
+      val n = arr.numElements()
+      while (si < n) {
+        val s = arr.getUTF8String(si)
+        if (s != null) {
+          var i = 0
+          while (i < k) {
+            val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        si += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  // Column wrappers (classic-API bridge between Column and Expression)
+  import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
+  def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    toColumn(MinHashSignature(toExpr(shingles), k))
+}

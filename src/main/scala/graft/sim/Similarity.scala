@@ -25,7 +25,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Production path: native fused expression (one pass for dot + norms),
+    * bit-identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosine(a, b)
+
+  /** Builtin-HOF reference formulation of [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * enough to broadcast (driver enforces nothing; Spark picks broadcast
