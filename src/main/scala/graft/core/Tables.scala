@@ -26,9 +26,10 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // ts arrives as Long nanoseconds (nanosAsLong); expose both the raw
-      // nanos and a usable microsecond-precision timestamp column.
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // ts arrives as Long nanoseconds (nanosAsLong); convert with INTEGER
+      // division — double division would lose precision (ns epoch values
+      // exceed 2^53) and land ±1us off.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row at or before
+  * its timestamp, matched within partition keys. An operator vanilla Spark
+  * lacks; per the preference order we COMPOSE built-ins rather than write a
+  * SparkPlan: the union-window formulation needs exactly ONE shuffle (the
+  * window partitioning) and no join at all, which beats any join-based
+  * physical operator at scale:
+  *
+  *   1. tag right rows 0 / left rows 1 and union them
+  *   2. window per key, ordered by (ts, tag): running `last(payload,
+  *      ignoreNulls=true)` carries each right payload forward to every
+  *      later left row (tag ordering makes equal-ts matches inclusive,
+  *      mirroring ASOF's `l.ts >= r.ts`)
+  *   3. keep the left rows
+  *
+  * 100 TB notes: state per window partition is one payload struct — the
+  * sort is the only cost; skewed keys (one user with billions of events)
+  * shard by time-bucketing the key. Tolerance (max staleness) composes as a
+  * post-filter on `leftTs - matchedTs`.
+  */
+object AsOfJoin {
+
+  /** @param left      left relation
+    * @param right     right relation
+    * @param keys      equi-match columns present on both sides
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param payload   right columns to carry (renamed as given)
+    * @param tolerance max staleness in seconds (None = unbounded)
+    */
+  def backward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // right side: ts aligned into the left ts column, payload wrapped in a
+    // struct so one last() carries everything (including the match ts)
+    val rStruct = struct((payload.map(col) :+ col(rightTs).as("__match_ts")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as(leftTs), rStruct.as("__p"), lit(0).as("__tag")): _*)
+    val l = left.select(
+      leftCols.map(col) ++ Seq(lit(null).cast(r.schema("__p").dataType).as("__p"), lit(1).as("__tag")): _*)
+    // union by name with missing left-only columns nulled on the right side
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(leftTs).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val withinTol: Column = tolerance match {
+      case Some(secs) =>
+        col("__m").isNotNull &&
+          unix_timestamp(col(leftTs)) - unix_timestamp(col("__m.__match_ts")) <= secs
+      case None => col("__m").isNotNull
+    }
+    val guarded = when(withinTol, col("__m"))
+    matched.select(
+      leftCols.map(col) ++
+        payload.map(p => guarded.getField(p).as(p)) :+
+        guarded.getField("__match_ts").as("match_ts"): _*)
+  }
+}

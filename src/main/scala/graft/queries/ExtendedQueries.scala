@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, SkewJoin}
+
+/** SQL-surface breadth beyond the reference (set ops, rollup, distinct and
+  * percentile aggregates, skew-salted join, as-of join). Same oracle
+  * conventions as [[ReferenceQueries]]. */
+object ExtendedQueries {
+  import ReferenceQueries.Q
+
+  val all: Map[String, Q] = Map(
+    // distinct aggregates
+    "q23_distinct_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))),
+
+    // set operations: (A ∩ B) \ C ∪ D over customer key sets
+    "q24_setops" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val a = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val b = c.filter(col("c_nationkey") < 13).select("c_custkey")
+      val x = c.filter(col("c_custkey") % 10 === 0).select("c_custkey")
+      val d = c.filter(col("c_custkey") < 50).select("c_custkey")
+      a.intersect(b).except(x).union(d).distinct().orderBy("c_custkey")
+    }),
+
+    // rollup with grouping-null normalization
+    "q25_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // exact percentiles (continuous interpolation) per group
+    "q26_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
+          min("l_quantity").as("q_min"), max("l_quantity").as("q_max"))
+        .orderBy("l_returnflag")),
+
+    // sketch aggregates (HLL / approx quantile) — engine-specific values,
+    // rows-only check; accuracy asserted in SketchSpec
+    "q27_approx_sketches" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // salted skew join == plain join semantics
+    "q28_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val supp = Tables.load(s, dir, "supplier")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      SkewJoin.saltedInnerJoin(li, supp, "l_suppkey", nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
+    // as-of join: each event matched to the user's most recent signup
+    "q29_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val left = ev.select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("value").as("s_value"))
+      AsOfJoin.backward(left, right, Seq("user_id"), "ts", "ts", Seq("s_value"))
+        .select("event_id", "user_id", "s_value", "match_ts")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_distinct_agg" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status FROM lineitem",
+    "q24_setops" ->
+      ("SELECT DISTINCT c_custkey FROM (" +
+        "SELECT * FROM ((SELECT c_custkey FROM customer WHERE c_acctbal > 5000 INTERSECT SELECT c_custkey FROM customer WHERE c_nationkey < 13) " +
+        "EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0) " +
+        "UNION ALL SELECT c_custkey FROM customer WHERE c_custkey < 50) ORDER BY c_custkey"),
+    "q25_rollup" ->
+      "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY flag, status",
+    "q26_percentiles" ->
+      "SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs, min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q28_salted_join" ->
+      "SELECT s_nationkey, count(*) AS n_rows, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey ORDER BY s_nationkey",
+    "q29_asof_join" ->
+      ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
+        "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS s_value FROM events WHERE event_type = 'signup' GROUP BY 1, 2) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY event_id")
+  )
+}

@@ -41,7 +41,7 @@ object StreamingReconcile {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
   }
 
   /** Tumbling-window (rows, fingerprint) per event_type with watermark —

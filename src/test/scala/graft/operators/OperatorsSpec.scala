@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof backward: picks latest right at-or-before, null before first") {
+    val left = Seq(
+      (1L, "u", ts("2024-01-01 00:00:05")),
+      (2L, "u", ts("2024-01-01 00:00:10")), // equal-ts match (inclusive)
+      (3L, "u", ts("2024-01-01 00:00:30")),
+      (4L, "v", ts("2024-01-01 00:00:01"))  // v has no prior right row
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u", ts("2024-01-01 00:00:10"), 10.0),
+      ("u", ts("2024-01-01 00:00:20"), 20.0)
+    ).toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("v")))           // before any right
+    assert(got(1).getAs[Double]("v") == 10.0)                  // equal ts inclusive
+    assert(got(2).getAs[Double]("v") == 20.0)                  // latest prior
+    assert(got(3).isNullAt(got(3).fieldIndex("v")))            // other key
+  }
+
+  test("asof tolerance: stale matches nulled") {
+    val left = Seq((1L, "u", ts("2024-01-01 01:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("u", ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "ts", "v")
+    val loose = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"), Some(7200))
+    val tight = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"), Some(60))
+    assert(loose.head().getAs[Double]("v") == 5.0)
+    assert(tight.head().isNullAt(tight.head().fieldIndex("v")))
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val supp = spark.read.parquet(s"$sf001/supplier.parquet")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val salted = SkewJoin.saltedInnerJoin(li, supp, "l_suppkey", 8)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+    val plain = li.join(supp, "l_suppkey")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+    assert(salted.orderBy("s_nationkey").collect().toSeq ==
+      plain.orderBy("s_nationkey").collect().toSeq)
+  }
+
+  test("approx sketches land near exact values") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"),
+      expr("percentile(l_extendedprice, 0.5)").as("emed")).head()
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"HLL error: $approx vs $exact")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(3) < 0.05)
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+}

@@ -22,8 +22,10 @@ def norm(v):
         return ("d", str(v.normalize()))
     if isinstance(v, datetime.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, list):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
+    if type(v).__module__ == "numpy":
+        return norm(v.item())
     return v
 
 def main(sf_dir, out_dir):
