@@ -19,19 +19,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Tables {
 
+  // Resolved-relation cache: file listing + footer schema inference cost a
+  // driver job per spark.read.parquet; a 40-query batch re-resolving the
+  // same 10 tables pays it dozens of times. DataFrames are immutable lazy
+  // plans, so sharing the resolved relation is safe.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Load a fixture table. `dir` is e.g. "/root/testdata/sf0.01". */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Runtime-settable; required before first read of events.parquet (ns ts).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // ts arrives as Long nanoseconds (nanosAsLong); convert with INTEGER
-      // division — double division would lose precision (ns epoch values
-      // exceed 2^53) and land ±1us off.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), {
+      // Runtime-settable; required before first read of events.parquet (ns ts).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        // ts arrives as Long nanoseconds (nanosAsLong); convert with INTEGER
+        // division — double division would lose precision (ns epoch values
+        // exceed 2^53) and land ±1us off.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   /** A1/A2 table scan with projection applied at the source: the Spark
     * analogue of the reference embedding the column list in its generated

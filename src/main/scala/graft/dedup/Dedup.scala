@@ -79,24 +79,38 @@ object Dedup {
   /** MinHash-LSH candidate duplicate pairs with estimated Jaccard >=
     * threshold. Shuffles only (bandKey, docId, signature); the self-join is
     * on the 8-byte band hash. Output: (id_a, id_b, est_jaccard), id_a<id_b.
+    *
+    * Candidate pairs are deduplicated BEFORE scoring (a pair sharing b
+    * bands would otherwise be scored b times). `maxBucket` > 0 drops bands
+    * whose bucket exceeds it — the standard spam-cluster guard: a bucket of
+    * B near-identical docs contributes B²/2 pairs, and at corpus scale one
+    * boilerplate cluster can dominate the whole join (see SCALING.md §5).
     */
   def minhashPairs(
       df: DataFrame, contentCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(contentCol), shingleN), k).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       explode(bandKeys(col("sig"), bands, k)).as("band"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+        banded0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucket).drop("__bs")
+      }
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // dedupe pairs across bands before the scoring pass
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** Bit masks 2^0..2^63 as an array literal (2^63 wraps negative — AND
