@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural guards on the physical plans — the scale properties SCALING.md
+  * claims, asserted so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01: column pruning reaches the parquet scan (3 of 11 columns)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"), p.take(800))
+  }
+
+  test("q03: time-range predicate pushed to the scan") {
+    val p = plan("q03_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p.take(800))
+  }
+
+  test("q16: dimension joins broadcast (no shuffle join for dims)") {
+    val p = plan("q16_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q15: aggregation is partial+final (map-side combine)") {
+    val p = plan("q15_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("SortAggregate"), "decimal agg fell back to sort-based")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS li_bkt_b")
+    li.select("l_orderkey", "l_quantity").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bkt_a")
+    li.select("l_orderkey", "l_extendedprice").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bkt_b")
+    try {
+      val j = spark.table("li_bkt_a").join(spark.table("li_bkt_b"), "l_orderkey")
+        .groupBy("l_orderkey").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join should not shuffle:\n" + p.take(1200))
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS li_bkt_b")
+    }
+  }
+}
