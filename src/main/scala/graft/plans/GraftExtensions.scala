@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.TextHashExpressions.{MinHashSignature, SimHash64}
+import graft.functions.expressions.VectorExpressions.CosineSimilarity
+
+/** Session-extension registration: exposes graft's native expressions to
+  * SQL, so `spark.sql("SELECT simhash64(text) …")` works alongside the
+  * Column API. Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit near-duplicate signature"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k MinHash values"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MinHashSignature(c, 32)
+        case Seq(c, k) => MinHashSignature(c,
+          k.eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine over float arrays"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}
+
+/** Registration for an already-running session (tests, REPL). */
+object GraftExtensions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (children: Seq[Expression]) => SimHash64(children.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MinHashSignature(c, 32)
+        case Seq(c, k) => MinHashSignature(c, k.eval().asInstanceOf[Number].intValue())
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)), "scala_udf")
+  }
+}

@@ -69,6 +69,23 @@ object ExtendedQueries {
         .orderBy("s_nationkey")
     }),
 
+    // window frames: running total, lag/lead, rank per customer
+    "q47_window_frames" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_custkey"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("decimal(38,2)").as("running_total"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        rank().over(wRank).as("price_rank"))
+        .orderBy("o_orderkey")
+    }),
+
     // as-of join: each event matched to the user's most recent signup
     "q29_asof_join" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -95,6 +112,12 @@ object ExtendedQueries {
       "SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs, min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q28_salted_join" ->
       "SELECT s_nationkey, count(*) AS n_rows, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey ORDER BY s_nationkey",
+    "q47_window_frames" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total, " +
+        "lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order, " +
+        "CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey"),
     "q29_asof_join" ->
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +

@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("native expressions callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet").createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(text) AS sh FROM docs_ext ORDER BY doc_id LIMIT 20")
+    val viaColumn = spark.table("docs_ext")
+      .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("sh"))
+      .orderBy("doc_id").limit(20)
+    assert(viaSql.collect().toSeq == viaColumn.collect().toSeq)
+
+    spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_ext")
+    val cos = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, a.embedding) AS c
+         FROM emb_ext a ORDER BY a.vec_id LIMIT 5""").collect()
+    cos.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("virtual-column per-file predicate (use_virtual_column / _part mode)") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("_metadata.file_path").as("fp"))
+    val somePath = li.head().getString(1)
+    val n = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(graft.pred.PartitionPredicate.byFile(somePath))
+      .count()
+    assert(n == li.filter(col("fp") === somePath).count() && n > 0)
+  }
+}
