@@ -89,13 +89,9 @@ object GraftCopy {
         return Status.DataFail
       }
     }
-    val dstPath =
-      if (Tables.exists(dstDir, table)) s"$dstDir/$table.parquet" else s"$dstDir/$table"
+    val flatLayout = Tables.exists(dstDir, table)
+    val dstPath = if (flatLayout) s"$dstDir/$table.parquet" else s"$dstDir/$table"
     val dst = spark.read.parquet(dstPath)
-
-    // pre-flight (copy.go:35-41,162-168)
-    Reconciler.preflight(src.count(), dst.count())
-      .foreach(w => println(s"[$Name] warning: $w"))
 
     // schema reconciliation: intersected columns, casts planned once
     val plan = SchemaReconciler.castPlan(src.schema, dst.schema)
@@ -109,6 +105,12 @@ object GraftCopy {
       srcK, dstK, Seq("__part" -> col("__part")), srcCast, dstCols)
 
     val rows = verdicts.orderBy("__part").collect()
+    // pre-flight (copy.go:35-41,162-168) — totals derived from the verdict
+    // aggregates already on the driver, not two extra full scans
+    val (srcTotal, dstTotal) =
+      (rows.map(_.getAs[Long]("src_rows")).sum, rows.map(_.getAs[Long]("dst_rows")).sum)
+    Reconciler.preflight(srcTotal, dstTotal)
+      .foreach(w => println(s"[$Name] warning: $w"))
     rows.foreach { r =>
       println(s"[$Name] part=${r.get(0)} src=${r.get(1)} dst=${r.get(2)} -> ${r.getAs[String]("verdict")}")
     }
@@ -116,9 +118,20 @@ object GraftCopy {
 
     if (execute && dirty) {
       val srcForWrite = srcK.select((srcCast :+ col("__part")): _*)
-      val repaired = Reconciler.repair(spark, verdicts, srcForWrite, "__part", dstPath)
-      println(s"[$Name] repaired partitions: ${repaired.mkString(", ")}")
-      Status.Ok
+      if (flatLayout) {
+        // A single-file destination can't be partition-overwritten in
+        // place; migrate it to the partitioned directory layout, then the
+        // per-partition repair path applies on every later run.
+        val newPath = s"$dstDir/$table"
+        srcForWrite.write.partitionBy("__part").mode("overwrite").parquet(newPath)
+        new java.io.File(dstPath).delete()
+        println(s"[$Name] migrated flat destination to partitioned layout at $newPath")
+        Status.Ok
+      } else {
+        val repaired = Reconciler.repair(spark, verdicts, srcForWrite, "__part", dstPath)
+        println(s"[$Name] repaired partitions: ${repaired.mkString(", ")}")
+        Status.Ok
+      }
     } else if (dirty) Status.HashFail
     else Status.Ok
   }

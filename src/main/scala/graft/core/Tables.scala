@@ -21,10 +21,16 @@ object Tables {
 
   // Resolved-relation cache: file listing + footer schema inference cost a
   // driver job per spark.read.parquet; a 40-query batch re-resolving the
-  // same 10 tables pays it dozens of times. DataFrames are immutable lazy
-  // plans, so sharing the resolved relation is safe.
+  // same 10 tables pays it dozens of times. Safe for the immutable fixture
+  // dirs this loads; a caller that mutates a cached dir (repair flows read
+  // dest paths via spark.read directly, not here) must invalidate() first.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop cached resolutions for a dir (all tables, all sessions) — call
+    * after writing into a directory previously read through [[load]]. */
+  def invalidate(dir: String): Unit =
+    cache.keys.filter(_._2 == dir).foreach(cache.remove)
 
   /** Load a fixture table. `dir` is e.g. "/root/testdata/sf0.01". */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -26,10 +26,11 @@ object TextHashExpressions {
   private val Seed = 42L // builtin xxhash64's fixed seed
 
   /** Whitespace tokens of a UTF8String, matching Spark's
-    * split(trim(c), "\\s+") exactly — including the [""] it produces for
-    * empty/blank input (Java split semantics). */
+    * split(trim(c), "\\s+") EXACTLY: Spark's trim strips only ASCII space
+    * (0x20, not \n/\t — UTF8String.trim), and Spark's split keeps trailing
+    * empty strings (limit -1), so "hello\n" must yield ["hello", ""]. */
   private[expressions] def tokenize(s: UTF8String): Array[String] =
-    s.toString.trim.split("\\s+")
+    s.trim().toString.split("\\s+", -1)
 
   /** 64-bit SimHash, identical to Dedup's HOF formulation: per token
     * h = xxhash64(token); bit i of the result set iff the majority of

@@ -23,7 +23,7 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, head_byte: Int,
+      doc_id: Long, n_bytes: Long, head_cp: Int,
       width: Int, height: Int, frame_hashes: Seq[Long])
 
   /** Fixture adapter: treat each document's text bytes as a media blob. */
@@ -39,7 +39,9 @@ object Multimodal {
     * the signature (bytes in, typed features out) is the contract. */
   private[multimodal] def decodeStub(m: MediaRow): MediaFeatures = {
     val n = m.media.length.toLong
-    val head = if (m.media.nonEmpty) m.media(0) & 0xff else 0
+    // first code point (not first byte): well-defined for any UTF-8 text
+    // fixture, and what a header-magic probe would canonicalise to
+    val head = if (m.media.nonEmpty) new String(m.media, "UTF-8").codePointAt(0) else 0
     // fake "decode": dimensions derived from content, as a real decoder
     // would read them from the container header
     val width = (n % 640).toInt

@@ -108,7 +108,7 @@ object PipelineQueries {
     // multimodal stub pipeline: binary media column → per-partition decode
     "q45_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, Tables.load(s, dir, "documents"), partitions = 32)
-        .select("doc_id", "n_bytes", "head_byte", "width", "height")
+        .select("doc_id", "n_bytes", "head_cp", "width", "height")
         .orderBy("doc_id")),
 
     // sessionization over the events stream (30-min gap), batch form of the
@@ -177,7 +177,7 @@ object PipelineQueries {
     "q43_text_stats" ->
       "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang, source ORDER BY lang, source",
     "q45_multimodal_features" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_byte, " +
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_cp, " +
         "CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width, CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id"),
     "q46_sessionize" ->

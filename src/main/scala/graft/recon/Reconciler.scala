@@ -65,8 +65,15 @@ object Reconciler {
     val s = Fingerprint.byPartition(src, partKeys, srcCols)
       .withColumnsRenamed(Map("rows" -> "src_rows", "fp" -> "src_fp"))
     val d = Fingerprint.byPartition(dst, partKeys, dstCols)
-      .withColumnsRenamed(Map("rows" -> "dst_rows", "fp" -> "dst_fp"))
-    val joined = s.join(d, keys, "full_outer")
+      .withColumnsRenamed((keys.map(k => k -> s"__d_$k") ++
+        Seq("rows" -> "dst_rows", "fp" -> "dst_fp")).toMap)
+    // null-SAFE key equality: a null partition key (e.g. null timestamps
+    // under a functional key) must match itself, not double-report as
+    // Copy + DestOnly
+    val joinCond = keys.map(k => s(k) <=> d(s"__d_$k")).reduce(_ && _)
+    val joined = s.join(d, joinCond, "full_outer")
+      .withColumns(keys.map(k => k -> coalesce(s(k), d(s"__d_$k"))).toMap)
+      .drop(keys.map(k => s"__d_$k"): _*)
 
     val dstEmpty = col("dst_rows").isNull || col("dst_rows") === 0L
     val contentEqual =
@@ -122,8 +129,15 @@ object Reconciler {
       .select(partKeyAlias).collect().map(_.get(0)).toSeq
     if (affected.nonEmpty) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // isin() is null-blind; a null partition key needs an explicit isNull
+      // arm. (Note: partitionBy writes null keys to the Hive default
+      // partition directory — callers with nullable keys should coalesce
+      // the key expression to a sentinel for clean round-trips.)
+      val (nullKeys, realKeys) = affected.partition(_ == null)
+      val pred = (if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
+        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)
       srcWithKey
-        .filter(col(partKeyAlias).isin(affected: _*))
+        .filter(pred.reduce(_ || _))
         .write.partitionBy(partKeyAlias)
         .mode("overwrite")
         .parquet(dstPath)

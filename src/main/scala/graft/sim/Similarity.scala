@@ -52,16 +52,16 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash of (p, j) mapped to [-1, 1). No RNG — reproducible across runs
     * and engines. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (xxhash64(lit(p), j).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeComponent(p: Column, j: Column): Column =
+    xxhash64(p, j).cast("double") / lit(Long.MaxValue.toDouble)
 
   /** Sign-bit LSH signature of `planes` random hyperplanes. */
   def lshSignature(vec: Column, planes: Int = 16): Column = {
     val projections = transform(sequence(lit(0), lit(planes - 1)), p => {
-      // dot(vec, plane_p) via index zip: component j weight = hash(p, j)
+      // dot(vec, plane_p) via index zip: component j weight = planeComponent
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * (xxhash64(p, j).cast("double") / lit(Long.MaxValue.toDouble))),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
         lit(0.0), (acc, x) => acc + x)
     })
     val masks = array((0 until planes).map(i => lit(1L << i)): _*)

@@ -53,7 +53,12 @@ object ClickHouseJdbc {
   def parseDsn(dsn: String, database: String, table: String): Conn = {
     val uri = new java.net.URI(dsn)
     val qs = Option(uri.getQuery).getOrElse("").split("&").filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      .map { kv =>
+        kv.split("=", 2) match { // valueless flag params ("?secure") allowed
+          case Array(k, v) => k -> v
+          case Array(k) => k -> "true"
+        }
+      }.toMap
     val (user, pass) = Option(uri.getUserInfo) match {
       case Some(ui) =>
         val parts = ui.split(":", 2)

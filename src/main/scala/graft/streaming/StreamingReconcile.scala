@@ -57,11 +57,17 @@ object StreamingReconcile {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionState(lastTs: Long, sessions: Int)
+  final case class SessionState(lastTs: Long, sessions: Int, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
 
   /** Custom-state sessionization: counts 30-min-gap sessions per user.
-    * The streaming analogue of PipelineQueries q46 (batch window form). */
+    * The streaming analogue of PipelineQueries q46 (batch window form).
+    *
+    * State is one [[SessionState]] per distinct user (bounded by user
+    * cardinality, not history; add a GroupStateTimeout eviction policy when
+    * user churn makes even that too large). Emitted counts are CUMULATIVE
+    * across micro-batches — both n_sessions and n_events — so the latest
+    * row per user is always the current totals. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -69,17 +75,15 @@ object StreamingReconcile {
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
-          var n = 0L
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0L))
           sorted.foreach { e =>
             val t = e.ts.getTime / 1000
-            if (st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds)
-              st = SessionState(t, st.sessions + 1)
-            else st = SessionState(t, st.sessions)
-            n += 1
+            val ns = if (st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds)
+              st.sessions + 1 else st.sessions
+            st = SessionState(t, ns, st.events + 1)
           }
           state.update(st)
-          UserSessions(user, st.sessions, n)
+          UserSessions(user, st.sessions, st.events)
       }
   }
 }

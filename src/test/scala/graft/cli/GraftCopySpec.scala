@@ -21,6 +21,23 @@ class GraftCopySpec extends SparkSpec {
     assert(GraftCopy.run(Seq("--info", "onlyonearg")) == Status.UsageFail)
   }
 
+  test("flat single-file destination: info compares; sync migrates to partitioned layout") {
+    val dst = tmpDir("graftcopy-flat")
+    val key = "date_format(l_shipdate, 'yyyyMM')"
+    // flat layout: dst/<table>.parquet file, as the fixture dirs use
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/lineitem.parquet"),
+      java.nio.file.Paths.get(s"$dst/lineitem.parquet"))
+    // identical content -> clean compare against the flat file
+    assert(reconcile(spark, sf001, dst, "lineitem", key, execute = false) == Status.Ok)
+    // different source -> sync migrates the flat file to a partitioned dir
+    val src2 = "/root/testdata/sf0.01"
+    assert(reconcile(spark, src2, dst, "lineitem", key, execute = true) == Status.Ok)
+    assert(!new java.io.File(s"$dst/lineitem.parquet").exists)
+    assert(new java.io.File(s"$dst/lineitem").isDirectory)
+    assert(reconcile(spark, src2, dst, "lineitem", key, execute = false) == Status.Ok)
+  }
+
   test("info/sync lifecycle: copy-all, detect corruption, repair, clean") {
     val dst = tmpDir("graftcopy")
     val key = "date_format(l_shipdate, 'yyyyMM')"

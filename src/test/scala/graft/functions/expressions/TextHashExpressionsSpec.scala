@@ -13,7 +13,8 @@ class TextHashExpressionsSpec extends SparkSpec {
 
   test("SimHash64 expression == HOF formulation on the corpus + edge cases") {
     import spark.implicits._
-    val edge = Seq("", " ", "one", "a  b\t c ").toDF("text")
+    val edge = Seq("", " ", "one", "a  b\t c ",
+      "hello\n", "\thello", "a\nb", "trailing\t", "\n", "a b").toDF("text")
       .select(col("text"), lit(-1L).as("doc_id"))
     val all = docs.select(col("text"), col("doc_id")).unionByName(edge)
     val diff = all.select(

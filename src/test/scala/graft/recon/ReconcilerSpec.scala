@@ -68,6 +68,17 @@ class ReconcilerSpec extends SparkSpec {
     assert(v.collect().forall(_.getAs[String]("verdict") == Verdict.Skip))
   }
 
+  test("null partition keys match null-safely (one skip row, no Copy+DestOnly split)") {
+    val src = li.withColumn("part",
+      when(col("l_orderkey") % 97 === 0, lit(null))
+        .otherwise(date_format(col("l_shipdate"), "yyyyMM")))
+    val v = verdicts(src, src, partKeys, cols(li), cols(li))
+    val nullRows = v.filter(col("part").isNull).collect()
+    assert(nullRows.length == 1, "null key must join with itself exactly once")
+    assert(nullRows.head.getAs[String]("verdict") == Verdict.Skip)
+    assert(v.collect().forall(_.getAs[String]("verdict") == Verdict.Skip))
+  }
+
   test("preflight warnings (copy.go:35-41,162-168)") {
     assert(preflight(100, 100).size == 1)
     assert(preflight(100, 150).size == 1)
