@@ -86,6 +86,26 @@ object ExtendedQueries {
         .orderBy("o_orderkey")
     }),
 
+    // string function pack
+    "q48_string_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        length(col("p_name")).as("len"),
+        regexp_replace(col("p_name"), "a", "X").as("rep"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"))
+        .orderBy("p_partkey")),
+
+    // lateral explode with position (flatten tokens)
+    "q49_explode" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")),
+
     // as-of join: each event matched to the user's most recent signup
     "q29_asof_join" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -118,6 +138,15 @@ object ExtendedQueries {
         "lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order, " +
         "CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey"),
+    "q48_string_funcs" ->
+      ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, substr(p_name, 2, 5) AS sub, " +
+        "length(p_name) AS len, regexp_replace(p_name, 'a', 'X', 'g') AS rep, " +
+        "lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS pad, concat_ws('|', p_brand, p_type) AS cat " +
+        "FROM part ORDER BY p_partkey"),
+    "q49_explode" ->
+      ("SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents) " +
+        "ORDER BY doc_id, pos"),
     "q29_asof_join" ->
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
