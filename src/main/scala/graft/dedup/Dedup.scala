@@ -93,7 +93,10 @@ object Dedup {
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(contentCol), shingleN), k).as("sig"))
-    val banded0 = sigs.select(col("id"), col("sig"),
+    // candidate generation joins bare (band, id) pairs — 16 bytes/row
+    // through the shuffle; signatures are attached only for the scoring
+    // pass over UNIQUE pairs (AQE broadcasts the signature table when small)
+    val banded0 = sigs.select(col("id"),
       explode(bandKeys(col("sig"), bands, k)).as("band"))
     val banded =
       if (maxBucket <= 0) banded0
@@ -102,12 +105,15 @@ object Dedup {
         banded0.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= maxBucket).drop("__bs")
       }
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .distinct() // dedupe pairs across bands before the scoring pass
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
