@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
 /** SQL-surface breadth beyond the reference (set ops, rollup, distinct and
   * percentile aggregates, skew-salted join, as-of join). Same oracle
@@ -106,6 +106,52 @@ object ExtendedQueries {
           posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
         .orderBy("doc_id", "pos")),
 
+    // bucketed range join: every event inside any signup's 1-hour window
+    "q50_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("pt"))
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          unix_timestamp(col("ts")).as("lo"),
+          (unix_timestamp(col("ts")) + 3600L).as("hi"))
+      RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 3600L)
+        .select("event_id", "signup_id")
+        .orderBy("event_id", "signup_id")
+    }),
+
+    // pivot: counts + decimal revenue per returnflag, linestatus as columns
+    "q51_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("F" -> "f_cnt", "O" -> "o_cnt"))
+        .orderBy("l_returnflag")),
+
+    // grouping sets: independent per-flag and per-status aggregates
+    "q52_grouping_sets" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n_rows"))
+        .orderBy("flag", "status")),
+
+    // map-type functions: build a map, inspect keys, access an element
+    "q53_map_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+            lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).as("ks"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "k").as("m_k"))
+        .orderBy("event_id")),
+
     // as-of join: each event matched to the user's most recent signup
     "q29_asof_join" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -147,6 +193,19 @@ object ExtendedQueries {
       ("SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok " +
         "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents) " +
         "ORDER BY doc_id, pos"),
+    "q50_range_join" ->
+      ("WITH p AS (SELECT event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt FROM events), " +
+        "i AS (SELECT event_id AS signup_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 3600 AS hi FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, signup_id FROM p JOIN i ON p.pt >= i.lo AND p.pt <= i.hi ORDER BY event_id, signup_id"),
+    "q51_pivot" ->
+      ("SELECT l_returnflag, count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt, " +
+        "count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q52_grouping_sets" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY flag, status"),
+    "q53_map_funcs" ->
+      ("SELECT event_id, ['type', 'k'] AS ks, event_type AS m_type, json_extract_string(props, '$.k') AS m_k " +
+        "FROM events ORDER BY event_id"),
     "q29_asof_join" ->
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
