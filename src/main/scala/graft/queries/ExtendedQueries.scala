@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
-/** SQL-surface breadth beyond the reference (set ops, rollup, distinct and
-  * percentile aggregates, skew-salted join, as-of join). Same oracle
-  * conventions as [[ReferenceQueries]]. */
+/** SQL-surface breadth beyond the reference: distinct/percentile/sketch
+  * aggregates, set ops, rollup + grouping sets, pivot, window frames,
+  * string/map/explode functions, and the custom operators (as-of join,
+  * bucketed range join, salted skew join). Same oracle conventions as
+  * [[ReferenceQueries]]. */
 object ExtendedQueries {
   import ReferenceQueries.Q
 
