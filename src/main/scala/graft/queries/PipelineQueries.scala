@@ -58,6 +58,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-indexed approximate top-10 (hash-sampled centroids → rows-only)
+    "q54_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding near-duplicate pairs (bounded to same label)
     "q36_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(

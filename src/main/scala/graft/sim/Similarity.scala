@@ -89,6 +89,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: an inverted-file index with
+    * hash-sampled centroids.
+    *
+    *  1. centroids = `nCentroids` corpus vectors chosen by lowest
+    *     xxhash64(id) — deterministic pseudo-random, no RNG, no kmeans
+    *     iteration (at 100 TB a couple of Lloyd iterations over a sample
+    *     would refine these; the plumbing is identical)
+    *  2. every corpus vector is assigned to its nearest centroid (one
+    *     broadcast pass — centroids are tiny)
+    *  3. each query probes its `nProbe` nearest centroids and scores only
+    *     those clusters' members: per-query work is the probed fraction of
+    *     the corpus, and the candidate join is an equi-join on centroid id
+    *
+    * Recall grows with nProbe; identical/near-identical vectors always
+    * share a top-1 centroid, so exact duplicates are found at nProbe=1. */
+  def ivfKnn(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+    def assign(df: DataFrame, id: String, vec: String, topN: Int) = {
+      val w = Window.partitionBy(id).orderBy(desc("__csim"), col("centroid_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__csim", cosine(col(vec), col("centroid_vec")))
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= topN)
+        .drop("__csim", "__crk", "centroid_vec")
+    }
+
+    val corpusAssigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", 1)
+    val queryProbes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nProbe)
+
+    val scored = queryProbes.join(corpusAssigned, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, bounded to
     * same-`groupCol` pairs (e.g. label or LSH bucket) to avoid the full
     * cross product. */

@@ -52,6 +52,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Double]("cos") > 0.999999)
   }
 
+  test("ivfKnn: scores match exact cosine, results come from probed clusters, dup found") {
+    val res = Similarity.ivfKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 3)
+    val exact = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 500)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cos")) < 1e-12)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) => assert(rs.length <= 5) }
+    // an identical planted vector shares the query's top-1 centroid -> found
+    val planted = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(880000L))
+    val corpus2 = emb.unionByName(planted)
+    val top = Similarity.ivfKnn(emb.filter(col("vec_id") === 5), corpus2,
+      "vec_id", "embedding", k = 1, nCentroids = 8, nProbe = 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 880000L)
+  }
+
   test("cosineNearDupPairs respects group bound and threshold") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
     val labels = emb.select("vec_id", "label").collect()
