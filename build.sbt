@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Round 1 post-mortem: the driver captured `sbt "runMain graft.Bench"` stdout
+// but every line carried sbt's `[info]` prefix (default LoggedOutput for
+// forked runs), so BENCH_r01.json came back unparsed. StdoutOutput passes the
+// forked JVM's stdout through verbatim — the bench JSON is a clean line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

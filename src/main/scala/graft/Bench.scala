@@ -1,10 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialisation through the noop sink
   * (unlike count(), noop cannot let Catalyst prune the computed columns),
-  * and prints the one-line JSON the driver records as BENCH_r{N}.json. */
+  * and prints the one-line JSON the driver records as BENCH_r{N}.json.
+  *
+  * Robustness (round-1 post-mortem): the JSON line is ALSO written to
+  * tmp/bench_latest.json so the artifact survives even if stdout capture
+  * fails again, and each query runs three times (min taken) because this VM
+  * shows 2-3x wall-clock noise from host memory-compaction stalls.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,9 +26,6 @@ object Bench {
     // warm-up: JVM/codegen + file listing, outside the timed region
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Two timed runs per query, min taken: the VM shows 2-3x wall-clock
-    // noise from host memory-compaction stalls; min-of-2 measures the
-    // query, not the neighbor.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -32,14 +36,27 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Three timed runs per query, min taken; per-run spread logged to stderr
+    // so a single kcompactd stall is visible instead of silently inflating
+    // the round's number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val runs = Seq.fill(3)(once(name, fn))
+      val spread = runs.max / math.max(runs.min, 1e-9)
+      if (spread > 2.0)
+        System.err.println(f"[bench] $name spread ${spread}%.1fx: ${runs.map(r => f"$r%.2f").mkString(",")}s")
+      name -> runs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Stable-file copy of the artifact (driver stdout capture failed in r1).
+    try {
+      Files.createDirectories(Paths.get("tmp"))
+      Files.writeString(Paths.get("tmp/bench_latest.json"), line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -2,10 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-1 post-mortem: the driver's CORRECTNESS artifact came back empty,
+  * so this now also writes outDir/verify_summary.json (per-query ok/rows/
+  * error) and exits non-zero if zero queries produced output — a silent
+  * all-fail can't masquerade as "nothing to report" again.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,10 +22,15 @@ object Verify {
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Long]]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        status(name) = Right(rows)
+      } catch { case e: Throwable =>
+        status(name) = Left(Option(e.getMessage).getOrElse(e.getClass.getName))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,6 +49,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val summary = status.map {
+      case (k, Right(rows)) => s"${q(k)}: {\"ok\": true, \"rows\": $rows}"
+      case (k, Left(err))   => s"${q(k)}: {\"ok\": false, \"error\": ${q(err)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    val okCount = status.values.count(_.isRight)
+    println(s"""{"verify":"done","out":"$outDir","queries":${status.size},"ok":$okCount}""")
     spark.stop()
+    if (okCount == 0) sys.exit(1)
   }
 }

@@ -85,11 +85,15 @@ object Dedup {
     * whose bucket exceeds it — the standard spam-cluster guard: a bucket of
     * B near-identical docs contributes B²/2 pairs, and at corpus scale one
     * boilerplate cluster can dominate the whole join (see SCALING.md §5).
+    * ON BY DEFAULT (500); pass 0 to disable. The overflow-band set is found
+    * with a map-side-combined groupBy (16-byte rows) and removed with an
+    * anti-join — the set is tiny by construction, so AQE broadcasts it
+    * (cheaper than the full-sort window shuffle this replaces).
     */
   def minhashPairs(
       df: DataFrame, contentCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(contentCol), shingleN), k).as("sig"))
@@ -101,9 +105,9 @@ object Dedup {
     val banded =
       if (maxBucket <= 0) banded0
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
-        banded0.withColumn("__bs", count(lit(1)).over(w))
-          .filter(col("__bs") <= maxBucket).drop("__bs")
+        val overflow = banded0.groupBy("band").count()
+          .filter(col("count") > maxBucket).select("band")
+        banded0.join(overflow, Seq("band"), "left_anti")
       }
     val a = banded.select(col("band"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("id").as("id_b"))

@@ -73,6 +73,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 880000L)
   }
 
+  test("bounded top-k reproduces row_number window semantics exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < 8)
+    // force several partitions so partial heaps + serialize/merge are hit
+    val res = Similarity.bruteForceKnn(q, emb.repartition(7), "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val qq = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(qq), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    val ref = scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(res == ref)
+  }
+
+  test("knn plans: k-bounded partial aggregate, no window, no corpus shuffle in IVF assign") {
+    val q = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(bf.contains("ObjectHashAggregate"), bf.take(1500))
+    assert(bf.contains("partial_bounded_top_k") || bf.contains("bounded_top_k"), bf.take(1500))
+    assert(!bf.contains("Window"), "window top-k reintroduced:\n" + bf.take(1500))
+    val ivf = Similarity.ivfKnn(q, emb, "vec_id", "embedding", 5, 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("Window"), ivf.take(1500))
+    // exactly one data shuffle: the k-bounded top-k groupBy on query_id.
+    // Centroid assignment is a BroadcastNestedLoopJoin over the one-row
+    // centroid-array relation — the corpus itself never shuffles.
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(ivf).length
+    assert(dataShuffles == 1, s"expected 1 hash shuffle, got $dataShuffles:\n" + ivf.take(2000))
+    assert(ivf.contains("BroadcastNestedLoopJoin"), ivf.take(2000))
+  }
+
   test("cosineNearDupPairs respects group bound and threshold") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
     val labels = emb.select("vec_id", "label").collect()
