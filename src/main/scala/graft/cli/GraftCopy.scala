@@ -18,8 +18,19 @@ import graft.schema.SchemaReconciler
   *              (≙ `copy.Copy`, `/root/reference/copy/copy.go:139-273`)
   *   --version  print version and exit (`/root/reference/version.go:20-23`)
   *
-  * Usage: GraftCopy (--info|--sync|--version) <srcDir> <dstDir> <table> <partitionKeyExpr>
-  *   e.g. GraftCopy --info /root/testdata/sf0.001 /tmp/dst lineitem "date_format(l_shipdate,'yyyyMM')"
+  * Usage:
+  *   GraftCopy (--info|--sync|--version) <srcDir> <dstDir> <table> <partitionKeyExpr>
+  *   GraftCopy (--info|--sync) --config <config.yaml>
+  * The config form is the reference's primary UX (`config.yaml` +
+  * `config/config.go`): endpoints, check_hashes / skip_delete /
+  * skip_reimport / use_virtual_column — see [[YamlConfig]].
+  *
+  * `use_virtual_column` (reference `copy/copy.go:207-211`, `WHERE
+  * _part='<name>'`) scopes work to physical parts instead of logical
+  * partitions; the Spark analogue keys on the source FILE NAME via the
+  * `_metadata.file_path` pseudo-column, so each source parquet file maps to
+  * one dest partition directory and repair touches only the files that
+  * changed.
   */
 object GraftCopy {
 
@@ -62,36 +73,93 @@ object GraftCopy {
     case Right(Version) =>
       println(s"$Name $VersionString"); Status.Ok
     case Right(mode) =>
-      val rest = args.filterNot(_.startsWith("-"))
-      if (rest.length != 4) {
-        System.err.println(s"$Name: expected <srcDir> <dstDir> <table> <partitionKeyExpr>")
-        return Status.UsageFail
+      val cfgIdx = args.indexOf("--config")
+      if (cfgIdx >= 0) {
+        if (cfgIdx + 1 >= args.length) {
+          System.err.println(s"$Name: --config needs a file path")
+          return Status.UsageFail
+        }
+        YamlConfig.check(YamlConfig.load(args(cfgIdx + 1))) match {
+          case Left(err) =>
+            System.err.println(s"$Name: config: $err"); Status.UsageFail
+          case Right(cfg) =>
+            val spark = GraftSession.local()
+            try runConfigured(spark, cfg, execute = mode == Sync)
+            finally spark.stop()
+        }
+      } else {
+        val rest = args.filterNot(_.startsWith("-"))
+        if (rest.length != 4) {
+          System.err.println(s"$Name: expected <srcDir> <dstDir> <table> <partitionKeyExpr> (or --config <yaml>)")
+          return Status.UsageFail
+        }
+        val Seq(srcDir, dstDir, table, partKey) = rest
+        val spark = GraftSession.local()
+        try reconcile(spark, srcDir, dstDir, table, partKey, execute = mode == Sync)
+        finally spark.stop()
       }
-      val Seq(srcDir, dstDir, table, partKey) = rest
-      val spark = GraftSession.local()
-      try reconcile(spark, srcDir, dstDir, table, partKey, execute = mode == Sync)
-      finally spark.stop()
   }
 
+  /** Drive a reconcile from a loaded config file — flags map 1:1 onto
+    * [[Reconciler.Config]] (`/root/reference/config/config.go:34-37`). */
+  def runConfigured(spark: org.apache.spark.sql.SparkSession,
+      cfg: YamlConfig.GraftConfig, execute: Boolean): Int = {
+    if (cfg.partitionKey.isEmpty && !cfg.useVirtualColumn) {
+      System.err.println(s"$Name: config: partition_key is required unless use_virtual_column")
+      return Status.UsageFail
+    }
+    reconcile(spark, cfg.source.dir, cfg.destination.dir, cfg.source.table,
+      cfg.partitionKey, execute,
+      conf = Reconciler.Config(cfg.checkHashes, cfg.skipDelete, cfg.skipReimport),
+      byFile = cfg.useVirtualColumn,
+      dstTable = cfg.destination.table)
+  }
+
+  /** `use_virtual_column` partition key: the source file's name. Dest dirs
+    * are keyed by it on write, so the dest side reads its stored `__part`
+    * back rather than recomputing (dest file paths differ from source's). */
+  private def fileKey: org.apache.spark.sql.Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
   def reconcile(spark: org.apache.spark.sql.SparkSession, srcDir: String,
-      dstDir: String, table: String, partKey: String, execute: Boolean): Int = {
+      dstDir: String, table: String, partKey: String, execute: Boolean,
+      conf: Reconciler.Config = Reconciler.Config(),
+      byFile: Boolean = false,
+      dstTable: String = ""): Int = {
+    val dTable = if (dstTable.nonEmpty) dstTable else table
     val src = Tables.load(spark, srcDir, table)
-    if (!Tables.exists(dstDir, table) && !new java.io.File(s"$dstDir/$table").exists()) {
+    def srcKeyed = if (byFile) src.withColumn("__part", fileKey)
+                   else src.withColumn("__part", expr(partKey))
+    if (!Tables.exists(dstDir, dTable) && !new java.io.File(s"$dstDir/$dTable").exists()) {
       // dest absent entirely -> full copy in sync mode (the degenerate
       // "every partition is missing" case)
       if (execute) {
-        src.withColumn("__part", expr(partKey))
-          .write.partitionBy("__part").mode("overwrite").parquet(s"$dstDir/$table")
-        println(s"[$Name] full copy of $table -> $dstDir/$table")
+        srcKeyed
+          .write.partitionBy("__part").mode("overwrite").parquet(s"$dstDir/$dTable")
+        println(s"[$Name] full copy of $table -> $dstDir/$dTable")
         return Status.Ok
       } else {
         println(s"[$Name] destination missing: would copy everything")
         return Status.DataFail
       }
     }
-    val flatLayout = Tables.exists(dstDir, table)
-    val dstPath = if (flatLayout) s"$dstDir/$table.parquet" else s"$dstDir/$table"
+    val flatLayout = Tables.exists(dstDir, dTable)
+    val dstPath = if (flatLayout) s"$dstDir/$dTable.parquet" else s"$dstDir/$dTable"
     val dst = spark.read.parquet(dstPath)
+
+    if (byFile && !dst.columns.contains("__part")) {
+      // a flat dest has no source-file mapping; sync migrates wholesale,
+      // info can only report the mismatch in layout
+      if (execute) {
+        srcKeyed.write.partitionBy("__part").mode("overwrite").parquet(s"$dstDir/$dTable")
+        if (flatLayout) new java.io.File(dstPath).delete()
+        println(s"[$Name] migrated destination to per-file layout at $dstDir/$dTable")
+        return Status.Ok
+      } else {
+        println(s"[$Name] destination not in per-file layout: would migrate everything")
+        return Status.DataFail
+      }
+    }
 
     // schema reconciliation: intersected columns, casts planned once
     val plan = SchemaReconciler.castPlan(src.schema, dst.schema)
@@ -99,10 +167,10 @@ object GraftCopy {
     val srcCast = plan.map(_._2) // B18: source side hashes cast expressions
     val dstCols = commonCols.map(col)
 
-    val srcK = src.withColumn("__part", expr(partKey))
-    val dstK = dst.withColumn("__part", expr(partKey))
+    val srcK = srcKeyed
+    val dstK = if (byFile) dst else dst.withColumn("__part", expr(partKey))
     val verdicts = Reconciler.verdicts(
-      srcK, dstK, Seq("__part" -> col("__part")), srcCast, dstCols)
+      srcK, dstK, Seq("__part" -> col("__part")), srcCast, dstCols, conf)
 
     val rows = verdicts.orderBy("__part").collect()
     // pre-flight (copy.go:35-41,162-168) — totals derived from the verdict
@@ -114,7 +182,14 @@ object GraftCopy {
     rows.foreach { r =>
       println(s"[$Name] part=${r.get(0)} src=${r.get(1)} dst=${r.get(2)} -> ${r.getAs[String]("verdict")}")
     }
-    val dirty = rows.exists(r => r.getAs[String]("verdict") != Reconciler.Verdict.Skip)
+    // dest_only partitions are reported but NOT dirty: the reference walks
+    // source partitions only and never inspects them (copy.go:170-199), and
+    // repair leaves them in place — counting them would make --info fail
+    // forever after every successful --sync.
+    val dirty = rows.exists { r =>
+      val v = r.getAs[String]("verdict")
+      v != Reconciler.Verdict.Skip && v != Reconciler.Verdict.DestOnly
+    }
 
     if (execute && dirty) {
       val srcForWrite = srcK.select((srcCast :+ col("__part")): _*)
@@ -122,13 +197,13 @@ object GraftCopy {
         // A single-file destination can't be partition-overwritten in
         // place; migrate it to the partitioned directory layout, then the
         // per-partition repair path applies on every later run.
-        val newPath = s"$dstDir/$table"
+        val newPath = s"$dstDir/$dTable"
         srcForWrite.write.partitionBy("__part").mode("overwrite").parquet(newPath)
         new java.io.File(dstPath).delete()
         println(s"[$Name] migrated flat destination to partitioned layout at $newPath")
         Status.Ok
       } else {
-        val repaired = Reconciler.repair(spark, verdicts, srcForWrite, "__part", dstPath)
+        val repaired = Reconciler.repair(spark, verdicts, srcForWrite, "__part", dstPath, conf)
         println(s"[$Name] repaired partitions: ${repaired.mkString(", ")}")
         Status.Ok
       }

@@ -96,9 +96,18 @@ object Functions {
   }
 
   /** ClickHouse `toJSONString` (`/root/reference/database/sidefunctions.go:133-134,176-178`):
-    * serialise any column to its JSON text. Structs/arrays/maps go through
-    * `to_json`; atomics render as JSON scalars. */
-  def toJsonString(c: Column): Column = to_json(struct(c.as("v")))
+    * serialise any column to its BARE JSON text — `toJSONString([1,2])` is
+    * `[1,2]`, `toJSONString('a')` is `"a"`, exactly what a ClickHouse-written
+    * destination string column would contain (fingerprint parity on the B18
+    * source-cast side). Implemented as `to_json` of a one-field struct with
+    * the `{"v":` wrapper stripped, which JSON-escapes every type uniformly;
+    * `ignoreNullFields=false` keeps nulls as the literal `null`. */
+  def toJsonString(c: Column): Column = {
+    val wrapped = to_json(struct(c.as("v")),
+      java.util.Map.of("ignoreNullFields", "false"))
+    // `{"v":X}` → X: positions 6 .. len-1
+    wrapped.substr(lit(6), length(wrapped) - 6)
+  }
 
   /** ClickHouse `formatReadableSize` (`/root/reference/database/database.go:400,405`):
     * human-readable 1024-based size with two decimals, e.g. "1.00 MiB".

@@ -121,6 +121,13 @@ object PipelineQueries {
         .select("doc_id", "n_bytes", "head_cp", "width", "height")
         .orderBy("doc_id")),
 
+    // the q19 hourly aggregate computed by an ACTUAL Structured Streaming
+    // query over the same files (availableNow); oracle = q19's SQL, so the
+    // DuckDB gate proves stream ≡ batch
+    "q55_streaming_window" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.hourlyAggStream(s, dir)
+        .orderBy("hour", "event_type")),
+
     // sessionization over the events stream (30-min gap), batch form of the
     // mapGroupsWithState streaming operator
     "q46_sessionize" -> ((s, dir) => {
@@ -190,6 +197,8 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_cp, " +
         "CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width, CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id"),
+    "q55_streaming_window" ->
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q46_sessionize" ->
       ("WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +

@@ -108,11 +108,22 @@ object Reconciler {
     * in place. This is atomic per partition directory and shuffles only the
     * affected partitions' data.
     *
+    * The reference treats `skip_delete` and `skip_reimport` independently
+    * on a delete_recopy partition (`/root/reference/copy/copy.go:248-257`:
+    * `!SkipDelete` → DeletePartition, then `!SkipReimport` →
+    * CopyPartition), so:
+    *   - neither set   → delete+copy, fused here as dynamic overwrite
+    *   - skip_delete   → copy without delete = APPEND the source partition
+    *                     (duplicates rows, exactly as the reference would)
+    *   - skip_reimport → delete without copy = remove the partition
+    *                     directory, leaving the partition empty
+    *   - both set      → partition untouched
+    *
     * @param partKeyAlias  name of the partition column in the verdict DF /
     *                      the dest layout (dest is partitioned by it)
     * @param srcWithKey    source rows with the partition key materialised as
     *                      column `partKeyAlias` and content already cast
-    * @return partition values repaired (copy + delete_recopy)
+    * @return partition values repaired (copy + delete_recopy actions taken)
     */
   def repair(
       spark: SparkSession,
@@ -121,28 +132,45 @@ object Reconciler {
       partKeyAlias: String,
       dstPath: String,
       conf: Config = Config()): Seq[Any] = {
-    val wanted = Seq(Verdict.Copy) ++ (if (conf.skipDelete || conf.skipReimport) Nil else Seq(Verdict.DeleteRecopy))
     // P partition ids on the driver: same cardinality the reference loops
     // over; fine at any data scale (partitions, not rows).
-    val affected = verdictDf
-      .filter(col("verdict").isin(wanted: _*))
-      .select(partKeyAlias).collect().map(_.get(0)).toSeq
-    if (affected.nonEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // isin() is null-blind; a null partition key needs an explicit isNull
-      // arm. (Note: partitionBy writes null keys to the Hive default
-      // partition directory — callers with nullable keys should coalesce
-      // the key expression to a sentinel for clean round-trips.)
-      val (nullKeys, realKeys) = affected.partition(_ == null)
-      val pred = (if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
-        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)
-      srcWithKey
-        .filter(pred.reduce(_ || _))
-        .write.partitionBy(partKeyAlias)
-        .mode("overwrite")
-        .parquet(dstPath)
+    val rows = verdictDf
+      .filter(col("verdict").isin(Verdict.Copy, Verdict.DeleteRecopy))
+      .select(col(partKeyAlias), col("verdict")).collect()
+    val copyParts = rows.filter(_.getString(1) == Verdict.Copy).map(_.get(0)).toSeq
+    val recopyParts = rows.filter(_.getString(1) == Verdict.DeleteRecopy).map(_.get(0)).toSeq
+
+    val overwrite = copyParts ++ (if (!conf.skipDelete && !conf.skipReimport) recopyParts else Nil)
+    val append = if (conf.skipDelete && !conf.skipReimport) recopyParts else Nil
+    val deleteOnly = if (!conf.skipDelete && conf.skipReimport) recopyParts else Nil
+
+    // isin() is null-blind; a null partition key needs an explicit isNull
+    // arm. (Note: partitionBy writes null keys to the Hive default
+    // partition directory — callers with nullable keys should coalesce
+    // the key expression to a sentinel for clean round-trips.)
+    def keyPred(parts: Seq[Any]): Column = {
+      val (nullKeys, realKeys) = parts.partition(_ == null)
+      ((if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
+        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)).reduce(_ || _)
     }
-    affected
+    def write(parts: Seq[Any], mode: String): Unit = if (parts.nonEmpty) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      srcWithKey.filter(keyPred(parts))
+        .write.partitionBy(partKeyAlias).mode(mode).parquet(dstPath)
+    }
+    write(overwrite, "overwrite")
+    write(append, "append")
+    if (deleteOnly.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(dstPath)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      deleteOnly.foreach { v =>
+        val dir = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"$partKeyAlias=$dir"), true)
+      }
+    }
+    overwrite ++ append ++ deleteOnly
   }
 
   /** A3 insert sink: schema-mapped append (`INSERT INTO dest (cols) SELECT

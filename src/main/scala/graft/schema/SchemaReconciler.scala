@@ -65,6 +65,20 @@ object SchemaReconciler {
       }
     }
 
+  /** ClickHouse wide-integer target mappings (`toUInt64`/`toInt128`/
+    * `toInt256`, `/root/reference/database/sidefunctions.go:143-146`): Spark
+    * has no unsigned or 128/256-bit integers, so
+    *   - UInt64  → [[UInt64Type]] Decimal(20,0) — EXACT (max 1.8e19 is 20
+    *     digits); round-trips the full unsigned range including values above
+    *     2^63 that LongType cannot hold
+    *   - Int128/Int256 → [[WideIntType]] Decimal(38,0) — LOSSY above 38
+    *     digits (Spark's decimal ceiling; documented divergence, SURVEY §1.3)
+    * Both are reached through the generic NumericType arm of [[castRule]];
+    * the names exist so callers mapping a ClickHouse schema pick the
+    * documented target. */
+  val UInt64Type: DecimalType = DecimalType(20, 0)
+  val WideIntType: DecimalType = DecimalType(38, 0)
+
   /** The cast matrix (SURVEY §1.3). Returns None for an unknown pair. */
   def castRule(name: String, from: DataType, to: DataType): Option[Column] = {
     val c = col(name)

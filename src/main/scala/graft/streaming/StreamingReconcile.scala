@@ -55,6 +55,34 @@ object StreamingReconcile {
       .select(col("win.start").as("win_start"), col("event_type"), col("n_rows"), col("fp"))
   }
 
+  /** The q19 hourly aggregate computed by an ACTUAL stream over the same
+    * files (readStream → availableNow → complete-mode memory sink), so the
+    * driver's DuckDB gate checks stream ≡ batch end-to-end (q55).
+    *
+    * The memory sink is the right finite-stream harness here: complete mode
+    * re-emits closed-and-open windows alike, so no window is stranded
+    * behind the final watermark the way an append-mode file sink would
+    * strand the last hour. Its driver-side footprint is the AGGREGATE
+    * (hours × event_types rows — the same cardinality any client of this
+    * query collects), not the events. A production deployment points the
+    * identical plan at a kafka/parquet sink in append mode with the
+    * [[windowedFingerprint]] watermark. */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "q55_streaming_window"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val agg = readEvents(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(lastTs: Long, sessions: Int, events: Long)

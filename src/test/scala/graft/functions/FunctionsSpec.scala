@@ -55,7 +55,12 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(4) == "3.50 GiB")
   }
 
-  test("toJsonString wraps any value as JSON") {
-    assert(one(F.toJsonString(lit(87))) == "{\"v\":87}")
+  test("toJsonString emits bare JSON like ClickHouse toJSONString") {
+    assert(one(F.toJsonString(lit(87))) == "87")
+    assert(one(F.toJsonString(lit("a\"b"))) == "\"a\\\"b\"")
+    assert(one(F.toJsonString(array(lit(1), lit(2)))) == "[1,2]")
+    assert(one(F.toJsonString(struct(lit(1).as("x"), lit("y").as("s"))))
+      == "{\"x\":1,\"s\":\"y\"}")
+    assert(one(F.toJsonString(lit(null).cast("int"))) == "null")
   }
 }

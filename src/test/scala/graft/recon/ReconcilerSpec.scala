@@ -109,19 +109,48 @@ class ReconcilerSpec extends SparkSpec {
     assert(fpS == fpD && nS == nD)
   }
 
-  test("skip_delete leaves corrupted partitions untouched (config.go:35)") {
-    val dstPath = tmpDir("recon-skipdel")
-    val src = withPart(li)
+  /** Build a dest where exactly partition 199607 is corrupted; returns
+    * (dstPath, readDst, rows in the corrupt dest partition). */
+  private def corruptDest(src: DataFrame): (String, () => DataFrame, Long) = {
+    val dstPath = tmpDir("recon-flags")
     src.withColumn("l_quantity",
       when(col("part") === "199607" && col("l_linenumber") === 1, col("l_quantity") + 99)
         .otherwise(col("l_quantity")))
       .write.partitionBy("part").mode("overwrite").parquet(dstPath)
-    def readDst = spark.read.parquet(dstPath).select(src.columns.map(col): _*)
-    val v = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    val readDst = () => spark.read.parquet(dstPath).select(src.columns.map(col): _*)
+    (dstPath, readDst, readDst().filter(col("part") === "199607").count())
+  }
+
+  test("skip_delete still re-copies: appends source partition without deleting (copy.go:248-257)") {
+    val src = withPart(li)
+    val (dstPath, readDst, before) = corruptDest(src)
+    val srcPartRows = src.filter(col("part") === "199607").count()
+    val v = verdicts(src, readDst(), partKeys, cols(li), cols(li))
     val repaired = repair(spark, v, src, "part", dstPath, Config(skipDelete = true))
+    assert(repaired.map(_.toString) == Seq("199607"))
+    // copy-without-delete duplicates, exactly as the reference's INSERT would
+    assert(readDst().filter(col("part") === "199607").count() == before + srcPartRows)
+  }
+
+  test("skip_reimport still deletes: partition removed and left empty (copy.go:248-257)") {
+    val src = withPart(li)
+    val (dstPath, readDst, _) = corruptDest(src)
+    val v = verdicts(src, readDst(), partKeys, cols(li), cols(li))
+    val repaired = repair(spark, v, src, "part", dstPath, Config(skipReimport = true))
+    assert(repaired.map(_.toString) == Seq("199607"))
+    assert(readDst().filter(col("part") === "199607").count() == 0)
+    assert(readDst().filter(col("part") === "199606").count() > 0, "other partitions untouched")
+  }
+
+  test("skip_delete + skip_reimport leaves corrupted partitions untouched") {
+    val src = withPart(li)
+    val (dstPath, readDst, before) = corruptDest(src)
+    val v = verdicts(src, readDst(), partKeys, cols(li), cols(li))
+    val repaired = repair(spark, v, src, "part", dstPath,
+      Config(skipDelete = true, skipReimport = true))
     assert(repaired.isEmpty)
-    // still inconsistent afterwards
-    val v2 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    assert(readDst().filter(col("part") === "199607").count() == before)
+    val v2 = verdicts(src, readDst(), partKeys, cols(li), cols(li))
     assert(v2.filter(col("verdict") === Verdict.DeleteRecopy).count() == 1)
   }
 }

@@ -24,6 +24,22 @@ class StreamingReconcileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyAggStream (q55) equals the q19 batch aggregate, twice in a row") {
+    def batch = graft.core.Tables.load(spark, sf001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_value"))
+      .orderBy("hour", "event_type").collect().toSeq
+    val expected = batch
+    // twice: re-running must re-register the memory sink cleanly (Verify and
+    // Bench both invoke the query repeatedly in one session)
+    (1 to 2).foreach { _ =>
+      val got = StreamingReconcile.hourlyAggStream(spark, sf001)
+        .orderBy("hour", "event_type").collect().toSeq
+      assert(got.nonEmpty && got == expected)
+    }
+  }
+
   test("mapGroupsWithState sessionization matches the batch window form") {
     val events = graft.core.Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
