@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.expressions.BoundedTopK
 import graft.functions.expressions.TextHashExpressions.{MinHashSignature, SimHash64}
 import graft.functions.expressions.VectorExpressions.CosineSimilarity
 
@@ -36,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine over float arrays"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_top_k"),
+      info("bounded_top_k",
+        "bounded_top_k(struct(score, id...), k) - k-bounded partial top-k aggregate"),
+      (children: Seq[Expression]) => BoundedTopK(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -52,5 +59,10 @@ object GraftExtensions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)), "scala_udf")
+    // raw AggregateFunction: the analyzer wraps it in AggregateExpression
+    reg.createOrReplaceTempFunction("bounded_top_k",
+      (children: Seq[Expression]) => BoundedTopK(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 }

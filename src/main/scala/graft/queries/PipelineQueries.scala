@@ -58,11 +58,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-indexed approximate top-10 (hash-sampled centroids → rows-only)
+    // IVF-indexed approximate top-10 (hash-sampled centroids, one Lloyd
+    // refinement pass over a 25% hash-sample → rows-only)
     "q54_knn_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4)
+        k = 10, nCentroids = 16, nProbe = 4, lloydIters = 1, lloydSamplePct = 25)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy("query_id", "rank")

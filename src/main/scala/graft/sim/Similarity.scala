@@ -124,43 +124,75 @@ object Similarity {
     * share a top-1 centroid, so exact duplicates are found at nProbe=1. */
   def ivfKnn(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 0, lloydSamplePct: Int = 100): DataFrame = {
+    val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
+      refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
     // all centroids as a single-row array relation (bytes ~ nCentroids × dim)
     val centArr = cents.agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
 
-    /** Nearest `topN` centroids per row, computed entirely map-side: score
-      * every centroid in the broadcast array, sort (sim DESC, id ASC),
-      * slice, explode. Ordering matches the old window form exactly. */
-    def probes(df: DataFrame, vec: String, topN: Int): DataFrame = {
-      val scoredArr = transform(col("cents"), c =>
-        struct(cosine(col(vec), c("centroid_vec")).as("sim"),
-          c("centroid_id").as("centroid_id")))
-      val ordered = array_sort(scoredArr, (l, r) =>
-        when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
-          .otherwise(when(l("centroid_id") < r("centroid_id"), -1)
-            .when(l("centroid_id") > r("centroid_id"), 1).otherwise(0)))
-      df.crossJoin(broadcast(centArr)) // 1-row build side: map-side append
-        .select(df.columns.map(col) :+
-          explode(slice(ordered, 1, topN)).as("__probe"): _*)
-        .withColumn("centroid_id", col("__probe.centroid_id"))
-        .drop("__probe")
-    }
-
-    val corpusAssigned = probes(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", 1)
-    val queryProbes = probes(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", nProbe)
+    val corpusAssigned = assignProbes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
+    val queryProbes = assignProbes(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), centArr, "qv", nProbe)
 
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     topKRank(scored, k)
+  }
+
+  /** Nearest `topN` centroids per row, computed entirely map-side: score
+    * every centroid in the broadcast one-row array relation, sort (sim
+    * DESC, id ASC), slice, explode. The input never shuffles — the join is
+    * a BroadcastNestedLoopJoin against a single row. */
+  private def assignProbes(
+      df: DataFrame, centArr: DataFrame, vec: String, topN: Int): DataFrame = {
+    val scoredArr = transform(col("cents"), c =>
+      struct(cosine(col(vec), c("centroid_vec")).as("sim"),
+        c("centroid_id").as("centroid_id")))
+    val ordered = array_sort(scoredArr, (l, r) =>
+      when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+        .otherwise(when(l("centroid_id") < r("centroid_id"), -1)
+          .when(l("centroid_id") > r("centroid_id"), 1).otherwise(0)))
+    df.crossJoin(broadcast(centArr)) // 1-row build side: map-side append
+      .select(df.columns.map(col) :+
+        explode(slice(ordered, 1, topN)).as("__probe"): _*)
+      .withColumn("centroid_id", col("__probe.centroid_id"))
+      .drop("__probe")
+  }
+
+  /** One Lloyd (k-means) refinement pass over a deterministic hash-sample
+    * of the corpus: assign each sampled vector to its nearest centroid
+    * (map-side, via [[assignProbes]]) and move each centroid to its
+    * cluster's element-wise mean. Clusters that catch no sample keep their
+    * previous centroid. Cost at scale: one map-only pass over the sample +
+    * a (nCentroids × dim)-row aggregate — no corpus shuffle, no RNG
+    * (sampling is `xxhash64(id) % 100 < pct`, reproducible anywhere). */
+  def refineCentroids(
+      corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      samplePct: Int = 100): DataFrame = {
+    val centArr = cents.agg(
+      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val sample = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(100)) < samplePct)
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
+    val assigned = assignProbes(sample, centArr, "__v", 1)
+    val means = assigned
+      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
+      .groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m").cast("float")).as("__new_vec"))
+    cents.join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("__new_vec"), col("centroid_vec")).as("centroid_vec"))
   }
 
   /** Near-duplicate pairs by embedding cosine above a threshold, bounded to

@@ -21,6 +21,14 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT a.vec_id, cosine_similarity(a.embedding, a.embedding) AS c
          FROM emb_ext a ORDER BY a.vec_id LIMIT 5""").collect()
     cos.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+
+    // bounded_top_k as a SQL aggregate: top-3 docs by doc_id score
+    val topk = spark.sql(
+      """SELECT bounded_top_k(struct(CAST(doc_id AS DOUBLE) AS s, doc_id), 3) AS t
+         FROM docs_ext""").head().getSeq[org.apache.spark.sql.Row](0)
+    val top3 = spark.table("docs_ext").orderBy(desc("doc_id")).limit(3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(topk.map(_.getLong(1)) == top3)
   }
 
   test("virtual-column per-file predicate (use_virtual_column / _part mode)") {

@@ -109,6 +109,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.contains("BroadcastNestedLoopJoin"), ivf.take(2000))
   }
 
+  test("Lloyd refinement: centroid set keeps shape, ivfKnn stays exact-score and finds dups") {
+    val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").cast("array<float>").as("centroid_vec"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val refined = Similarity.refineCentroids(emb, seeds, "vec_id", "embedding").collect()
+    assert(refined.length == 8)
+    refined.foreach(r => assert(r.getSeq[Float](1).length == dim))
+    // refined centroids differ from the seeds (means moved) for at least one
+    val seedMap = seeds.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(refined.exists(r => seedMap(r.getLong(0)) != r.getSeq[Float](1)))
+
+    val res = Similarity.ivfKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 3, lloydIters = 2, lloydSamplePct = 50)
+    val exact = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 500)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(exact(key) - r.getAs[Double]("cos")) < 1e-12)
+    }
+    // identical planted vector still shares its query's top-1 centroid
+    val planted = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(880001L))
+    val top = Similarity.ivfKnn(emb.filter(col("vec_id") === 5), emb.unionByName(planted),
+      "vec_id", "embedding", k = 1, nCentroids = 8, nProbe = 1, lloydIters = 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 880001L)
+  }
+
   test("cosineNearDupPairs respects group bound and threshold") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
     val labels = emb.select("vec_id", "label").collect()
