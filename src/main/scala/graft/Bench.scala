@@ -39,7 +39,11 @@ object Bench {
     // Three timed runs per query, min taken; per-run spread logged to stderr
     // so a single kcompactd stall is visible instead of silently inflating
     // the round's number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query-name substrings to run (iteration aid)
+    val wanted = args.toSeq
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
+      .map { case (name, fn) =>
       val runs = Seq.fill(3)(once(name, fn))
       val spread = runs.max / math.max(runs.min, 1e-9)
       if (spread > 2.0)

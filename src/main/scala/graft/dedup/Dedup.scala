@@ -151,15 +151,25 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Exact token-set Jaccard for bounded candidate pairs: join docs whose
-    * ids are within `window` of each other (a stand-in candidate generator;
-    * in production pairs come from [[minhashPairs]]). */
+  /** Exact token-set Jaccard for bounded candidate pairs: docs whose ids
+    * are within `window` of each other (a stand-in candidate generator; in
+    * production pairs come from [[minhashPairs]]).
+    *
+    * The candidate ids are generated EXPLICITLY (each doc emits its
+    * `window` successor ids) so the pairing is a hash EQUI-join, not a
+    * `id_b BETWEEN …` theta-join: a BroadcastNestedLoopJoin evaluates its
+    * condition — including any pushed-down similarity predicate over the
+    * token arrays — for all O(n²) id pairs, which is both a 100 TB
+    * impossibility and a measured 150x slowdown at sf0.1 once a
+    * `jaccard >= t` filter is pushed into it. Here the shuffle carries
+    * `window` candidate rows per doc and the intersection runs only on
+    * real candidates. */
   def tokenJaccardPairs(df: DataFrame, contentCol: String, idCol: String, window: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = df.select(col(idCol).cast("long").as("id"),
       array_distinct(TextAnalysis.tokens(col(contentCol))).as("ts"))
-    val a = toks.select(col("id").as("id_a"), col("ts").as("ts_a"))
-    val b = toks.select(col("id").as("id_b"), col("ts").as("ts_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
+    val cands = toks.select(col("id").as("id_a"), col("ts").as("ts_a"),
+      explode(sequence(col("id") + 1, col("id") + window)).as("id_b"))
+    cands.join(toks.select(col("id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ts_a"), col("ts_b"))).as("n_common"),
         (size(col("ts_a")) + size(col("ts_b")) - size(array_intersect(col("ts_a"), col("ts_b")))).as("n_union"))
@@ -171,4 +181,147 @@ object Dedup {
   def fingerprints(df: DataFrame, contentCol: String, idCol: String): DataFrame =
     df.select(col(idCol), xxhash64(col(contentCol)).as("content_hash"),
       simhash(col(contentCol)).as("simhash"))
+
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair list — the transitive-closure step a dedup pipeline needs after
+    * candidate scoring (a~b and b~c must collapse to ONE keeper even when
+    * a~c was never scored).
+    *
+    * Two-phase contraction, the shape that survives 100 TB:
+    *
+    *  1. LOCAL union-find: edges are range-partitioned on src (near-dup
+    *     candidates from id-windowed/LSH generators are id-local, so most
+    *     of a chain lands in one task) and each task collapses its edge set
+    *     with an in-memory union-find — arbitrarily long chains inside a
+    *     partition contract to a single representative in ONE map pass,
+    *     no per-hop rounds.
+    *  2. The BOUNDARY graph — representatives glued by nodes seen in more
+    *     than one partition — is orders of magnitude smaller than the
+    *     input (≤ one node per partition-crossing). Under
+    *     `driverEdgeCap` it is solved by driver union-find (same bounded-
+    *     driver pattern as the reconciler's partition list) and broadcast
+    *     back; above the cap it falls back to [[labelPropagate]], the
+    *     distributed O(log diameter) pointer-jumping loop.
+    *
+    * Cluster ids are stable: every component is labelled by its minimum
+    * node id (the keeper), whichever path computed it.
+    *
+    * @param edges (id_a, id_b) near-dup pairs, any orientation
+    * @return (id, cluster_id) for every node appearing in `edges`
+    */
+  def duplicateClusters(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25,
+      driverEdgeCap: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // Phase 1: per-partition union-find; emits (node, local representative).
+    val local = e.repartitionByRange(col("src")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+        }
+        val nodes = parent.keysIterator.toArray
+        (nodes.iterator.map(n => (n, find(n))) ++
+          // roots own themselves but never appear as LongMap keys
+          nodes.iterator.map(find).distinct.map(r => (r, r))).distinct
+      }.toDF("id", "rep")
+    // Phase 2: a node with reps from several partitions glues them — star
+    // edges (rep, minRep). perNode is reused for the final join:
+    // localCheckpoint materialises it ONCE (and, unlike persist, two
+    // invocations never alias each other's cache — keeps benchmarks honest).
+    val perNode = local.groupBy("id")
+      .agg(min("rep").as("rep"), collect_set("rep").as("reps"))
+      .localCheckpoint(true)
+    val boundary = perNode.select(explode(col("reps")).as("a"), col("rep").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nBoundary = boundary.count()
+    val repLabel: DataFrame =
+      if (nBoundary == 0) spark.emptyDataset[(Long, Long)].toDF("rep", "cluster_id")
+      else if (nBoundary <= driverEdgeCap) {
+        // bounded driver union-find over the contracted graph
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        boundary.as[(Long, Long)].collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.toArray.map(n => (n, find(n))).toSeq
+          .toDF("rep", "cluster_id")
+      } else labelPropagate(boundary, "a", "b", maxIter)
+        .withColumnsRenamed(Map("id" -> "rep", "label" -> "cluster_id"))
+    val result = perNode.select(col("id"), col("rep"))
+      .join(broadcastIfSmall(repLabel, nBoundary, driverEdgeCap), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    result
+  }
+
+  private def broadcastIfSmall(df: DataFrame, n: Long, cap: Long): DataFrame =
+    if (n <= cap) broadcast(df) else df
+
+  /** Distributed fallback for [[duplicateClusters]] phase 2: Pregel-style
+    * min-label propagation with POINTER JUMPING (label <- label(label)
+    * after each neighbourhood-min round), so convergence needs
+    * O(log diameter) rounds, not O(diameter). Per round: shuffles carry
+    * only (node, 8-byte label) pairs; `localCheckpoint` truncates the
+    * lineage (the self-referencing plan otherwise quadruples per round and
+    * kills the DRIVER at analysis time). Labels only decrease and always
+    * name a node of the same component, so the fixpoint labels every node
+    * with its component minimum.
+    *
+    * @return (id, label) for every node in `edges`
+    */
+  def labelPropagate(edges: DataFrame, idA: String, idB: String,
+      maxIter: Int): DataFrame = {
+    val fwd = edges.select(col(idA).as("src"), col(idB).as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (a) min over own + neighbourhood labels; materialised once so the
+      // pointer-jump self-join below reads it instead of recomputing it.
+      val nbrMin = und
+        .join(labels.withColumnsRenamed(Map("id" -> "src", "label" -> "src_label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"), "right")
+        .select(col("id"), col("old"),
+          least(coalesce(col("nbr_label"), col("old")), col("old")).as("label"))
+        .localCheckpoint(true)
+      // (b) pointer jump + convergence flag in ONE materialised pass; the
+      // `chg` check then scans the checkpointed result, no extra join.
+      val next = nbrMin
+        .join(nbrMin.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"), col("old"),
+          coalesce(col("label2"), col("label")).as("label"))
+        .select(col("id"), col("label"), (col("label") =!= col("old")).as("chg"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select("id", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 }

@@ -122,6 +122,31 @@ object PipelineQueries {
         .select("doc_id", "n_bytes", "head_cp", "width", "height")
         .orderBy("doc_id")),
 
+    // duplicate clusters: connected components (min-label propagation) over
+    // exact-Jaccard near-dup edges — the transitive-closure step after
+    // candidate scoring; oracle = DuckDB recursive CTE
+    "q56_dup_clusters" -> ((s, dir) => {
+      val edges = Dedup.tokenJaccardPairs(
+        Tables.load(s, dir, "documents"), "text", "doc_id", 3)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.duplicateClusters(edges).orderBy("id")
+    }),
+
+    // corpus curation: best-quality k docs per language via the k-bounded
+    // partial top-k aggregate (same operator that ranks the ANN paths)
+    "q57_quality_topk" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      scored.groupBy("lang")
+        .agg(graft.functions.expressions.TopKAggregate
+          .topK(struct(col("quality"), col("doc_id")), 5).as("topk"))
+        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("lang"), col("hit.doc_id").as("doc_id"),
+          col("hit.quality").as("quality"), (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("lang", "rank")
+    }),
+
     // the q19 hourly aggregate computed by an ACTUAL Structured Streaming
     // query over the same files (availableNow); oracle = q19's SQL, so the
     // DuckDB gate proves stream ≡ batch
@@ -146,6 +171,12 @@ object PipelineQueries {
   private val Toks = "string_split_regex(trim(text), '\\s+')"
   private def listCount(list: String, markers: String) =
     s"len(list_filter($list, t -> list_contains([$markers], t)))"
+
+  /** The q41 quality expression, reused inline by q57's oracle. */
+  private def QualityExpr =
+    "round((CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END) + " +
+      "(CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) + " +
+      s"(CASE WHEN CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) > 0.01 THEN 0.3 ELSE 0.0 END), 1)"
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -198,6 +229,20 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_cp, " +
         "CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width, CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id"),
+    "q56_dup_clusters" ->
+      (s"WITH RECURSIVE toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents), " +
+        "edges0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a " +
+        "JOIN toks b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 " +
+        "WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM edges0 UNION SELECT id_b, id_a FROM edges0), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, label) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id, min(label) AS cluster_id FROM reach GROUP BY id ORDER BY id"),
+    "q57_quality_topk" ->
+      (s"WITH scored AS (SELECT lang, doc_id, $QualityExpr AS quality FROM documents), " +
+        "ranked AS (SELECT lang, doc_id, quality, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank FROM scored) " +
+        "SELECT lang, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank"),
     "q55_streaming_window" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q46_sessionize" ->

@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("duplicateClusters: transitive closure to min-id keeper, converges on chains") {
+    // components: {1,2,3} via a-b,b-c; {10,11}; {20,21,22} with a cycle;
+    // {30..34} a 5-node chain (forces several propagation rounds)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L), (31L, 32L), (32L, 33L), (33L, 34L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
+  }
+
+  test("duplicateClusters: cross-partition chain glues via boundary graph") {
+    // a 200-node chain forced across many range partitions: phase-1 local
+    // union-find sees only fragments, the boundary graph must reconnect them
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(16)
+    val got = Dedup.duplicateClusters(edges).collect()
+    assert(got.length == 200)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  test("duplicateClusters: distributed labelPropagate fallback matches driver path") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (31L, 30L), (31L, 32L), (32L, 33L))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.duplicateClusters(edges, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(33L) == 30L && viaDriver(3L) == 1L && viaDriver(11L) == 10L)
+  }
+
   test("shingles slide over tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("s"))
