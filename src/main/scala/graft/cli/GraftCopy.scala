@@ -110,7 +110,8 @@ object GraftCopy {
     }
     reconcile(spark, cfg.source.dir, cfg.destination.dir, cfg.source.table,
       cfg.partitionKey, execute,
-      conf = Reconciler.Config(cfg.checkHashes, cfg.skipDelete, cfg.skipReimport),
+      conf = Reconciler.Config(cfg.checkHashes, cfg.skipDelete, cfg.skipReimport,
+        parallelism = cfg.numWorkers),
       byFile = cfg.useVirtualColumn,
       dstTable = cfg.destination.table)
   }

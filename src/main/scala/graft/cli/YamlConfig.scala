@@ -36,9 +36,11 @@ object YamlConfig {
   }
 
   /** The full config (`/root/reference/config/config.go:29-38`).
-    * `numWorkers` is parsed for compatibility; Spark's task parallelism
-    * supersedes the reference's worker pool (its README marks the knob
-    * broken anyway). */
+    * `numWorkers` (`worker_pool.num_workers`, config.go:23-27 — dead code
+    * in the reference, its README marks it broken) is WIRED here: >1 runs
+    * repairs as that many concurrent per-partition Spark jobs
+    * ([[graft.recon.Reconciler.Config.parallelism]]); default 0 keeps the
+    * fused single-job repair. */
   final case class GraftConfig(
       source: Endpoint = Endpoint(),
       destination: Endpoint = Endpoint(),

@@ -142,6 +142,26 @@ class ReconcilerSpec extends SparkSpec {
     assert(readDst().filter(col("part") === "199606").count() > 0, "other partitions untouched")
   }
 
+  test("parallelism>1: concurrent per-partition repair converges like the fused path") {
+    val dstPath = tmpDir("recon-par")
+    val src = withPart(li)
+    // three dirty partitions: two corrupted, one missing
+    src.filter(col("part") =!= "199605")
+      .withColumn("l_quantity",
+        when((col("part") === "199606" || col("part") === "199608") && col("l_linenumber") === 1,
+          col("l_quantity") + 99).otherwise(col("l_quantity")))
+      .write.partitionBy("part").mode("overwrite").parquet(dstPath)
+    def readDst = spark.read.parquet(dstPath).select(src.columns.map(col): _*)
+    val v1 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    val repaired = repair(spark, v1, src, "part", dstPath, Config(parallelism = 3))
+    assert(repaired.map(_.toString).toSet == Set("199605", "199606", "199608"))
+    val v2 = verdicts(src, readDst, partKeys, cols(li), cols(li))
+    assert(v2.collect().forall(_.getAs[String]("verdict") == Verdict.Skip))
+    val (fpS, nS) = Fingerprint.ofDataFrame(src.select(cols(li): _*))
+    val (fpD, nD) = Fingerprint.ofDataFrame(readDst.select(cols(li): _*))
+    assert(fpS == fpD && nS == nD)
+  }
+
   test("skip_delete + skip_reimport leaves corrupted partitions untouched") {
     val src = withPart(li)
     val (dstPath, readDst, before) = corruptDest(src)
