@@ -94,9 +94,14 @@ object Dedup {
       df: DataFrame, contentCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+    // Signatures are the expensive pass (k×|shingles| hashes per doc) and
+    // the plan reads them THREE times (banding + both sides of the scoring
+    // join) — materialise once. ~260 B/doc (~0.5% of a text corpus), the
+    // same signature relation a production pipeline would persist anyway.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(contentCol), shingleN), k).as("sig"))
+      .localCheckpoint(true)
     // candidate generation joins bare (band, id) pairs — 16 bytes/row
     // through the shuffle; signatures are attached only for the scoring
     // pass over UNIQUE pairs (AQE broadcasts the signature table when small)
