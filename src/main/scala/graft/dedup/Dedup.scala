@@ -98,9 +98,12 @@ object Dedup {
     // the plan reads them THREE times (banding + both sides of the scoring
     // join) — materialise once. ~260 B/doc (~0.5% of a text corpus), the
     // same signature relation a production pipeline would persist anyway.
+    // The fused expression shingles+hashes in one pass (bit-identical to
+    // minhashSignature(wordShingles(…)) — see TextHashExpressions).
     val sigs = df.select(
       col(idCol).as("id"),
-      minhashSignature(wordShingles(col(contentCol), shingleN), k).as("sig"))
+      graft.functions.expressions.TextHashExpressions
+        .minhashShingled(col(contentCol), shingleN, k).as("sig"))
       .localCheckpoint(true)
     // candidate generation joins bare (band, id) pairs — 16 bytes/row
     // through the shuffle; signatures are attached only for the scoring

@@ -100,9 +100,60 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** Fused text → k MinHash values: tokenize, slide the n-token shingle
+    * window, hash each shingle into every slot — one pass, ZERO
+    * materialised shingle array. Bit-identical to
+    * `MinHashSignature(wordShingles(text, n), k)` (property-tested): the
+    * shingle string is the same `" "`-joined token run, the hash the same
+    * per-slot seed chain; <n tokens yields the all-MaxValue signature like
+    * the HOF's empty-array arm. Cuts the dominant per-byte cost of LSH
+    * dedup (the codegen'd HOF pipeline builds ~|tokens| shingle strings
+    * through transform/slice/concat_ws allocation machinery first).
+    */
+  case class MinHashShingled(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_shingled"
+
+    private lazy val slotSeeds: Array[Long] =
+      Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, Seed))
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val sig = Array.fill(k)(Long.MaxValue)
+      if (toks.length >= n) {
+        val sb = new java.lang.StringBuilder
+        var start = 0
+        val last = toks.length - n
+        while (start <= last) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(start + j))
+            j += 1
+          }
+          val s = UTF8String.fromString(sb.toString)
+          var i = 0
+          while (i < k) {
+            val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+          start += 1
+        }
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashShingled = copy(child = c)
+  }
+
   // Column wrappers (classic-API bridge between Column and Expression)
   import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpr(shingles), k))
+  def minhashShingled(text: Column, n: Int, k: Int): Column =
+    toColumn(MinHashShingled(toExpr(text), n, k))
 }

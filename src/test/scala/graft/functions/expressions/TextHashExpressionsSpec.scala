@@ -33,6 +33,20 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("MinHashShingled fused expression == MinHashSignature(wordShingles) + edge cases") {
+    import spark.implicits._
+    // edge cases: <n tokens (empty shingle arm), exactly n, whitespace runs,
+    // trailing newline (tokenizer keeps the trailing empty token)
+    val edge = Seq("", " ", "one", "a b", "a b c", "a  b\t c d", "hello\n x y z")
+      .toDF("text").select(col("text"), lit(-1L).as("doc_id"))
+    val all = docs.select(col("text"), col("doc_id")).unionByName(edge)
+    val diff = all.select(
+      TextHashExpressions.minhashShingled(col("text"), 3, 32).as("fast"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32).as("ref"))
+      .filter(to_json(col("fast")) =!= to_json(col("ref")))
+    assert(diff.count() == 0)
+  }
+
   test("CosineSimilarity expression == HOF formulation on embeddings") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
