@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.expressions.TopKAggregate
+import graft.text.TextAnalysis
+
+/** Training-corpus curation operators — the steps between "deduplicated
+  * documents" and "training-ready shards": sequence packing, deterministic
+  * train/val/test splitting, benchmark-contamination checks, stratified
+  * sampling, and repetition-based quality filtering. All five are
+  * oracle-checked against DuckDB (no hash-specific operators here: the
+  * deterministic "randomness" is a Knuth multiplicative hash both engines
+  * compute exactly in 64-bit integers).
+  *
+  * Scale notes (100 TB):
+  *  - q58 packs per `source` stream with a single running-sum window — one
+  *    shuffle, parallel across sources; a production run shards each source
+  *    by a file/row-group prefix first so no single window partition holds
+  *    a whole source.
+  *  - q59/q61 are map-side arithmetic + (for q61) the k-bounded top-k
+  *    aggregate, so the shuffle carries ≤k rows per (task × stratum).
+  *  - q60 broadcasts the benchmark shingle set (benchmarks are tiny vs the
+  *    corpus); at full scale the join key would be `xxhash64(shingle)`
+  *    (8 bytes instead of the string) — kept as the string here so the
+  *    DuckDB oracle can mirror the join exactly.
+  *  - q62 is a two-level aggregate over exploded tokens; partial
+  *    aggregation combines (doc, token) counts map-side before the
+  *    shuffle.
+  */
+object CurationQueries {
+  import ReferenceQueries.Q
+
+  /** Multiplicative (Knuth) hash bucket: deterministic, identical in Spark
+    * and DuckDB 64-bit integer arithmetic (no overflow: doc_id ≪ 2^32). */
+  private def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
+    pmod(id * lit(2654435761L), lit(mod))
+
+  private val PackBudget = 512 // tokens per packed context window
+  private val BenchMod = 97    // doc_id % 97 == 0 → held-out benchmark doc
+
+  val all: Map[String, Q] = Map(
+    // sequence packing: assign each doc to the context-window pack where its
+    // first token lands (cumulative token count, per source stream, in
+    // doc_id order), then per-pack stats. The greedy "start a new pack when
+    // the budget would overflow" variant needs a sequential scan; this
+    // offset-bucketing form is the distributed-friendly equivalent used
+    // when documents may span pack boundaries.
+    "q58_seq_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("pack_id",
+          floor(coalesce(sum("n_tokens").over(w), lit(0L)) / PackBudget).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    // deterministic train/val/test split: multiplicative-hash bucket of
+    // doc_id → 1% test, 1% val, 98% train; per-split corpus stats. The
+    // standard reproducible-split trick — no RNG, stable under reruns and
+    // appends.
+    "q59_hash_split" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(knuthBucket(col("doc_id"), 1000) < 10, "test")
+            .when(knuthBucket(col("doc_id"), 1000) < 20, "val")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")),
+
+    // benchmark contamination: count, per corpus doc, the distinct 3-gram
+    // shingles it shares with the held-out benchmark docs. Inner join →
+    // only contaminated docs appear.
+    "q60_contamination" -> ((s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("s"))
+      val bench = sh.filter(col("doc_id") % BenchMod === 0).select("s").distinct()
+      sh.filter(col("doc_id") % BenchMod =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct("s").as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // stratified deterministic sample: 3 docs per (lang, source) stratum,
+    // ordered by the multiplicative hash (a reproducible shuffle). Uses the
+    // k-bounded top-k aggregate — ≤3 rows per task per stratum cross the
+    // shuffle, vs a full window sort.
+    "q61_stratified_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          knuthBucket(col("doc_id"), 1000000007L).as("h"))
+        .groupBy("lang", "source")
+        .agg(TopKAggregate.topK(
+          struct((-col("h")).cast("double").as("score"), col("doc_id")), 3).as("topk"))
+        .select(col("lang"), col("source"), posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("lang"), col("source"), col("hit.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("lang", "source", "rank")),
+
+    // repetition scoring: per-doc max-token-frequency and distinct-token
+    // ratios — the standard "degenerate repetition" quality filter.
+    "q62_repetition" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("c").as("max_freq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("max_freq") / col("n_tokens"), 6).as("rep_ratio"),
+          round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
+        .orderBy("doc_id"))
+  )
+
+  private val Toks = "string_split_regex(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q58_seq_packing" ->
+      (s"WITH n AS (SELECT source, doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents), " +
+        "p AS (SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        s"/ $PackBudget) AS BIGINT) AS pack_id FROM n) " +
+        "SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
+        "FROM p GROUP BY source, pack_id ORDER BY source, pack_id"),
+    "q59_hash_split" ->
+      ("SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 10 THEN 'test' " +
+        "WHEN (doc_id * 2654435761) % 1000 < 20 THEN 'val' ELSE 'train' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1 ORDER BY split"),
+    "q60_contamination" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN " +
+        "list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) " +
+        "ELSE [] END)) AS s FROM toks), " +
+        s"bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0) " +
+        "SELECT c.doc_id, count(DISTINCT c.s) AS n_hits FROM sh c JOIN bench b ON c.s = b.s " +
+        s"WHERE c.doc_id % $BenchMod <> 0 GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q61_stratified_sample" ->
+      ("WITH ranked AS (SELECT lang, source, doc_id, row_number() OVER (PARTITION BY lang, source " +
+        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank FROM documents) " +
+        "SELECT lang, source, doc_id, CAST(rank AS INTEGER) AS rank FROM ranked " +
+        "WHERE rank <= 3 ORDER BY lang, source, rank"),
+    "q62_repetition" ->
+      (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, " +
+        "round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio, " +
+        "round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id")
+  )
+}
