@@ -38,8 +38,14 @@ object Dedup {
   }
 
   /** Word n-gram shingles (default 3): slide over the token array.
-    * Empty/short docs yield an empty array. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
+    * Empty/short docs yield an empty array. Production path is the native
+    * one-pass expression (bit-identical to [[wordShinglesHof]], the
+    * builtin-HOF reference it is property-tested against). */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    graft.functions.expressions.TextHashExpressions.wordShingles(c, n)
+
+  /** Builtin-HOF reference formulation of [[wordShingles]] (spec oracle). */
+  def wordShinglesHof(c: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(c)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -100,23 +100,71 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** Fused text → word-shingle array: tokenize once, emit the n-token
+    * windows as `" "`-joined strings. Bit-identical to the HOF pipeline
+    * `transform(sequence(0, size(toks)-n), i -> concat_ws(" ", slice(toks,
+    * i+1, n)))` INCLUDING its null arm — the HOF's `when(...).otherwise(
+    * array())` maps null text to an empty array, so this expression is
+    * non-nullable and does the same. The HOF builds every shingle through
+    * generic array machinery (one transform lambda frame + slice copy +
+    * concat_ws pass per shingle); this walks the token array once. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "word_shingles"
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val toks = tokenize(v.asInstanceOf[UTF8String])
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var start = 0
+      while (start < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(start + j))
+          j += 1
+        }
+        out(start) = UTF8String.fromString(sb.toString)
+        start += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
   /** Fused text → k MinHash values: tokenize, slide the n-token shingle
     * window, hash each shingle into every slot — one pass, ZERO
     * materialised shingle array. Bit-identical to
     * `MinHashSignature(wordShingles(text, n), k)` (property-tested): the
     * shingle string is the same `" "`-joined token run, the hash the same
-    * per-slot seed chain; <n tokens yields the all-MaxValue signature like
-    * the HOF's empty-array arm. Cuts the dominant per-byte cost of LSH
-    * dedup (the codegen'd HOF pipeline builds ~|tokens| shingle strings
-    * through transform/slice/concat_ws allocation machinery first).
+    * per-slot seed chain; <n tokens — or null text, which the HOF
+    * wordShingles maps to an empty array — yields the all-MaxValue
+    * signature like the HOF's empty-array arm (hence non-nullable). Cuts
+    * the dominant per-byte cost of LSH dedup (the codegen'd HOF pipeline
+    * builds ~|tokens| shingle strings through transform/slice/concat_ws
+    * allocation machinery first).
     */
   case class MinHashShingled(child: Expression, n: Int, k: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
     override def prettyName: String = "minhash_shingled"
 
     private lazy val slotSeeds: Array[Long] =
       Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, Seed))
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(Array.fill[Any](k)(Long.MaxValue))
+      else nullSafeEval(v)
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
@@ -156,4 +204,6 @@ object TextHashExpressions {
     toColumn(MinHashSignature(toExpr(shingles), k))
   def minhashShingled(text: Column, n: Int, k: Int): Column =
     toColumn(MinHashShingled(toExpr(text), n, k))
+  def wordShingles(text: Column, n: Int): Column =
+    toColumn(WordShingles(toExpr(text), n))
 }

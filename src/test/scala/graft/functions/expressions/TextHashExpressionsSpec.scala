@@ -33,16 +33,33 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
-  test("MinHashShingled fused expression == MinHashSignature(wordShingles) + edge cases") {
+  test("MinHashShingled fused expression == MinHashSignature(wordShinglesHof) + edge cases") {
     import spark.implicits._
     // edge cases: <n tokens (empty shingle arm), exactly n, whitespace runs,
-    // trailing newline (tokenizer keeps the trailing empty token)
+    // trailing newline (tokenizer keeps the trailing empty token), null text
+    // (HOF's otherwise-arm yields empty shingles → all-MaxValue signature)
     val edge = Seq("", " ", "one", "a b", "a b c", "a  b\t c d", "hello\n x y z")
       .toDF("text").select(col("text"), lit(-1L).as("doc_id"))
+      .unionByName(Seq(1).toDF("x").select(lit(null).cast("string").as("text"),
+        lit(-2L).as("doc_id")))
     val all = docs.select(col("text"), col("doc_id")).unionByName(edge)
     val diff = all.select(
       TextHashExpressions.minhashShingled(col("text"), 3, 32).as("fast"),
-      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32).as("ref"))
+      Dedup.minhashSignatureHof(Dedup.wordShinglesHof(col("text"), 3), 32).as("ref"))
+      .filter(to_json(col("fast")) =!= to_json(col("ref")))
+    assert(diff.count() == 0)
+  }
+
+  test("WordShingles native expression == HOF formulation + edge cases") {
+    import spark.implicits._
+    val edge = Seq("", " ", "one", "a b", "a b c", "a  b\t c d", "hello\n x y z")
+      .toDF("text").select(col("text"), lit(-1L).as("doc_id"))
+      .unionByName(Seq(1).toDF("x").select(lit(null).cast("string").as("text"),
+        lit(-2L).as("doc_id")))
+    val all = docs.select(col("text"), col("doc_id")).unionByName(edge)
+    val diff = all.select(
+      Dedup.wordShingles(col("text"), 3).as("fast"),
+      Dedup.wordShinglesHof(col("text"), 3).as("ref"))
       .filter(to_json(col("fast")) =!= to_json(col("ref")))
     assert(diff.count() == 0)
   }
