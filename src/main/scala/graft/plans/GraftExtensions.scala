@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bounded_top_k(struct(score, id...), k) - k-bounded partial top-k aggregate"),
       (children: Seq[Expression]) => BoundedTopK(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    // BETWEEN-join → bucketed equi-join (gated on spark.graft.rangeJoin.binSize)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 
@@ -64,5 +66,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => BoundedTopK(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
   }
 }
