@@ -154,6 +154,58 @@ object PipelineQueries {
       graft.streaming.StreamingReconcile.hourlyAggStream(s, dir)
         .orderBy("hour", "event_type")),
 
+    // embedding pooling: L2-normalise each vector, quantise to integer
+    // micro-units (1e-9), exact element-wise sum per label via the native
+    // VectorSumAgg — one dim-length array per (task × label) crosses the
+    // shuffle instead of |rows|·dim posexplode rows. Quantisation makes the
+    // cross-row sum order-independent (integer addition), so the DuckDB
+    // oracle matches bit-for-bit; per-row double ops (cast, /norm, round)
+    // are index-ordered IEEE, identical in both engines.
+    "q63_embed_pool" -> ((s, dir) => {
+      import graft.functions.expressions.VectorAggregates
+      val d = transform(col("embedding"), x => x.cast("double"))
+      val nrm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), d.as("e"), nrm.as("nrm"))
+        .filter(col("nrm") > 0) // zero vectors have no direction to pool
+        .select(col("vec_id"), col("label"),
+          transform(col("e"), x => round(x / col("nrm") * lit(1e9)).cast("long")).as("qv"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), VectorAggregates.vectorSum(col("qv")).as("s"))
+        .select(col("label"), col("n_vecs"),
+          element_at(col("s"), 1).as("c0"), element_at(col("s"), 2).as("c1"),
+          element_at(col("s"), 3).as("c2"), element_at(col("s"), 4).as("c3"))
+        .orderBy("label")
+    }),
+
+    // unigram corpus-frequency scoring: how "common-word heavy" each doc is
+    // — sum over tokens of the token's corpus frequency (exact integers;
+    // the log-weighted variant is TextAnalysis.unigramLogMass, spec'd —
+    // libm log10 rounding differs across engines so the oracle uses the
+    // exact form). Two shuffles: corpus term frequency, then (doc,tok)
+    // join back on tok — both partial-aggregated map-side.
+    "q64_corpus_freq" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .join(tf, "tok")
+        .groupBy("doc_id")
+        // (doc_id, tok) rows are unique post-aggregate: plain count = the
+        // distinct-token count without a distinct-aggregate expand
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("cf")).as("sum_cf"))
+        .orderBy("doc_id")
+    }),
+
+    // streaming exact dedup: first occurrence per (user_id, event_type) via
+    // dropDuplicates state over an ACTUAL stream of the events files, then
+    // a batch rollup of the deduped memory-sink rows. Stream ≡ batch
+    // `count(DISTINCT user_id)` — the DuckDB gate checks it end-to-end.
+    "q65_streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.dedupStream(s, dir)
+        .orderBy("event_type")),
+
     // sessionization over the events stream (30-min gap), batch form of the
     // mapGroupsWithState streaming operator
     "q46_sessionize" -> ((s, dir) => {
@@ -245,6 +297,26 @@ object PipelineQueries {
         "SELECT lang, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank"),
     "q55_streaming_window" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    "q63_embed_pool" ->
+      ("WITH d AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+        "n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM d), " +
+        "q AS (SELECT vec_id, label, list_transform(e, x -> CAST(round(x / nrm * 1e9) AS BIGINT)) AS qv FROM n WHERE nrm > 0), " +
+        "u AS (SELECT label, vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM q) " +
+        "SELECT label, count(DISTINCT vec_id) AS n_vecs, " +
+        "CAST(sum(CASE WHEN i = 1 THEN v ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(sum(CASE WHEN i = 2 THEN v ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN i = 3 THEN v ELSE 0 END) AS BIGINT) AS c2, " +
+        "CAST(sum(CASE WHEN i = 4 THEN v ELSE 0 END) AS BIGINT) AS c3 " +
+        "FROM u GROUP BY label ORDER BY label"),
+    "q64_corpus_freq" ->
+      (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
+        "tf AS (SELECT tok, count(*) AS cf FROM t GROUP BY tok), " +
+        "dt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, " +
+        "CAST(sum(c * cf) AS BIGINT) AS sum_cf " +
+        "FROM dt JOIN tf USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+    "q65_streaming_dedup" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
     "q46_sessionize" ->
       ("WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +

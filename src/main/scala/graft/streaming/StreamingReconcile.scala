@@ -83,6 +83,30 @@ object StreamingReconcile {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` keyed on (user_id,
+    * event_type) over an actual stream of the events files — the streaming
+    * form of first-occurrence dedup (state = one row per distinct key,
+    * same cardinality a batch `dropDuplicates` shuffles). Append mode: a
+    * key is emitted exactly once, on first sight, so the sink holds the
+    * deduped relation; the per-type rollup of that relation is batch
+    * (small: #event_types rows). A production run adds
+    * `withWatermark` + `dropDuplicatesWithinWatermark` to bound state by
+    * time instead of key cardinality. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "q65_streaming_dedup"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val deduped = readEvents(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(lastTs: Long, sessions: Int, events: Long)

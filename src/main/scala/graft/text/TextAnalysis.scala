@@ -64,6 +64,15 @@ object TextAnalysis {
     size(filter(tokens(c), t => array_contains(sw, t)))
   }
 
+  /** Per-(doc, token) unigram log-frequency mass: `count_in_doc ×
+    * log10(corpus_count)`. Summed per doc and divided by the doc's token
+    * count it is the mean log corpus frequency — the cheap unigram-LM
+    * perplexity proxy (higher = more common-word mass). q64 records the
+    * exact-integer `count × corpus_count` form as the oracle query instead,
+    * because libm `log10` rounding differs across engines. */
+  def unigramLogMass(tokCount: Column, corpusFreq: Column): Column =
+    tokCount * log10(corpusFreq)
+
   /** Predicted language code (heuristic). First language in [[LangMarkers]]
     * order with the maximal nonzero score; "und" when no marker hits. */
   def langId(c: Column): Column = {

@@ -11,6 +11,12 @@ class TextAnalysisSpec extends SparkSpec {
   private def one[A](c: org.apache.spark.sql.Column, text: String): A =
     Seq(text).toDF("text").select(c).head().getAs[A](0)
 
+  test("unigramLogMass: count x log10(corpus freq), closed form") {
+    val got = Seq((3L, 100L)).toDF("c", "cf")
+      .select(T.unigramLogMass(col("c"), col("cf"))).head().getDouble(0)
+    assert(math.abs(got - 6.0) < 1e-12) // 3 * log10(100) = 6
+  }
+
   test("token count: whitespace runs and trim") {
     assert(one[Int](T.tokenCount(col("text")), "the quick  brown\tfox ") == 4)
     assert(one[Int](T.tokenCount(col("text")), "one") == 1)
