@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.expressions.TopKAggregate
+import graft.sim.Similarity
 import graft.text.TextAnalysis
 
 /** Training-corpus curation operators — the steps between "deduplicated
@@ -113,6 +114,38 @@ object CurationQueries {
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy("lang", "source", "rank")),
 
+    // SemDeDup semantic dedup over embeddings: hash-seeded clusters with a
+    // Lloyd pass, same-cluster cosine >= 0.25 pairs lose all but the
+    // smallest id. Centroid choice is xxhash-derived -> rows-only oracle
+    // (like q54); planted-duplicate recovery is spec'd in SimilaritySpec.
+    "q66_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 16, threshold = 0.25, lloydIters = 1)
+        .orderBy("vec_id")),
+
+    // quality-weighted deterministic sampling: accept a doc when its hash
+    // bucket falls under quality x 500 (i.e. keep-probability = q/2, no
+    // RNG, reproducible under append). The quality expression is q41's.
+    "q67_quality_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("keep", knuthBucket(col("doc_id"), 1000) < col("q") * 500)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")),
+
+    // canonical normalisation: lower/strip-punct/collapse-ws; the
+    // normalised form is what exact-dedup keys and training text use.
+    "q68_normalize" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("n_chars_norm"),
+          substring(col("norm"), 1, 30).as("prefix"))
+        .orderBy("doc_id")),
+
     // repetition scoring: per-doc max-token-frequency and distinct-token
     // ratios — the standard "degenerate repetition" quality filter.
     "q62_repetition" -> ((s, dir) =>
@@ -156,6 +189,14 @@ object CurationQueries {
         "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank FROM documents) " +
         "SELECT lang, source, doc_id, CAST(rank AS INTEGER) AS rank FROM ranked " +
         "WHERE rank <= 3 ORDER BY lang, source, rank"),
+    "q67_quality_sample" ->
+      (s"WITH scored AS (SELECT lang, doc_id, ${PipelineQueries.QualityExpr} AS q FROM documents) " +
+        "SELECT lang, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000 < q * 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM scored GROUP BY lang ORDER BY lang"),
+    "q68_normalize" ->
+      ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, length(norm) AS n_chars_norm, norm[1:30] AS prefix FROM n ORDER BY doc_id"),
     "q62_repetition" ->
       (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
         "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +

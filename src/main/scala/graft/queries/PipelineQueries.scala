@@ -224,8 +224,8 @@ object PipelineQueries {
   private def listCount(list: String, markers: String) =
     s"len(list_filter($list, t -> list_contains([$markers], t)))"
 
-  /** The q41 quality expression, reused inline by q57's oracle. */
-  private def QualityExpr =
+  /** The q41 quality expression, reused inline by q57's and q67's oracles. */
+  private[queries] def QualityExpr =
     "round((CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END) + " +
       "(CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) + " +
       s"(CASE WHEN CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) > 0.01 THEN 0.3 ELSE 0.0 END), 1)"

@@ -195,6 +195,43 @@ object Similarity {
         coalesce(col("__new_vec"), col("centroid_vec")).as("centroid_vec"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings, then within each cluster drop
+    * every vector that has a smaller-id neighbour above the cosine
+    * threshold — one deterministic representative per semantic
+    * near-duplicate set survives.
+    *
+    * Scale shape: centroids are hash-seeded (+ optional Lloyd passes, all
+    * map-side over a sample), corpus→cluster assignment is the map-side
+    * argmin of [[ivfKnn]] — the corpus never shuffles for clustering. The
+    * pairwise stage is bounded to same-cluster pairs (the whole point of
+    * clustering first: |cluster|² ≪ |corpus|²) and reuses
+    * [[cosineNearDupPairs]]'s equi-join on the cluster id.
+    *
+    * Returns every corpus row: (id, centroid_id, is_kept). */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, threshold: Double = 0.9,
+      lloydIters: Int = 0, lloydSamplePct: Int = 100): DataFrame = {
+    val seeds = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
+      refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
+    val centArr = cents.agg(
+      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val assigned = assignProbes(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centArr, "__v", 1)
+    // a row is dropped iff SOME smaller-id same-cluster row is >= threshold
+    // similar: left-semi on the pair relation, then anti-project
+    val dropIds = cosineNearDupPairs(assigned, "__id", "__v", "centroid_id", threshold)
+      .select(col("id_b").as("__id")).distinct()
+    assigned.join(dropIds.withColumn("__dropped", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("centroid_id"),
+        not(coalesce(col("__dropped"), lit(false))).as("is_kept"))
+  }
+
   /** Near-duplicate pairs by embedding cosine above a threshold, bounded to
     * same-`groupCol` pairs (e.g. label or LSH bucket) to avoid the full
     * cross product. */

@@ -64,6 +64,27 @@ object TextAnalysis {
     size(filter(tokens(c), t => array_contains(sw, t)))
   }
 
+  /** Canonical text normalisation for dedup keys and training text:
+    * lowercase → strip the fixed punctuation class → collapse whitespace
+    * runs to one space → trim. Every step is a codegen'd builtin and has
+    * an exact ANSI-SQL mirror (DuckDB `regexp_replace` with the 'g' flag),
+    * so normalised output is engine-portable — the property that matters
+    * when the dedup keys of a 100 TB corpus are built by more than one
+    * system. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
+
+  /** PII scrubbing: replace email addresses, international-ish phone
+    * numbers, and IPv4 literals with type tags. Deliberately conservative
+    * RE2-safe patterns (no lookarounds); map-only, codegen'd. Order
+    * matters: emails first (their local parts can contain digits that the
+    * phone pattern would otherwise shred). */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\s().-]{6,}\\d", "<PHONE>")
+  }
+
   /** Per-(doc, token) unigram log-frequency mass: `count_in_doc ×
     * log10(corpus_count)`. Summed per doc and divided by the doc's token
     * count it is the mean log corpus frequency — the cheap unigram-LM

@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 880000L)
   }
 
+  test("semanticDedup: planted duplicate loses, original keeps, full corpus covered") {
+    // identical vector with a LARGER id -> it is the one dropped
+    val planted = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(880000L))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.999999, lloydIters = 1)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(rows.size == corpus.count()) // verdict for every row
+    assert(!rows(880000L)) // the duplicate is dropped
+    assert(rows(5L)) // its smaller-id original survives
+    // near-1 threshold: nothing else in the fixture is that similar
+    assert(rows.count(!_._2) == 1)
+    // identical vectors land in the same cluster
+    val cents = out.filter(col("vec_id").isin(5L, 880000L))
+      .select("centroid_id").distinct().count()
+    assert(cents == 1)
+  }
+
   test("bounded top-k reproduces row_number window semantics exactly") {
     import org.apache.spark.sql.expressions.Window
     val q = emb.filter(col("vec_id") < 8)

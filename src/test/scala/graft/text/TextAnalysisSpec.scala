@@ -11,6 +11,20 @@ class TextAnalysisSpec extends SparkSpec {
   private def one[A](c: org.apache.spark.sql.Column, text: String): A =
     Seq(text).toDF("text").select(c).head().getAs[A](0)
 
+  test("normalize: lower, strip punct class, collapse whitespace, trim") {
+    assert(one[String](T.normalize(col("text")),
+      "  Hello,  WORLD!? this:\tis it. ") == "hello world this is it")
+    assert(one[String](T.normalize(col("text")), "...") == "")
+  }
+
+  test("redactPii: emails, phones, IPv4 tagged; plain text untouched") {
+    assert(one[String](T.redactPii(col("text")),
+      "mail a.b+c@ex-1.org or call +1 (415) 555-0199 from 10.0.0.1 ok")
+      == "mail <EMAIL> or call <PHONE> from <IP> ok")
+    assert(one[String](T.redactPii(col("text")),
+      "no pii here just words") == "no pii here just words")
+  }
+
   test("unigramLogMass: count x log10(corpus freq), closed form") {
     val got = Seq((3L, 100L)).toDF("c", "cf")
       .select(T.unigramLogMass(col("c"), col("cf"))).head().getDouble(0)
