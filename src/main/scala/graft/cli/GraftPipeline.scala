@@ -1,0 +1,142 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.queries.CurationQueries
+import graft.text.TextAnalysis
+
+/** Config-driven corpus-curation pipeline: the end-to-end form of the
+  * operators the query catalog exercises one at a time. A YAML file (same
+  * minimal two-level parser the reconciler CLI uses — [[YamlConfig.parse]])
+  * names an input documents table, an ordered step list, and an output
+  * root; the runner composes ONE lazy DataFrame chain and writes
+  * split-partitioned parquet shards — Catalyst sees the whole pipeline as
+  * a single plan, so column pruning / filter ordering apply across steps
+  * and nothing materialises between them.
+  *
+  * ```yaml
+  * input:
+  *   path: /data/corpus        # parquet root containing <table>.parquet
+  *   table: documents
+  * output:
+  *   path: /data/shards
+  * steps: normalize,redact,dedup_exact,dedup_minhash,quality_filter,split,pack
+  * quality_min: 0.3            # quality_filter threshold
+  * minhash_threshold: 0.7      # dedup_minhash estimated-Jaccard cutoff
+  * pack_budget: 512            # pack: tokens per context window
+  * test_pct: 1                 # split: % to test (and to val)
+  * ```
+  *
+  * Steps (any order, any subset):
+  *  - `normalize` / `redact` — map-only text canonicalisation / PII masking
+  *  - `dedup_exact` — keep the smallest id per exact content (8-byte hash
+  *    shuffle key)
+  *  - `dedup_minhash` — MinHash-LSH near-dup candidates above the
+  *    threshold; every pair's larger id is dropped (anti-join)
+  *  - `quality_filter` — drop docs under `quality_min`
+  *  - `split` — deterministic Knuth-hash train/val/test labels
+  *  - `pack` — cumulative-token pack_id per source stream
+  *
+  * At 100 TB each step keeps the scale shape its catalog query proved
+  * (map-only, hash-grouped, or bounded-candidate); the final write is
+  * `partitionBy(split)` so downstream training jobs partition-prune their
+  * own split.
+  */
+object GraftPipeline {
+  val Name = "graft-pipeline"
+
+  final case class PipelineConfig(
+      inputDir: String, table: String, outputDir: String,
+      steps: Seq[String],
+      qualityMin: Double, minhashThreshold: Double,
+      packBudget: Int, testPct: Int)
+
+  def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
+    val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = steps.filterNot(Steps.contains)
+    if (kv.getOrElse("input.path", "").isEmpty) Left("input.path is required")
+    else if (kv.getOrElse("output.path", "").isEmpty) Left("output.path is required")
+    else if (steps.isEmpty) Left("steps is required (comma-separated)")
+    else if (unknown.nonEmpty)
+      Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
+    else Right(PipelineConfig(
+      inputDir = kv("input.path"),
+      table = kv.getOrElse("input.table", "documents"),
+      outputDir = kv("output.path"),
+      steps = steps,
+      qualityMin = kv.get("quality_min").flatMap(_.toDoubleOption).getOrElse(0.3),
+      minhashThreshold = kv.get("minhash_threshold").flatMap(_.toDoubleOption).getOrElse(0.7),
+      packBudget = kv.get("pack_budget").flatMap(_.toIntOption).getOrElse(512),
+      testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1)))
+  }
+
+  /** Step registry: name → (config, frame) → frame. */
+  val Steps: Map[String, (PipelineConfig, DataFrame) => DataFrame] = Map(
+    "normalize" -> ((_, df) =>
+      df.withColumn("text", TextAnalysis.normalize(col("text")))),
+    "redact" -> ((_, df) =>
+      df.withColumn("text", TextAnalysis.redactPii(col("text")))),
+    "dedup_exact" -> ((_, df) =>
+      Dedup.dropExact(df, "text", "doc_id")),
+    "dedup_minhash" -> ((c, df) => {
+      val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      df.join(losers, Seq("doc_id"), "left_anti")
+    }),
+    "quality_filter" -> ((c, df) =>
+      df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),
+    "split" -> ((c, df) =>
+      df.withColumn("split", {
+        val b = CurationQueries.knuthBucket(col("doc_id"), 1000)
+        when(b < c.testPct * 10, "test")
+          .when(b < c.testPct * 20, "val")
+          .otherwise("train")
+      })),
+    "pack" -> ((c, df) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("pack_id",
+          floor(coalesce(sum("__n_tokens").over(w), lit(0L)) / c.packBudget).cast("long"))
+        .drop("__n_tokens")
+    }))
+
+  /** Compose the configured steps over the input table (lazy — one plan). */
+  def plan(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    cfg.steps.foldLeft(graft.core.Tables.load(spark, cfg.inputDir, cfg.table)) {
+      (df, s) => Steps(s)(cfg, df)
+    }
+
+  /** Run the pipeline and write split-partitioned shards. Returns
+    * (rows in, rows out). */
+  def run(spark: SparkSession, cfg: PipelineConfig): (Long, Long) = {
+    val in = graft.core.Tables.load(spark, cfg.inputDir, cfg.table).count()
+    val out = plan(spark, cfg)
+    val writer = out.write.mode("overwrite")
+    (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
+      .parquet(cfg.outputDir)
+    (in, spark.read.parquet(cfg.outputDir).count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfgIdx = args.indexOf("--config")
+    if (cfgIdx < 0 || cfgIdx + 1 >= args.length) {
+      System.err.println(s"$Name: usage: --config <pipeline.yaml>")
+      sys.exit(2)
+    }
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(cfgIdx + 1))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    fromKv(YamlConfig.parse(text)) match {
+      case Left(err) =>
+        System.err.println(s"$Name: $err"); sys.exit(2)
+      case Right(cfg) =>
+        val spark = graft.core.GraftSession.local()
+        val (nIn, nOut) = run(spark, cfg)
+        println(s"[$Name] ${cfg.steps.mkString(" -> ")}: $nIn rows in, $nOut out -> ${cfg.outputDir}")
+    }
+  }
+}

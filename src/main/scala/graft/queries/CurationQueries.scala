@@ -37,8 +37,9 @@ object CurationQueries {
   import ReferenceQueries.Q
 
   /** Multiplicative (Knuth) hash bucket: deterministic, identical in Spark
-    * and DuckDB 64-bit integer arithmetic (no overflow: doc_id ≪ 2^32). */
-  private def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
+    * and DuckDB 64-bit integer arithmetic (no overflow: doc_id ≪ 2^32).
+    * Shared with [[graft.cli.GraftPipeline]]'s split step. */
+  private[graft] def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
     pmod(id * lit(2654435761L), lit(mod))
 
   private val PackBudget = 512 // tokens per packed context window

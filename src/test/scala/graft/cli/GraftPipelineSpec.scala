@@ -1,0 +1,73 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftPipelineSpec extends SparkSpec {
+
+  private def cfgText(out: String) =
+    s"""# pipeline fixture
+       |input:
+       |  path: $sf001
+       |  table: documents
+       |output:
+       |  path: $out
+       |steps: normalize,redact,dedup_exact,quality_filter,split,pack
+       |quality_min: 0.3
+       |test_pct: 1
+       |pack_budget: 256
+       |""".stripMargin
+
+  test("config parse: valid file, required fields, unknown step rejected") {
+    val cfg = GraftPipeline.fromKv(YamlConfig.parse(cfgText("/tmp/x"))).toOption.get
+    assert(cfg.steps == Seq("normalize", "redact", "dedup_exact",
+      "quality_filter", "split", "pack"))
+    assert(cfg.qualityMin == 0.3 && cfg.packBudget == 256)
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "normalize,frobnicate")).swap.toOption.get.contains("frobnicate"))
+    assert(GraftPipeline.fromKv(Map("steps" -> "normalize")).isLeft)
+  }
+
+  test("end-to-end run: split-partitioned shards, monotone row count, steps applied") {
+    val out = tmpDir("pipe")
+    val cfg = GraftPipeline.fromKv(YamlConfig.parse(cfgText(out))).toOption.get
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert(nIn > 0 && nOut > 0 && nOut <= nIn) // filters only remove
+    val shards = spark.read.parquet(out)
+    // split partitioning reached the directory layout
+    val splits = shards.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // normalize ran: no uppercase or punctuation-class chars survive
+    assert(shards.filter(col("text").rlike("[A-Z.,!?;:]")).count() == 0)
+    // dedup_exact ran: texts are unique
+    assert(shards.select("text").distinct().count() == nOut)
+    // quality_filter ran: every kept doc scores >= 0.3 on the (normalized) text
+    assert(shards.filter(graft.text.TextAnalysis.qualityScore(col("text")) < 0.3).count() == 0)
+    // pack ids exist and start at 0 per source
+    val firstPacks = shards.groupBy("source").agg(min("pack_id").as("p0"))
+      .filter(col("p0") =!= 0)
+    assert(firstPacks.count() == 0)
+  }
+
+  test("dedup_minhash step drops planted near-duplicates but keeps originals") {
+    import spark.implicits._
+    val out = tmpDir("pipe2")
+    // near-dup = same doc with one token changed; smaller id must survive
+    val base = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val planted = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("dedup_minhash"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L).subsetOf(kept))
+    assert(kept.intersect(Set(900000L, 900001L, 900002L)).isEmpty)
+  }
+}
