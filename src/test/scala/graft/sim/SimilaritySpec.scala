@@ -73,6 +73,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 880000L)
   }
 
+  test("approximate ANN recall@10 vs brute force stays above floor") {
+    val queries = emb.filter(col("vec_id") < 8)
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topIds(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ids) =>
+        approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+      per.sum / per.size
+    }
+    val lsh = recall(topIds(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 10, 4)))
+    val ivf = recall(topIds(Similarity.ivfKnn(queries, emb, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 4, lloydIters = 1)))
+    info(f"recall@10 on random fixture: lsh=$lsh%.3f ivf=$ivf%.3f")
+    // Collapse guards, not quality bounds: i.i.d.-random embeddings are
+    // LSH/IVF's worst case (no cluster structure, top-10 cosine barely
+    // above the bulk), so absolute recall is inherently low here — the
+    // floors catch a plan/parameter regression zeroing the candidate sets.
+    // The deterministic fixture makes these exact, not flaky.
+    assert(lsh >= 0.05, s"LSH recall@10 collapsed: $lsh")
+    assert(ivf >= 0.3, s"IVF recall@10 collapsed: $ivf")
+  }
+
   test("semanticDedup: planted duplicate loses, original keeps, full corpus covered") {
     // identical vector with a LARGER id -> it is the one dropped
     val planted = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(880000L))
