@@ -196,6 +196,19 @@ object Dedup {
     df.select(col(idCol), xxhash64(col(contentCol)).as("content_hash"),
       simhash(col(contentCol)).as("simhash"))
 
+  /** Rolling-hash chunk fingerprints (content-defined chunking — see
+    * [[graft.functions.expressions.TextHashExpressions.RollingChunks]]):
+    * per-doc array of chunk hashes whose boundaries survive edits
+    * elsewhere in the document, the unit of partial-duplicate / delta
+    * detection. Exploded + self-joined on the chunk hash it yields
+    * shared-substring candidates the way band keys yield MinHash
+    * candidates. */
+  def chunkFingerprints(c: Column, avgChunkBytes: Int = 64): Column = {
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(avgChunkBytes.toLong)
+    graft.functions.expressions.TextHashExpressions
+      .rollingChunks(c, maskBits = bits.toInt)
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after
     * candidate scoring (a~b and b~c must collapse to ONE keeper even when

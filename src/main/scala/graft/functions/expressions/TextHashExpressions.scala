@@ -100,6 +100,67 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** Rolling-hash content-defined chunking (CDC) — the
+    * rsync/LBFS/winnowing family: a Buzhash (cyclic-polynomial rolling
+    * hash) slides a `window`-byte window over the document's bytes; a
+    * position is a chunk boundary when the low `maskBits` bits of the
+    * rolling hash are zero (expected chunk length 2^maskBits), clamped to
+    * [minChunk, maxChunk]. Each chunk's bytes are fingerprinted with the
+    * builtin-seed xxhash64. Because boundaries depend only on LOCAL window
+    * content, an insertion near the front re-chunks only up to the first
+    * boundary after the edit — every later chunk hash is unchanged
+    * (suffix stability, property-tested). That is what makes chunk
+    * fingerprints usable for partial-duplicate and delta detection at
+    * corpus scale, where a byte-offset-based chunking would shift every
+    * chunk after any edit.
+    *
+    * Deterministic: the 256-entry byte-mix table is xxhash64-derived, no
+    * RNG. Null/empty text → empty array. */
+  case class RollingChunks(
+      child: Expression, window: Int = 16, maskBits: Int = 6,
+      minChunk: Int = 16, maxChunk: Int = 256)
+      extends UnaryExpression with CodegenFallback {
+    require(window > 0 && maskBits >= 0 && minChunk >= window && maxChunk > minChunk,
+      s"bad CDC parameters: window=$window maskBits=$maskBits min=$minChunk max=$maxChunk")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "rolling_chunks"
+
+    private val mask: Long = (1L << maskBits) - 1
+    // deterministic per-byte mix table (Buzhash "T")
+    private lazy val T: Array[Long] =
+      Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, Seed))
+    @inline private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val n = bytes.length
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var start = 0
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        val in = T(bytes(i) & 0xff)
+        h = rotl(h, 1) ^ in
+        if (i - start >= window) h ^= rotl(T(bytes(i - window) & 0xff), window)
+        val len = i - start + 1
+        if ((len >= minChunk && (h & mask) == 0L) || len >= maxChunk || i == n - 1) {
+          out += XxHash64Function.hash(
+            UTF8String.fromBytes(bytes, start, len), StringType, Seed)
+          start = i + 1
+          h = 0L
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): RollingChunks = copy(child = c)
+  }
+
   /** Fused text → word-shingle array: tokenize once, emit the n-token
     * windows as `" "`-joined strings. Bit-identical to the HOF pipeline
     * `transform(sequence(0, size(toks)-n), i -> concat_ws(" ", slice(toks,
@@ -206,4 +267,7 @@ object TextHashExpressions {
     toColumn(MinHashShingled(toExpr(text), n, k))
   def wordShingles(text: Column, n: Int): Column =
     toColumn(WordShingles(toExpr(text), n))
+  def rollingChunks(text: Column, window: Int = 16, maskBits: Int = 6,
+      minChunk: Int = 16, maxChunk: Int = 256): Column =
+    toColumn(RollingChunks(toExpr(text), window, maskBits, minChunk, maxChunk))
 }

@@ -147,6 +147,16 @@ object CurationQueries {
           substring(col("norm"), 1, 30).as("prefix"))
         .orderBy("doc_id")),
 
+    // rolling-hash (CDC) chunk fingerprints: chunk count + order-free XOR
+    // digest per doc (xxhash-derived boundaries -> rows-only oracle; the
+    // suffix-stability property that justifies CDC is spec'd).
+    "q69_chunk_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.chunkFingerprints(col("text")).as("chunks"))
+        .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+          aggregate(col("chunks"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("chunks_xor"))
+        .orderBy("doc_id")),
+
     // repetition scoring: per-doc max-token-frequency and distinct-token
     // ratios — the standard "degenerate repetition" quality filter.
     "q62_repetition" -> ((s, dir) =>

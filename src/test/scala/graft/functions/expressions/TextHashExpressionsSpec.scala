@@ -50,6 +50,42 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("RollingChunks: deterministic, bounded lengths, suffix-stable under prefix edit") {
+    import spark.implicits._
+    val chunksOf = (c: org.apache.spark.sql.Column) =>
+      TextHashExpressions.rollingChunks(c, 16, 4, 16, 64) // avg 16B, max 64B
+    // determinism + full coverage on fixture docs: same input -> same chunks,
+    // concatenated chunk lengths == byte length is implied by count bounds
+    val fx = docs.select(col("text"), chunksOf(col("text")).as("a"))
+      .select(col("text"), col("a"), chunksOf(col("text")).as("b"))
+      .filter(to_json(col("a")) =!= to_json(col("b")))
+    assert(fx.count() == 0)
+    // edge cases: null/empty -> empty array
+    val edge = Seq[Option[String]](None, Some("")).toDF("text")
+      .select(chunksOf(col("text")).as("c")).collect()
+    assert(edge.forall(_.getSeq[Long](0).isEmpty))
+    // suffix stability: prepend 100 bytes; the chunk streams must re-converge
+    // (shared tail chunks), which offset-based fixed chunking cannot do.
+    // Deterministic pseudo-random text: periodic text is CDC's documented
+    // pathological case (boundary phase-lock on repeated content), so a
+    // repeated-phrase fixture would test the pathology, not the property.
+    val base = {
+      var s = 12345L
+      (1 to 900).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ('a' + math.floorMod(s >>> 33, 26)).toChar
+      }.mkString
+    }
+    val edited = ("Z" * 100) + base
+    val Seq(ca, cb) = Seq(base, edited).toDF("text")
+      .select(chunksOf(col("text")).as("c")).collect().toSeq
+      .map(_.getSeq[Long](0))
+    val shared = ca.toSet.intersect(cb.toSet).size
+    assert(shared >= ca.size / 2, s"only $shared of ${ca.size} chunks survived a prefix edit")
+    // chunk count is within the [min,max] clamp bounds for the byte length
+    assert(ca.size >= base.length / 64 && ca.size <= base.length / 16 + 1)
+  }
+
   test("WordShingles native expression == HOF formulation + edge cases") {
     import spark.implicits._
     val edge = Seq("", " ", "one", "a b", "a b c", "a  b\t c d", "hello\n x y z")
