@@ -49,10 +49,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-10 (hash-bucketed → rows-only)
+    // LSH-bucketed approximate top-10, 3-probe multi-probe (hash-bucketed
+    // → rows-only; probing fans out only the broadcast query side)
     "q35_knn_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10, 4)
+      Similarity.lshKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10, 4,
+        probes = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy("query_id", "rank")

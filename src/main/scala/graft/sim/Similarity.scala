@@ -90,18 +90,33 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates share the LSH bucket, re-ranked by exact
-    * cosine. Recall grows with fewer planes (bigger buckets). */
+    * cosine. Recall grows with fewer planes (bigger buckets) and with
+    * `probes` (multi-probe LSH, Lv et al. 2007, VLDB): each QUERY also
+    * visits the buckets whose signatures differ by one sign bit — a true
+    * near neighbour's most likely miss is a single plane voting the other
+    * way, so probing the `probes`-1 nearest-by-Hamming buckets recovers
+    * most of the recall a single-bucket lookup loses, while the CORPUS
+    * side still indexes each vector exactly once (the fan-out multiplies
+    * only the tiny broadcast query relation, never the corpus). */
   def lshKnn(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, planes: Int = 8): DataFrame = {
+      k: Int = 10, planes: Int = 8, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1], got $probes (planes=$planes)")
+    val sig = lshSignature(col(vecCol), planes)
+    // probe buckets: the query's own signature, then 1-bit flips of the
+    // lowest-index planes (deterministic probe order)
+    val flips = array((lit(0L) +: (0 until probes - 1).map(i => lit(1L << i))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), planes).as("bucket"))
+      explode(transform(flips, f => sig.bitwiseXOR(f))).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshSignature(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
+      // a (query, neighbour) pair can meet in more than one probed bucket
+      .dropDuplicates("query_id", "neighbor_id")
     topKRank(scored, k)
   }
 

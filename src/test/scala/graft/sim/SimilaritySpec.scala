@@ -85,9 +85,13 @@ class SimilaritySpec extends SparkSpec {
       per.sum / per.size
     }
     val lsh = recall(topIds(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 10, 4)))
+    val lshMp = recall(topIds(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 10, 4,
+      probes = 3)))
     val ivf = recall(topIds(Similarity.ivfKnn(queries, emb, "vec_id", "embedding",
       k = 10, nCentroids = 8, nProbe = 4, lloydIters = 1)))
-    info(f"recall@10 on random fixture: lsh=$lsh%.3f ivf=$ivf%.3f")
+    info(f"recall@10 on random fixture: lsh=$lsh%.3f lsh3probe=$lshMp%.3f ivf=$ivf%.3f")
+    // multi-probe visits a superset of the single bucket -> recall can only rise
+    assert(lshMp >= lsh, s"multi-probe recall $lshMp below single-probe $lsh")
     // Collapse guards, not quality bounds: i.i.d.-random embeddings are
     // LSH/IVF's worst case (no cluster structure, top-10 cosine barely
     // above the bulk), so absolute recall is inherently low here — the
