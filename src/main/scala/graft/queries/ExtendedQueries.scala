@@ -122,6 +122,32 @@ object ExtendedQueries {
         .orderBy("event_id", "signup_id")
     }),
 
+    // the SAME point-in-interval join as q50 written as a PLAIN BETWEEN
+    // join — the RangeJoinRewrite optimizer rule (conf-gated) replans it
+    // as the bucketed equi-join; the DuckDB oracle proves the rewrite
+    // end-to-end. localCheckpoint materialises under the conf so the
+    // setting can be restored before other queries run.
+    "q70_range_join_rule" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val ev = Tables.load(s, dir, "events")
+      val points = ev.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          unix_timestamp(col("ts")).as("lo"),
+          (unix_timestamp(col("ts")) + 3600L).as("hi"))
+      s.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "3600")
+      try {
+        val joined = points
+          .join(intervals, col("pt") >= col("lo") && col("pt") <= col("hi"))
+          .select("event_id", "signup_id")
+          .localCheckpoint(true)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          "RangeJoinRewrite did not fire") // the query must prove the rule ran
+        joined.orderBy("event_id", "signup_id")
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
+    }),
+
     // pivot: counts + decimal revenue per returnflag, linestatus as columns
     "q51_pivot" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
