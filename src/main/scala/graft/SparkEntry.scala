@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CurationQueries, ExtendedQueries, PipelineQueries, ReferenceQueries}
+import graft.queries.{CurationQueries, ExtendedQueries, PipelineQueries, ReferenceQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query implementations live in graft.queries.*; this object is the flat
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ ScaleQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ ScaleQueries.oracles
 }

@@ -225,6 +225,12 @@ object ExtendedQueries {
       ("WITH p AS (SELECT event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt FROM events), " +
         "i AS (SELECT event_id AS signup_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 3600 AS hi FROM events WHERE event_type = 'signup') " +
         "SELECT event_id, signup_id FROM p JOIN i ON p.pt >= i.lo AND p.pt <= i.hi ORDER BY event_id, signup_id"),
+    // same join as q50, planned through the RangeJoinRewrite rule — the
+    // oracle proves the rewritten plan returns the exact BETWEEN-join rows
+    "q70_range_join_rule" ->
+      ("WITH p AS (SELECT event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt FROM events), " +
+        "i AS (SELECT event_id AS signup_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 3600 AS hi FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, signup_id FROM p JOIN i ON p.pt >= i.lo AND p.pt <= i.hi ORDER BY event_id, signup_id"),
     "q51_pivot" ->
       ("SELECT l_returnflag, count(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt, " +
         "count(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

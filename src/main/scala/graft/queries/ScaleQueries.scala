@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.operators.BloomJoin
+import graft.recon.SnapshotDiff
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Scale-pattern operators: the shapes that change when a table stops
+  * fitting one machine — runtime-filter joins, row-level CDC, sketch
+  * merging, quantised ANN, and distributed top-k.
+  *
+  * Scale notes (100 TB):
+  *  - q71: the Bloom pre-filter drops non-matching fact rows in the SCAN
+  *    stage, so only matches (+3% fp) reach the semi-join exchange; the
+  *    sketch itself is a bounded ~1 MB literal. Result stays exact (the
+  *    semi join removes false positives) — hence a full DuckDB oracle.
+  *  - q72: both snapshots collapse value columns to one xxhash64 before
+  *    the full-outer join, so the shuffle carries key+8 bytes per row,
+  *    never the payload.
+  *  - q73: global top-k via sort+limit = `TakeOrderedAndProject` — each
+  *    task keeps its own k rows, the driver merges #tasks × k, the
+  *    exploded n-gram stream itself is partial-aggregated map-side.
+  *  - q74: int8 vectors are ~4× smaller than float32 — the corpus scan,
+  *    broadcast and cache all shrink accordingly; ranking is unchanged
+  *    because cosine is scale-invariant. Approximation is bounded in
+  *    SimilaritySpec (hash-free but float-sensitive → rows-only oracle).
+  *  - q75: HLL sketches are the MERGEABLE distinct-count: per-group (or
+  *    per-day, per-shard) sketches aggregate once and union forever after
+  *    without rescanning — the only way "distinct over 100 TB, updated
+  *    hourly" stays O(sketch) instead of O(data). Estimates are
+  *    library-version-specific → rows-only oracle; ≤5% error vs exact is
+  *    spec'd (ScaleQueriesSpec), like q27's sketch family.
+  */
+object ScaleQueries {
+  import ReferenceQueries.Q
+
+  val all: Map[String, Q] = Map(
+    // Bloom-prefiltered exact semi join: lineitem rows whose order is
+    // URGENT, aggregated. 1M expected items ≫ the real key count — an
+    // over-sized sketch only lowers fpp.
+    "q71_bloom_semijoin" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      BloomJoin.semiJoin(li, col("l_orderkey"), urgent, col("o_orderkey"),
+          expectedItems = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // row-level CDC between two derived snapshots of orders (o_orderkey is
+    // unique — SnapshotDiff requires unique keys): %97 keys missing from
+    // dst (→ insert), %89 totals bumped (→ update), %101 rows present only
+    // in dst under shifted keys (→ delete)
+    "q72_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val dst = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1099511627776L))
+      SnapshotDiff.diff(o, dst,
+          keyCols = Seq("o_orderkey"),
+          valueCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // corpus-wide most-frequent word bigrams (boilerplate detector):
+    // partial-aggregated counts, then distributed top-20
+    "q73_frequent_ngrams" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(Dedup.wordShingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("ngram")).limit(20)),
+
+    // int8-quantised brute-force ANN, same query set as q34
+    "q74_quantized_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.quantizedKnn(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // mergeable distinct-token sketches: one HLL per language, plus the
+    // union of those sketches as the corpus-wide estimate — no rescan
+    "q75_hll_union" -> ((s, dir) => {
+      val perLang = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(hll_sketch_agg(col("tok")).as("sk"))
+      perLang
+        .select(col("lang"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(perLang.agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("ALL").as("lang"),
+            hll_sketch_estimate(col("sk")).as("est_distinct")))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q71_bloom_semijoin" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q72_snapshot_diff" ->
+      ("WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders), " +
+        "dst AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 1099511627776, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 101 = 0), " +
+        "j AS (SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN d.o_orderkey IS NULL THEN 'insert' WHEN s.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus " +
+        "OR s.o_totalprice IS DISTINCT FROM d.o_totalprice " +
+        "OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority THEN 'update' END AS change " +
+        "FROM src s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey) " +
+        "SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey"),
+    "q73_frequent_ngrams" ->
+      ("WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents), " +
+        "g AS (SELECT unnest(CASE WHEN len(ts) >= 2 THEN " +
+        "list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' ')) " +
+        "ELSE [] END) AS ngram FROM toks) " +
+        "SELECT ngram, count(*) AS n FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20")
+  )
+}

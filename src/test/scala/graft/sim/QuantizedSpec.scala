@@ -1,0 +1,51 @@
+package graft.sim
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuantizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  test("quantizeInt8: codes bounded, dequantisation error <= scale/2") {
+    val rows = Seq(Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(3.0f, 2.0f, -3.0f, 1.5f))
+      .toDF("v")
+      .select(col("v"), Similarity.quantizeInt8(col("v")).as("qz"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val scale = r.getStruct(1).getFloat(0)
+      val codes = r.getStruct(1).getSeq[Byte](1)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      orig.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-6,
+          s"dequant error for $x: code $c scale $scale")
+      }
+    }
+  }
+
+  test("quantized knn: recall@10 >= 0.9 vs exact, score error bounded") {
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10))
+    val quant = pairs(Similarity.quantizedKnn(queries, emb, "vec_id", "embedding", 10))
+    val recall = exact.keySet.count(quant.keySet).toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+    // int8 cosine of a matched pair stays within ~1% of the exact score
+    quant.foreach { case (k, qcos) =>
+      exact.get(k).foreach(ecos =>
+        assert(math.abs(qcos - ecos) <= 0.02, s"$k: $qcos vs $ecos"))
+    }
+  }
+
+  test("zero vector quantises without dividing by zero") {
+    val r = Seq(Seq(0.0f, 0.0f)).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("qz")).head()
+    assert(r.getStruct(0).getSeq[Byte](1) == Seq(0.toByte, 0.toByte))
+  }
+}
