@@ -28,7 +28,9 @@ object YamlConfig {
       user: String = "default",
       password: String = "",
       database: String = "",
-      secure: Boolean = false) {
+      secure: Boolean = false,
+      skipVerify: Boolean = false,
+      keyFilename: String = "") {
     /** Parquet root for the file engine: explicit `path`, else `database`
       * doubling as a directory (host-less configs). */
     def dir: String = if (path.nonEmpty) path else database
@@ -40,7 +42,9 @@ object YamlConfig {
     * in the reference, its README marks it broken) is WIRED here: >1 runs
     * repairs as that many concurrent per-partition Spark jobs
     * ([[graft.recon.Reconciler.Config.parallelism]]); default 0 keeps the
-    * fused single-job repair. */
+    * fused single-job repair. `worker_pool.num_retry`/`chan_len`
+    * (config.go:23-27) dissolve into Spark's `spark.task.maxFailures` and
+    * scheduler queueing — there is no client-side channel to size. */
   final case class GraftConfig(
       source: Endpoint = Endpoint(),
       destination: Endpoint = Endpoint(),
@@ -96,7 +100,9 @@ object YamlConfig {
       user = kv.getOrElse(s"$prefix.user", "default"),
       password = kv.getOrElse(s"$prefix.password", ""),
       database = kv.getOrElse(s"$prefix.database", ""),
-      secure = bool(kv, s"$prefix.secure", dflt = false))
+      secure = bool(kv, s"$prefix.secure", dflt = false),
+      skipVerify = bool(kv, s"$prefix.skip_verify", dflt = false),
+      keyFilename = kv.getOrElse(s"$prefix.key_filename", ""))
 
   def fromText(text: String): GraftConfig = {
     val kv = parse(text)

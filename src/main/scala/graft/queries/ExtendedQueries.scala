@@ -31,6 +31,35 @@ object ExtendedQueries {
       a.intersect(b).except(x).union(d).distinct().orderBy("c_custkey")
     }),
 
+    // scalar-subquery shape: orders above the global mean total price,
+    // counted per priority. The mean comparison is done in exact decimal
+    // cross-multiplied form (price × n > sum) so no float summation-order
+    // tie can flip a boundary row between engines; the one-row aggregate
+    // joins in as a broadcast (map-side, no shuffle of orders).
+    "q77_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val tot = o.agg(
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("s"),
+        count(lit(1)).as("n"))
+      o.join(broadcast(tot))
+        .filter(col("o_totalprice").cast("decimal(18,2)") * col("n") > col("s"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // anti join: customers with no URGENT order, per nation (the unfiltered
+    // variant is empty in this data — every customer has some order)
+    "q78_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_idle"))
+        .orderBy("c_nationkey")
+    }),
+
     // rollup with grouping-null normalization
     "q25_rollup" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -225,6 +254,16 @@ object ExtendedQueries {
       ("WITH p AS (SELECT event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt FROM events), " +
         "i AS (SELECT event_id AS signup_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 3600 AS hi FROM events WHERE event_type = 'signup') " +
         "SELECT event_id, signup_id FROM p JOIN i ON p.pt >= i.lo AND p.pt <= i.hi ORDER BY event_id, signup_id"),
+    "q77_scalar_subquery" ->
+      ("WITH t AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s, count(*) AS n FROM orders) " +
+        "SELECT o_orderpriority, count(*) AS n_above FROM orders, t " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > s " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q78_anti_join" ->
+      ("SELECT c_nationkey, count(*) AS n_idle FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     // same join as q50, planned through the RangeJoinRewrite rule — the
     // oracle proves the rewritten plan returns the exact BETWEEN-join rows
     "q70_range_join_rule" ->

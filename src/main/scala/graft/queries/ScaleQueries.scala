@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.operators.BloomJoin
 import graft.recon.SnapshotDiff
 import graft.sim.Similarity
+import graft.sources.ZOrder
 import graft.text.TextAnalysis
 
 /** Scale-pattern operators: the shapes that change when a table stops
@@ -91,6 +92,19 @@ object ScaleQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Morton z-values over (partkey, suppkey) — the clustering key behind
+    // ZOrder.writeClustered, aggregated per returnflag (exact integer
+    // arithmetic, mirrored bit-for-bit in the DuckDB oracle)
+    "q76_zorder_value" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          ZOrder.zValue(pmod(col("l_partkey"), lit(65536)),
+            pmod(col("l_suppkey"), lit(65536))).as("z"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"),
+          max("z").as("z_max"), sum("z").as("z_sum"))
+        .orderBy("l_returnflag")),
+
     // mergeable distinct-token sketches: one HLL per language, plus the
     // union of those sketches as the corpus-wide estimate — no rescan
     "q75_hll_union" -> ((s, dir) => {
@@ -106,7 +120,22 @@ object ScaleQueries {
     })
   )
 
+  /** The binary-magic-numbers bit dilation of [[ZOrder.spread16]], as SQL
+    * text (same integer ops in DuckDB: &, |, <<). */
+  private def spreadSql(x: String): String = {
+    val s1 = s"((($x) | (($x) << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q76_zorder_value" -> {
+      val z = s"(${spreadSql("l_partkey % 65536")} | (${spreadSql("l_suppkey % 65536")} << 1))"
+      s"WITH zed AS (SELECT l_returnflag, $z AS z FROM lineitem) " +
+        "SELECT l_returnflag, count(*) AS n, min(z) AS z_min, max(z) AS z_max, " +
+        "CAST(sum(z) AS BIGINT) AS z_sum FROM zed GROUP BY l_returnflag ORDER BY l_returnflag"
+    },
     "q71_bloom_semijoin" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +

@@ -30,12 +30,22 @@ object ClickHouseJdbc {
       table: String = "",
       user: String = "default",
       password: String = "",
-      secure: Boolean = false) {
+      secure: Boolean = false,
+      skipVerify: Boolean = false,
+      keyFilename: String = "") {
 
-    /** clickhouse-jdbc URL; `ssl=true` ≙ the reference's `secure` DSN arg
-      * (`database/database.go:101-110`). */
+    /** clickhouse-jdbc URL; `ssl=true` ≙ the reference's `secure` DSN arg,
+      * `sslmode=none` ≙ `skip_verify` (accept any cert), `sslrootcert` ≙
+      * `key_filename` (custom CA bundle) — `database/database.go:101-130`,
+      * `config/config.go:15-18`. */
     def url: String = {
-      val ssl = if (secure) "?ssl=true&sslmode=strict" else ""
+      val ssl =
+        if (!secure) ""
+        else {
+          val mode = if (skipVerify) "none" else "strict"
+          val ca = if (keyFilename.nonEmpty) s"&sslrootcert=$keyFilename" else ""
+          s"?ssl=true&sslmode=$mode$ca"
+        }
       s"jdbc:clickhouse://$host:$port/$database$ssl"
     }
 
@@ -70,8 +80,18 @@ object ClickHouseJdbc {
       port = if (uri.getPort > 0) uri.getPort else 8123,
       database = database, table = table,
       user = user, password = pass,
-      secure = qs.get("secure").contains("true"))
+      secure = qs.get("secure").contains("true"),
+      skipVerify = qs.get("skip_verify").contains("true"),
+      keyFilename = qs.getOrElse("key_filename", ""))
   }
+
+  /** Bridge from a YAML-config endpoint (`source:`/`destination:` block)
+    * to a JDBC connection — the reference builds its DSN from the same
+    * `Connection` fields (`database/database.go:88-139`). */
+  def fromEndpoint(e: graft.cli.YamlConfig.Endpoint): Conn =
+    Conn(host = e.host, port = e.port, database = e.database, table = e.table,
+      user = e.user, password = e.password, secure = e.secure,
+      skipVerify = e.skipVerify, keyFilename = e.keyFilename)
 
   private def reader(spark: SparkSession, conn: Conn): DataFrameReader =
     conn.options.foldLeft(spark.read.format("jdbc")) {

@@ -26,4 +26,27 @@ class ClickHouseJdbcSpec extends AnyFunSuite {
     assert(c.options("dbtable") == "db.t")
     assert(c.options("driver") == "com.clickhouse.jdbc.ClickHouseDriver")
   }
+
+  test("TLS trust options: skip_verify -> sslmode=none, key_filename -> sslrootcert (config.go:15-18)") {
+    val c = parseDsn("tcp://ch3:9440?secure=true&skip_verify=true&key_filename=/etc/ca.pem", "db", "t")
+    assert(c.secure && c.skipVerify && c.keyFilename == "/etc/ca.pem")
+    assert(c.url ==
+      "jdbc:clickhouse://ch3:9440/db?ssl=true&sslmode=none&sslrootcert=/etc/ca.pem")
+  }
+
+  test("yaml endpoint bridges to a JDBC conn with the TLS fields intact") {
+    val cfg = graft.cli.YamlConfig.fromText(
+      """source:
+        |  host: ch4
+        |  port: 9440
+        |  database: db
+        |  table: t
+        |  secure: true
+        |  skip_verify: true
+        |  key_filename: /etc/ca.pem
+        |""".stripMargin)
+    val c = ClickHouseJdbc.fromEndpoint(cfg.source)
+    assert(c.host == "ch4" && c.secure && c.skipVerify && c.keyFilename == "/etc/ca.pem")
+    assert(c.url.endsWith("ssl=true&sslmode=none&sslrootcert=/etc/ca.pem"))
+  }
 }
