@@ -208,6 +208,12 @@ object PipelineQueries {
       graft.streaming.StreamingReconcile.dedupStream(s, dir)
         .orderBy("event_type")),
 
+    // watermarked stream-stream attribution join (events within 1h of the
+    // same user's signup), availableNow — oracle = the batch self-join
+    "q79_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.attributionJoinStream(s, dir)
+        .orderBy("event_type")),
+
     // sessionization over the events stream (30-min gap), batch form of the
     // mapGroupsWithState streaming operator
     "q46_sessionize" -> ((s, dir) => {
@@ -299,6 +305,12 @@ object PipelineQueries {
         "SELECT lang, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank"),
     "q55_streaming_window" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    "q79_stream_join" ->
+      ("SELECT a.event_type, count(*) AS n_attributed FROM events a JOIN events s " +
+        "ON a.user_id = s.user_id AND s.event_type = 'signup' AND a.event_type <> 'signup' " +
+        "AND epoch_us(CAST(a.ts AS TIMESTAMP)) >= epoch_us(CAST(s.ts AS TIMESTAMP)) " +
+        "AND epoch_us(CAST(a.ts AS TIMESTAMP)) <= epoch_us(CAST(s.ts AS TIMESTAMP)) + 3600000000 " +
+        "GROUP BY a.event_type ORDER BY a.event_type"),
     "q63_embed_pool" ->
       ("WITH d AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
         "n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM d), " +

@@ -107,6 +107,39 @@ object StreamingReconcile {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Watermarked stream-stream inner join: every non-signup event joined
+    * to the same user's signup events within the following hour — the
+    * attribution-join shape (click↔impression, signup↔activity). Both
+    * sides carry a watermark and the join condition bounds event time, so
+    * the state store holds only ±(watermark + interval) of each side —
+    * THE requirement for an unbounded stream-stream join to run forever.
+    * Inner-join matches emit eagerly (no watermark wait), so availableNow
+    * over the finite fixture emits exactly the batch join — the DuckDB
+    * oracle (q79) checks that equivalence end-to-end, like q55/q65. */
+  def attributionJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "q79_stream_join"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val ev = readEvents(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val acts = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val joined = acts.join(signups,
+      col("a_user") === col("s_user") &&
+        col("a_ts") >= col("s_ts") &&
+        col("a_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("a_type").as("event_type"))
+      .agg(count(lit(1)).as("n_attributed"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(lastTs: Long, sessions: Int, events: Long)

@@ -99,6 +99,26 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver(33L) == 30L && viaDriver(3L) == 1L && viaDriver(11L) == 10L)
   }
 
+  test("chunk overlap: planted shared paragraph raises shared_ratio, unique docs stay 0") {
+    // two long synthetic docs sharing one long paragraph, one unrelated doc
+    val para = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val d = Seq(
+      (1L, s"${(1 to 60).map(i => s"alpha$i").mkString(" ")} $para"),
+      (2L, s"$para ${(1 to 60).map(i => s"beta$i").mkString(" ")}"),
+      (3L, (1 to 120).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = d.select(col("doc_id"),
+      explode(Dedup.chunkFingerprints(col("text"))).as("ch"))
+    val shared = chunks.groupBy("ch").agg(countDistinct("doc_id").as("n_docs"))
+    val ratios = chunks.join(shared, "ch")
+      .groupBy("doc_id")
+      .agg((sum(when(col("n_docs") > 1, 1L).otherwise(0L)) / count(lit(1))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(1L) > 0.2, s"doc 1 shared_ratio ${ratios(1L)}")
+    assert(ratios(2L) > 0.2, s"doc 2 shared_ratio ${ratios(2L)}")
+    assert(ratios(3L) == 0.0, s"doc 3 shared_ratio ${ratios(3L)}")
+  }
+
   test("shingles slide over tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("s"))

@@ -40,6 +40,23 @@ class StreamingReconcileSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val got = StreamingReconcile.attributionJoinStream(spark, sf001)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val expected = ev.filter(col("event_type") =!= "signup")
+      .join(s, col("user_id") === col("s_user") &&
+        col("ts") >= col("s_ts") &&
+        col("ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("mapGroupsWithState sessionization matches the batch window form") {
     val events = graft.core.Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
