@@ -37,6 +37,10 @@ import graft.text.TextAnalysis
   *  - `dedup_minhash` — MinHash-LSH near-dup candidates above the
   *    threshold; every pair's larger id is dropped (anti-join)
   *  - `quality_filter` — drop docs under `quality_min`
+  *  - `dedup_chunks` — drop docs whose CDC-chunk shared fraction exceeds
+  *    `chunk_overlap_max` (boilerplate dominance)
+  *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
+  *    `benchmark.path`/`benchmark.table` held-out set
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *
@@ -52,7 +56,9 @@ object GraftPipeline {
       inputDir: String, table: String, outputDir: String,
       steps: Seq[String],
       qualityMin: Double, minhashThreshold: Double,
-      packBudget: Int, testPct: Int)
+      packBudget: Int, testPct: Int,
+      chunkOverlapMax: Double = 0.5,
+      benchmarkDir: String = "", benchmarkTable: String = "documents")
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -62,6 +68,8 @@ object GraftPipeline {
     else if (steps.isEmpty) Left("steps is required (comma-separated)")
     else if (unknown.nonEmpty)
       Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
+    else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
+      Left("contamination_filter requires benchmark.path")
     else Right(PipelineConfig(
       inputDir = kv("input.path"),
       table = kv.getOrElse("input.table", "documents"),
@@ -70,7 +78,10 @@ object GraftPipeline {
       qualityMin = kv.get("quality_min").flatMap(_.toDoubleOption).getOrElse(0.3),
       minhashThreshold = kv.get("minhash_threshold").flatMap(_.toDoubleOption).getOrElse(0.7),
       packBudget = kv.get("pack_budget").flatMap(_.toIntOption).getOrElse(512),
-      testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1)))
+      testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1),
+      chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
+      benchmarkDir = kv.getOrElse("benchmark.path", ""),
+      benchmarkTable = kv.getOrElse("benchmark.table", "documents")))
   }
 
   /** Step registry: name → (config, frame) → frame. */
@@ -88,6 +99,33 @@ object GraftPipeline {
     }),
     "quality_filter" -> ((c, df) =>
       df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),
+    // boilerplate-dominance filter (q80's score as a step): drop every doc
+    // whose CDC-chunk shared fraction exceeds chunk_overlap_max. NOTE this
+    // is a dominance filter (both members of a full-copy pair score ~1 and
+    // both drop) — use dedup_exact/dedup_minhash first for pair dedup.
+    "dedup_chunks" -> ((c, df) => {
+      val chunks = df.select(col("doc_id"),
+        explode(Dedup.chunkFingerprints(col("text"))).as("ch"))
+      val shared = chunks.groupBy("ch").agg(countDistinct("doc_id").as("n_docs"))
+      val dominated = chunks.join(shared, "ch")
+        .groupBy("doc_id")
+        .agg((sum(when(col("n_docs") > 1, 1L).otherwise(0L)) / count(lit(1))).as("__r"))
+        .filter(col("__r") > c.chunkOverlapMax)
+        .select("doc_id")
+      df.join(dominated, Seq("doc_id"), "left_anti")
+    }),
+    // drop docs sharing any 3-gram shingle with the held-out benchmark set
+    // (q60's check as a filter; the benchmark side is tiny -> broadcast)
+    "contamination_filter" -> ((c, df) => {
+      val bench = graft.core.Tables.load(df.sparkSession, c.benchmarkDir, c.benchmarkTable)
+        .select(explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("s"))
+        .distinct()
+      val hit = df.select(col("doc_id"),
+          explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("s"))
+        .join(broadcast(bench), "s")
+        .select("doc_id").distinct()
+      df.join(hit, Seq("doc_id"), "left_anti")
+    }),
     "split" -> ((c, df) =>
       df.withColumn("split", {
         val b = CurationQueries.knuthBucket(col("doc_id"), 1000)

@@ -92,6 +92,29 @@ object ScaleQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // dense time-grid gap fill: hourly event counts with missing
+    // (hour × type) cells zero-filled — the regular-grid prerequisite for
+    // any windowed/seasonal model. The grid is generated (hours × types,
+    // tiny) and the real data LEFT-joins in: never a per-row explode of
+    // the fact side, so the fact table contributes one aggregate pass.
+    "q81_gap_fill" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val hours = e.agg(
+          date_trunc("hour", min("ts")).as("h0"),
+          date_trunc("hour", max("ts")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val types = e.select("event_type").distinct()
+      val counts = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      hours.crossJoin(types)
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour", "event_type")
+    }),
+
     // Morton z-values over (partkey, suppkey) — the clustering key behind
     // ZOrder.writeClustered, aggregated per returnflag (exact integer
     // arithmetic, mirrored bit-for-bit in the DuckDB oracle)
@@ -130,6 +153,16 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q81_gap_fill" ->
+      ("WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0, " +
+        "date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1 FROM events), " +
+        "hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT h.hour, t.event_type, coalesce(c.n, 0) AS n FROM hours h CROSS JOIN types t " +
+        "LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type " +
+        "ORDER BY h.hour, t.event_type"),
     "q76_zorder_value" -> {
       val z = s"(${spreadSql("l_partkey % 65536")} | (${spreadSql("l_suppkey % 65536")} << 1))"
       s"WITH zed AS (SELECT l_returnflag, $z AS z FROM lineitem) " +

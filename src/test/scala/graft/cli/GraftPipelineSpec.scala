@@ -70,4 +70,51 @@ class GraftPipelineSpec extends SparkSpec {
     assert(Set(0L, 1L, 2L).subsetOf(kept))
     assert(kept.intersect(Set(900000L, 900001L, 900002L)).isEmpty)
   }
+
+  test("dedup_chunks drops boilerplate-dominated docs, keeps unique ones") {
+    import spark.implicits._
+    val out = tmpDir("pipe3")
+    val para = (1 to 80).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, para, "en", "src"),                                          // all-shared
+      (2L, s"$para ${(1 to 8).map(i => s"b$i").mkString(" ")}", "en", "src"), // mostly shared
+      (3L, (1 to 100).map(i => s"uniq$i").mkString(" "), "en", "src")   // unique
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("dedup_chunks"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      chunkOverlapMax = 0.5)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && !kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("contamination_filter drops docs overlapping the benchmark set; config requires its path") {
+    import spark.implicits._
+    val out = tmpDir("pipe4")
+    val leak = "the secret benchmark passage nobody should train on"
+    Seq(
+      (1L, s"normal document text one $leak", "en", "src"),
+      (2L, "completely unrelated content here", "en", "src")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq((100L, leak, "en", "bench")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/bench/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("contamination_filter"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      benchmarkDir = s"$out/bench")
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // fromKv refuses the step without benchmark.path
+    val bad = GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "contamination_filter"))
+    assert(bad.swap.toOption.get.contains("benchmark.path"))
+  }
 }
