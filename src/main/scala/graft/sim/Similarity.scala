@@ -163,6 +163,56 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Persisted IVF index: build once, probe many. At 100 TB the corpus
+    * assignment pass (one map-only scan) dominates ANN cost, so amortising
+    * it across query batches is the difference between an index and a
+    * rescan. `buildIvfIndex` writes two parquet relations —
+    * `<path>/centroids` (nCentroids rows) and `<path>/assigned` (corpus
+    * rows partitioned BY centroid_id, so a probe prunes to its clusters'
+    * directories at the scan) — and [[queryIvfIndex]] reproduces
+    * [[ivfKnn]]'s probe/score/top-k exactly (spec'd). */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCentroids: Int = 16, lloydIters: Int = 0,
+      lloydSamplePct: Int = 100): Unit = {
+    val seeds = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
+      refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centArr = cents.agg(
+      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    assignProbes(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Probe a persisted IVF index. The probe filter lands on the
+    * `centroid_id` PARTITION column of the assigned relation, so Spark
+    * prunes non-probed clusters' files before reading a byte. */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centArr = cents.agg(
+      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val queryProbes = assignProbes(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), centArr, "qv", nProbe)
+    val corpusAssigned = spark.read.parquet(s"$path/assigned")
+      // partition values round-trip as strings (type inference is disabled
+      // session-wide); restore the id type before the probe join
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val scored = corpusAssigned.join(broadcast(queryProbes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    topKRank(scored, k)
+  }
+
   /** Nearest `topN` centroids per row, computed entirely map-side: score
     * every centroid in the broadcast one-row array relation, sort (sim
     * DESC, id ASC), slice, explode. The input never shuffles — the join is

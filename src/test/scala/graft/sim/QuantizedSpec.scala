@@ -43,6 +43,27 @@ class QuantizedSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index reproduces ivfKnn and prunes probed clusters") {
+    val dir = tmpDir("ivfidx")
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
+    val fromIndex = Similarity.queryIvfIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val direct = Similarity.ivfKnn(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2)
+    assert(fromIndex.orderBy("query_id", "rank").collect().toSeq ==
+      direct.orderBy("query_id", "rank").collect().toSeq)
+    // partition pruning: a single-cluster probe plan reads a subset of files
+    val cid = spark.read.parquet(s"$dir/centroids")
+      .select("centroid_id").head().getLong(0)
+    val one = spark.read.parquet(s"$dir/assigned").filter(col("centroid_id") === cid)
+    val all = spark.read.parquet(s"$dir/assigned")
+    def filesRead(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    assert(filesRead(one) < filesRead(all),
+      "centroid_id partition filter did not prune files")
+  }
+
   test("zero vector quantises without dividing by zero") {
     val r = Seq(Seq(0.0f, 0.0f)).toDF("v")
       .select(Similarity.quantizeInt8(col("v")).as("qz")).head()
