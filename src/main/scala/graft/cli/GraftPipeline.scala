@@ -41,6 +41,8 @@ import graft.text.TextAnalysis
   *    `chunk_overlap_max` (boilerplate dominance)
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
+  *  - `mix` — deterministic per-source downsampling at `mix_rates`
+  *    (`web:0.25,news:1.0`) for training-mixture reweighting
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *
@@ -58,7 +60,8 @@ object GraftPipeline {
       qualityMin: Double, minhashThreshold: Double,
       packBudget: Int, testPct: Int,
       chunkOverlapMax: Double = 0.5,
-      benchmarkDir: String = "", benchmarkTable: String = "documents")
+      benchmarkDir: String = "", benchmarkTable: String = "documents",
+      mixRates: Map[String, Double] = Map.empty)
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -70,6 +73,8 @@ object GraftPipeline {
       Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
+    else if (steps.contains("mix") && parseRates(kv.getOrElse("mix_rates", "")).isEmpty)
+      Left("mix requires mix_rates (source:rate, comma-separated)")
     else Right(PipelineConfig(
       inputDir = kv("input.path"),
       table = kv.getOrElse("input.table", "documents"),
@@ -81,8 +86,18 @@ object GraftPipeline {
       testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1),
       chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
       benchmarkDir = kv.getOrElse("benchmark.path", ""),
-      benchmarkTable = kv.getOrElse("benchmark.table", "documents")))
+      benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
+      mixRates = parseRates(kv.getOrElse("mix_rates", ""))))
   }
+
+  /** `web:0.25,news:1.0` → Map(web -> 0.25, …); malformed entries dropped. */
+  private[cli] def parseRates(s: String): Map[String, Double] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).flatMap { e =>
+      e.split(":", 2) match {
+        case Array(k, v) => v.trim.toDoubleOption.map(k.trim -> _)
+        case _ => None
+      }
+    }.toMap
 
   /** Step registry: name → (config, frame) → frame. */
   val Steps: Map[String, (PipelineConfig, DataFrame) => DataFrame] = Map(
@@ -125,6 +140,16 @@ object GraftPipeline {
         .join(broadcast(bench), "s")
         .select("doc_id").distinct()
       df.join(hit, Seq("doc_id"), "left_anti")
+    }),
+    // deterministic source mixing: keep each source at its configured rate
+    // (training-mixture reweighting). Sources not named keep rate 1.0; the
+    // acceptance hash is the split/sample Knuth hash, so reruns and appends
+    // sample identically. Map-only.
+    "mix" -> ((c, df) => {
+      val rate = c.mixRates.foldLeft(lit(1.0)) {
+        case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+      }
+      df.filter(CurationQueries.knuthBucket(col("doc_id"), 1000) < rate * 1000)
     }),
     "split" -> ((c, df) =>
       df.withColumn("split", {

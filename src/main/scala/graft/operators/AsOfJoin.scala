@@ -68,4 +68,38 @@ object AsOfJoin {
         payload.map(p => guarded.getField(p).as(p)) :+
         guarded.getField("__match_ts").as("match_ts"): _*)
   }
+
+  /** Zero-left-shuffle as-of for DIMENSION-sized right sides (exchange
+    * rates, config history, slowly-changing reference tables): the right
+    * side collapses to one sorted array per key and broadcasts, each left
+    * row picks its match with an array filter + last-element — a map-only
+    * pass over the left table, where [[backward]] pays a full window
+    * shuffle of left ∪ right. Use [[backward]] when the right side is
+    * fact-sized.
+    *
+    * Same semantics as [[backward]] (at-or-before inclusive, tolerance as
+    * max staleness, null when nothing qualifies), with a DETERMINISTIC
+    * equal-ts tiebreak (max payload struct) where backward's depends on
+    * input order. Right-side rows per key must fit one array (~the same
+    * bound a broadcast hash join already imposes on the build side). */
+  def broadcastBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val rStruct = struct(col(rightTs).as("__ts") +: payload.map(col): _*)
+    val arr = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(rStruct)).as("__arr"))
+    val lt = col(leftTs)
+    val cands = tolerance match {
+      case Some(secs) => filter(col("__arr"), e =>
+        e("__ts") <= lt &&
+          unix_timestamp(lt) - unix_timestamp(e("__ts")) <= secs)
+      case None => filter(col("__arr"), e => e("__ts") <= lt)
+    }
+    val hit = when(size(cands) > 0, element_at(cands, size(cands)))
+    left.join(broadcast(arr), keys, "left")
+      .select(left.columns.toSeq.map(col) ++
+        payload.map(p => hit.getField(p).as(p)) :+
+        hit.getField("__ts").as("match_ts"): _*)
+  }
 }

@@ -92,6 +92,34 @@ class GraftPipelineSpec extends SparkSpec {
     assert(kept.contains(3L) && !kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("mix keeps named sources at their rates, others fully; config requires rates") {
+    val out = tmpDir("pipe5")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val victim = bySource.keys.toSeq.sorted.head
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = sf001, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("mix"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      mixRates = Map(victim -> 0.25))
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unnamed sources untouched, the named one roughly quartered
+    bySource.filter(_._1 != victim).foreach { case (s, n) => assert(kept(s) == n) }
+    val frac = kept(victim).toDouble / bySource(victim)
+    assert(frac > 0.1 && frac < 0.4, s"kept fraction $frac for rate 0.25")
+    // rerun-deterministic: same rows kept
+    GraftPipeline.run(spark, cfg.copy(outputDir = s"$out/shards2"))
+    assert(spark.read.parquet(s"$out/shards2").select("doc_id").collect().map(_.getLong(0)).toSet ==
+      spark.read.parquet(s"$out/shards").select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "mix")).swap.toOption.get.contains("mix_rates"))
+    assert(GraftPipeline.parseRates("web:0.25, news:1.0") ==
+      Map("web" -> 0.25, "news" -> 1.0))
+  }
+
   test("contamination_filter drops docs overlapping the benchmark set; config requires its path") {
     import spark.implicits._
     val out = tmpDir("pipe4")

@@ -37,6 +37,35 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.head().isNullAt(tight.head().fieldIndex("v")))
   }
 
+  test("broadcastBackward equals backward on real data, incl. tolerance") {
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val leftSide = ev.filter(col("event_type") =!= "signup")
+      .select("event_id", "user_id", "ts")
+    val rightSide = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("value"))
+    for (tol <- Seq(None, Some(3600L))) {
+      val a = AsOfJoin.backward(leftSide, rightSide, Seq("user_id"),
+        "ts", "s_ts", Seq("value"), tol)
+      val b = AsOfJoin.broadcastBackward(leftSide, rightSide, Seq("user_id"),
+        "ts", "s_ts", Seq("value"), tol)
+      assert(a.orderBy("event_id").collect().toSeq ==
+        b.orderBy("event_id").collect().toSeq, s"tolerance=$tol")
+    }
+  }
+
+  test("broadcastBackward plans as a broadcast join, no window, no left shuffle") {
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val leftSide = ev.filter(col("event_type") =!= "signup")
+      .select("event_id", "user_id", "ts")
+    val rightSide = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("value"))
+    val plan = AsOfJoin.broadcastBackward(leftSide, rightSide, Seq("user_id"),
+      "ts", "s_ts", Seq("value")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"left side must not shuffle or sort:\n$plan")
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val supp = spark.read.parquet(s"$sf001/supplier.parquet")
