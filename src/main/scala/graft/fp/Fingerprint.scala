@@ -52,4 +52,29 @@ object Fingerprint {
   def byPartition(df: DataFrame, partKeys: Seq[(String, Column)], cols: Seq[Column]): DataFrame =
     df.groupBy(partKeys.map { case (n, c) => c.as(n) }: _*)
       .agg(count(lit(1)).as("rows"), agg(cols).as("fp"))
+
+  /** Incremental fingerprint maintenance — the reason XOR (not a sum or a
+    * sketch) is the right aggregate at 100 TB: XOR is its own inverse, so a
+    * stored per-partition (rows, fp) table updates from a DELTA alone.
+    * Appends fold in as `fp ⊕ fp(delta)`; deletions fold in the SAME way
+    * (re-XOR of the removed rows cancels them). A daily reconcile of an
+    * append-only table therefore scans the day's delta, never the table:
+    * O(delta + partitions) instead of O(table).
+    *
+    * `stored` must have columns (partCols..., rows, fp) as produced by
+    * [[byPartition]]; `deltaRows` counts sign (+1 append, -1 delete).
+    * Partitions that end at rows==0 drop out. Spec-verified:
+    * merge(byPartition(old), delta) == byPartition(old ∪ delta). */
+  def mergeDelta(stored: DataFrame, delta: DataFrame, partCols: Seq[String],
+      deltaSign: Int = 1): DataFrame = {
+    val d = delta.withColumnRenamed("rows", "__d_rows")
+      .withColumnRenamed("fp", "__d_fp")
+    stored.join(d, partCols, "full_outer")
+      .select(partCols.map(col) ++ Seq(
+        (coalesce(col("rows"), lit(0L)) +
+          lit(deltaSign) * coalesce(col("__d_rows"), lit(0L))).as("rows"),
+        coalesce(col("fp"), lit(0L))
+          .bitwiseXOR(coalesce(col("__d_fp"), lit(0L))).as("fp")): _*)
+      .filter(col("rows") > 0)
+  }
 }

@@ -42,4 +42,25 @@ class FingerprintSpec extends SparkSpec {
     val (fp, n) = Fingerprint.ofDataFrame(filtered)
     assert(one.getLong(1) == n && one.getLong(2) == fp)
   }
+
+  test("mergeDelta: append and delete deltas reproduce a full recompute") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val keys = Seq("part" -> date_format(col("l_shipdate"), "yyyyMM"))
+    val cols = li.columns.toSeq.map(col)
+    val old = li.filter(col("l_orderkey") % 5 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 5 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("part").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // append: stored(old) + delta == recompute(old ∪ delta)
+    val merged = Fingerprint.mergeDelta(
+      Fingerprint.byPartition(old, keys, cols),
+      Fingerprint.byPartition(delta, keys, cols), Seq("part"))
+    assert(canon(merged) == canon(Fingerprint.byPartition(li, keys, cols)))
+    // delete: stored(all) - delta == recompute(old); emptied partitions drop
+    val removed = Fingerprint.mergeDelta(
+      Fingerprint.byPartition(li, keys, cols),
+      Fingerprint.byPartition(delta, keys, cols), Seq("part"), deltaSign = -1)
+    assert(canon(removed) == canon(Fingerprint.byPartition(old, keys, cols)))
+  }
 }
