@@ -218,6 +218,19 @@ object ExtendedQueries {
       AsOfJoin.backward(left, right, Seq("user_id"), "ts", "ts", Seq("s_value"))
         .select("event_id", "user_id", "s_value", "match_ts")
         .orderBy("event_id")
+    }),
+
+    // the SAME as-of semantics through the zero-left-shuffle broadcast
+    // variant — its own DuckDB ASOF oracle proves the two formulations and
+    // the reference engine all agree
+    "q82_asof_broadcast" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val left = ev.select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("value").as("s_value"))
+      AsOfJoin.broadcastBackward(left, right, Seq("user_id"), "ts", "ts", Seq("s_value"))
+        .select("event_id", "user_id", "s_value", "match_ts")
+        .orderBy("event_id")
     })
   )
 
@@ -280,6 +293,11 @@ object ExtendedQueries {
       ("SELECT event_id, ['type', 'k'] AS ks, event_type AS m_type, json_extract_string(props, '$.k') AS m_k " +
         "FROM events ORDER BY event_id"),
     "q29_asof_join" ->
+      ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
+        "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
+        "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS s_value FROM events WHERE event_type = 'signup' GROUP BY 1, 2) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY event_id"),
+    "q82_asof_broadcast" ->
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
         "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS s_value FROM events WHERE event_type = 'signup' GROUP BY 1, 2) r " +
