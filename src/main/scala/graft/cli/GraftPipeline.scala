@@ -73,9 +73,17 @@ object GraftPipeline {
       Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
-    else if (steps.contains("mix") && parseRates(kv.getOrElse("mix_rates", "")).isEmpty)
-      Left("mix requires mix_rates (source:rate, comma-separated)")
-    else Right(PipelineConfig(
+    else parseRates(kv.getOrElse("mix_rates", "")) match {
+      case Left(err) => Left(err)
+      case Right(rates) if steps.contains("mix") && rates.isEmpty =>
+        Left("mix requires mix_rates (source:rate, comma-separated)")
+      case Right(rates) => Right(buildConfig(kv, steps, rates))
+    }
+  }
+
+  private def buildConfig(kv: Map[String, String], steps: Seq[String],
+      rates: Map[String, Double]): PipelineConfig =
+    PipelineConfig(
       inputDir = kv("input.path"),
       table = kv.getOrElse("input.table", "documents"),
       outputDir = kv("output.path"),
@@ -87,17 +95,26 @@ object GraftPipeline {
       chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
       benchmarkDir = kv.getOrElse("benchmark.path", ""),
       benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
-      mixRates = parseRates(kv.getOrElse("mix_rates", ""))))
-  }
+      mixRates = rates)
 
-  /** `web:0.25,news:1.0` → Map(web -> 0.25, …); malformed entries dropped. */
-  private[cli] def parseRates(s: String): Map[String, Double] =
-    s.split(",").map(_.trim).filter(_.nonEmpty).flatMap { e =>
+  /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
+    * entry or a rate outside [0, 1] fails the whole config — silently
+    * dropping `web:0.2five` would leave the dominant source unsampled. */
+  private[cli] def parseRates(s: String): Either[String, Map[String, Double]] = {
+    val entries = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = entries.map { e =>
       e.split(":", 2) match {
-        case Array(k, v) => v.trim.toDoubleOption.map(k.trim -> _)
-        case _ => None
+        case Array(k, v) => v.trim.toDoubleOption match {
+          case Some(r) if r >= 0.0 && r <= 1.0 => Right(k.trim -> r)
+          case Some(r) => Left(s"mix_rates: rate out of [0,1] for '$k': $r")
+          case None => Left(s"mix_rates: unparseable rate in '$e'")
+        }
+        case _ => Left(s"mix_rates: expected source:rate, got '$e'")
       }
-    }.toMap
+    }
+    parsed.collectFirst { case Left(err) => err }
+      .toLeft(parsed.collect { case Right(kv) => kv }.toMap)
+  }
 
   /** Step registry: name → (config, frame) → frame. */
   val Steps: Map[String, (PipelineConfig, DataFrame) => DataFrame] = Map(
@@ -119,13 +136,8 @@ object GraftPipeline {
     // is a dominance filter (both members of a full-copy pair score ~1 and
     // both drop) — use dedup_exact/dedup_minhash first for pair dedup.
     "dedup_chunks" -> ((c, df) => {
-      val chunks = df.select(col("doc_id"),
-        explode(Dedup.chunkFingerprints(col("text"))).as("ch"))
-      val shared = chunks.groupBy("ch").agg(countDistinct("doc_id").as("n_docs"))
-      val dominated = chunks.join(shared, "ch")
-        .groupBy("doc_id")
-        .agg((sum(when(col("n_docs") > 1, 1L).otherwise(0L)) / count(lit(1))).as("__r"))
-        .filter(col("__r") > c.chunkOverlapMax)
+      val dominated = Dedup.chunkSharedCounts(df, "doc_id", "text")
+        .filter(col("n_shared") > lit(c.chunkOverlapMax) * col("n_chunks"))
         .select("doc_id")
       df.join(dominated, Seq("doc_id"), "left_anti")
     }),
@@ -142,14 +154,17 @@ object GraftPipeline {
       df.join(hit, Seq("doc_id"), "left_anti")
     }),
     // deterministic source mixing: keep each source at its configured rate
-    // (training-mixture reweighting). Sources not named keep rate 1.0; the
-    // acceptance hash is the split/sample Knuth hash, so reruns and appends
-    // sample identically. Map-only.
+    // (training-mixture reweighting). Sources not named keep rate 1.0.
+    // The acceptance hash is SALTED ("mix") so it is independent of the
+    // split/sample Knuth hash — reusing split's hash would make every
+    // mix-survivor land in the low buckets that `split` labels test/val
+    // (a 2% mix rate would leave the source with ZERO train docs).
+    // Deterministic under reruns and appends. Map-only.
     "mix" -> ((c, df) => {
       val rate = c.mixRates.foldLeft(lit(1.0)) {
         case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
       }
-      df.filter(CurationQueries.knuthBucket(col("doc_id"), 1000) < rate * 1000)
+      df.filter(pmod(xxhash64(col("doc_id"), lit("mix")), lit(1000)) < rate * 1000)
     }),
     "split" -> ((c, df) =>
       df.withColumn("split", {

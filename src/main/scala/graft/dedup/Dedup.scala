@@ -209,6 +209,23 @@ object Dedup {
       .rollingChunks(c, maskBits = bits.toInt)
   }
 
+  /** Per-doc CDC-chunk sharing counts — the single implementation behind
+    * the q80 catalog query and the pipeline's `dedup_chunks` step:
+    * (idCol, n_chunks, n_shared) where n_shared counts the doc's chunks
+    * that also occur in at least one OTHER doc (distinct-doc counting, so
+    * within-doc repetition can't make a chunk look shared). Two
+    * 8-byte-key shuffles: chunk-hash counts, then the join-back. */
+  def chunkSharedCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunks = df.select(col(idCol),
+      explode(chunkFingerprints(col(textCol))).as("ch"))
+    val shared = chunks.groupBy("ch")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    chunks.join(shared, "ch")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after
     * candidate scoring (a~b and b~c must collapse to ONE keeper even when

@@ -163,22 +163,11 @@ object CurationQueries {
     // that follows q69's chunking. Two 8-byte-key shuffles (chunk
     // counts, join-back); chunk hashes are xxhash-derived -> rows-only
     // oracle, planted-overlap recovery spec'd in DedupSpec.
-    "q80_chunk_overlap" -> ((s, dir) => {
-      val chunks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(Dedup.chunkFingerprints(col("text"))).as("ch"))
-      // count DISTINCT docs per chunk so within-doc repetition can't
-      // make a chunk look shared
-      val shared = chunks.groupBy("ch")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      chunks.join(shared, "ch")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+    "q80_chunk_overlap" -> ((s, dir) =>
+      Dedup.chunkSharedCounts(Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chunks"), col("n_shared"),
           round(col("n_shared") / col("n_chunks"), 6).as("shared_ratio"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // repetition scoring: per-doc max-token-frequency and distinct-token
     // ratios — the standard "degenerate repetition" quality filter.

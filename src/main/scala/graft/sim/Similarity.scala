@@ -182,7 +182,11 @@ object Similarity {
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val centArr = cents.agg(
+    // assign against the centroids just WRITTEN, not the lazy plan that
+    // produced them: re-evaluating `cents` would re-run every Lloyd pass
+    // (double build cost) and make on-disk ≡ assignment hold only by
+    // recomputation determinism instead of by construction
+    val centArr = corpus.sparkSession.read.parquet(s"$path/centroids").agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     assignProbes(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
@@ -202,10 +206,12 @@ object Similarity {
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     val queryProbes = assignProbes(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), centArr, "qv", nProbe)
+    // partition values round-trip as strings (type inference is disabled
+    // session-wide); restore whatever id type the centroids relation
+    // carries — ids are generic (long, string, …), not always long
+    val idType = cents.schema("centroid_id").dataType
     val corpusAssigned = spark.read.parquet(s"$path/assigned")
-      // partition values round-trip as strings (type inference is disabled
-      // session-wide); restore the id type before the probe join
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .withColumn("centroid_id", col("centroid_id").cast(idType))
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -35,17 +35,18 @@ object ClickHouseJdbc {
       keyFilename: String = "") {
 
     /** clickhouse-jdbc URL; `ssl=true` ≙ the reference's `secure` DSN arg,
-      * `sslmode=none` ≙ `skip_verify` (accept any cert), `sslrootcert` ≙
-      * `key_filename` (custom CA bundle) — `database/database.go:101-130`,
-      * `config/config.go:15-18`. */
+      * `sslmode=none` ≙ `skip_verify` (accept any cert) — the two TLS
+      * fields the reference actually emits (`database/database.go:101-130`).
+      * `keyFilename` is carried for config compatibility but NOT mapped to
+      * any JDBC option: the reference parses `key_filename`
+      * (`config/config.go:16`) and never wires it into its DSN either —
+      * inventing a mapping (e.g. sslrootcert) would misuse a client-key
+      * path as a CA bundle. */
     def url: String = {
       val ssl =
         if (!secure) ""
-        else {
-          val mode = if (skipVerify) "none" else "strict"
-          val ca = if (keyFilename.nonEmpty) s"&sslrootcert=$keyFilename" else ""
-          s"?ssl=true&sslmode=$mode$ca"
-        }
+        else if (skipVerify) "?ssl=true&sslmode=none"
+        else "?ssl=true&sslmode=strict"
       s"jdbc:clickhouse://$host:$port/$database$ssl"
     }
 

@@ -117,7 +117,34 @@ class GraftPipelineSpec extends SparkSpec {
     assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> "mix")).swap.toOption.get.contains("mix_rates"))
     assert(GraftPipeline.parseRates("web:0.25, news:1.0") ==
-      Map("web" -> 0.25, "news" -> 1.0))
+      Right(Map("web" -> 0.25, "news" -> 1.0)))
+    // strict parsing: malformed or out-of-range rates fail the config
+    // instead of silently leaving a source unsampled
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "mix", "mix_rates" -> "web:0.2five,news:1.0"))
+      .swap.toOption.get.contains("unparseable"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "mix", "mix_rates" -> "web:1.5"))
+      .swap.toOption.get.contains("out of [0,1]"))
+  }
+
+  test("mix hash is independent of split's hash (downsampled source keeps train docs)") {
+    val out = tmpDir("pipe6")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = sf001, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("mix", "split"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      mixRates = spark.read.parquet(s"$sf001/documents.parquet")
+        .select("source").distinct().collect()
+        .map(r => r.getString(0) -> 0.1).toMap)
+    GraftPipeline.run(spark, cfg)
+    val bySplit = spark.read.parquet(s"$out/shards").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // with a correlated hash, a 10% mix would leave ZERO train docs (all
+    // survivors land in the low buckets split labels test/val)
+    val total = bySplit.values.sum
+    assert(bySplit.getOrElse("train", 0L).toDouble / total > 0.9,
+      s"split distribution skewed by mix hash: $bySplit")
   }
 
   test("contamination_filter drops docs overlapping the benchmark set; config requires its path") {

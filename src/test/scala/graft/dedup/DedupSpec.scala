@@ -107,12 +107,8 @@ class DedupSpec extends SparkSpec {
       (2L, s"$para ${(1 to 60).map(i => s"beta$i").mkString(" ")}"),
       (3L, (1 to 120).map(i => s"gamma$i").mkString(" "))
     ).toDF("doc_id", "text")
-    val chunks = d.select(col("doc_id"),
-      explode(Dedup.chunkFingerprints(col("text"))).as("ch"))
-    val shared = chunks.groupBy("ch").agg(countDistinct("doc_id").as("n_docs"))
-    val ratios = chunks.join(shared, "ch")
-      .groupBy("doc_id")
-      .agg((sum(when(col("n_docs") > 1, 1L).otherwise(0L)) / count(lit(1))).as("r"))
+    val ratios = Dedup.chunkSharedCounts(d, "doc_id", "text")
+      .select(col("doc_id"), (col("n_shared") / col("n_chunks")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ratios(1L) > 0.2, s"doc 1 shared_ratio ${ratios(1L)}")
     assert(ratios(2L) > 0.2, s"doc 2 shared_ratio ${ratios(2L)}")

@@ -27,11 +27,12 @@ class ClickHouseJdbcSpec extends AnyFunSuite {
     assert(c.options("driver") == "com.clickhouse.jdbc.ClickHouseDriver")
   }
 
-  test("TLS trust options: skip_verify -> sslmode=none, key_filename -> sslrootcert (config.go:15-18)") {
+  test("TLS trust options: skip_verify -> sslmode=none; key_filename carried but unwired (config.go:15-18)") {
     val c = parseDsn("tcp://ch3:9440?secure=true&skip_verify=true&key_filename=/etc/ca.pem", "db", "t")
     assert(c.secure && c.skipVerify && c.keyFilename == "/etc/ca.pem")
-    assert(c.url ==
-      "jdbc:clickhouse://ch3:9440/db?ssl=true&sslmode=none&sslrootcert=/etc/ca.pem")
+    // key_filename must NOT leak into the URL: the reference parses the
+    // field and never emits it either (dead config field)
+    assert(c.url == "jdbc:clickhouse://ch3:9440/db?ssl=true&sslmode=none")
   }
 
   test("yaml endpoint bridges to a JDBC conn with the TLS fields intact") {
@@ -47,6 +48,6 @@ class ClickHouseJdbcSpec extends AnyFunSuite {
         |""".stripMargin)
     val c = ClickHouseJdbc.fromEndpoint(cfg.source)
     assert(c.host == "ch4" && c.secure && c.skipVerify && c.keyFilename == "/etc/ca.pem")
-    assert(c.url.endsWith("ssl=true&sslmode=none&sslrootcert=/etc/ca.pem"))
+    assert(c.url.endsWith("ssl=true&sslmode=none"))
   }
 }
