@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index — manifest-based data skipping.
+  *
+  * Parquet row-group pruning needs every file's FOOTER opened first; at
+  * 100 TB / millions of files that footer sweep is itself the bottleneck
+  * (and on object stores, a per-file round trip). The lakehouse answer
+  * (Delta/Iceberg manifests) is a tiny side table of per-file column
+  * ranges consulted BEFORE the scan, so non-qualifying files are never
+  * opened, listed, or fetched. This is that index in plain parquet:
+  *
+  *  - [[build]]: one pass over the table computes (file, min, max) per
+  *    indexed column and writes it next to the data (`<table>_stats`) —
+  *    rebuild after writes, or maintain incrementally per new file.
+  *  - [[prunedRead]]: filter the stats relation (files × columns rows,
+  *    driver-bounded the same way the partition list is), then read ONLY
+  *    the surviving files. The predicate is re-applied exactly, so a
+  *    stale or over-wide index can only cost extra I/O, never wrong rows.
+  *
+  * Pairs with [[ZOrder.writeClustered]]: z-ordered files have tight
+  * rectangles on both clustering keys, so this index prunes on either
+  * dimension; a linearly-sorted layout only ever prunes on its sort key.
+  */
+object FileStatsIndex {
+
+  /** Per-file (path, n_rows, <col>_min, <col>_max …) stats relation. */
+  def stats(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+
+  /** Compute and persist the index for a parquet table directory. */
+  def build(spark: SparkSession, tablePath: String, cols: Seq[String]): Unit =
+    stats(spark.read.parquet(tablePath), cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(tablePath))
+
+  def statsPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "_stats"
+
+  /** Read only the files whose [min, max] range intersects [lo, hi] on
+    * `column`, then re-apply the exact predicate. The driver materialises
+    * just the surviving file LIST (≤ #files rows — the same bounded
+    * cardinality the reconciler's partition list carries). */
+  def prunedRead(spark: SparkSession, tablePath: String, column: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = spark.read.parquet(statsPath(tablePath))
+      .filter(col(s"${column}_max") >= lo && col(s"${column}_min") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(files: _*)
+    pruned.filter(col(column) >= lo && col(column) <= hi)
+  }
+}

@@ -58,4 +58,30 @@ class ZOrderSpec extends SparkSpec {
     assert(sw > 0.8, s"control layout unexpectedly clustered: $sw")
     assert(zw < 0.6 * sw, s"z-order did not bound dimension b: z=$zw vs sort=$sw")
   }
+
+  test("file-stats index prunes files on BOTH z-ordered dimensions, results exact") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val Array(maxA, maxB) = li.agg(max("a"), max("b")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val zDir = tmpDir("zstats")
+    ZOrder.writeClustered(li, col("a"), col("b"), maxA, maxB, zDir, 8)
+    FileStatsIndex.build(spark, zDir, Seq("a", "b"))
+    val nFiles = spark.read.parquet(zDir)
+      .select(input_file_name()).distinct().count()
+    for (dim <- Seq("a", "b")) {
+      val hiBound = if (dim == "a") maxA / 8 else maxB / 8
+      val pruned = FileStatsIndex.prunedRead(spark, zDir, dim, lit(0L), lit(hiBound))
+      val full = spark.read.parquet(zDir)
+        .filter(col(dim) >= 0L && col(dim) <= hiBound)
+      // exact result...
+      assert(pruned.count() == full.count() && pruned.count() > 0, s"dim $dim")
+      // ...from fewer files than the table holds
+      val filesRead = pruned.select(input_file_name()).distinct().count()
+      assert(filesRead < nFiles, s"dim $dim read all $nFiles files")
+    }
+    // empty range: no files, empty frame with the right schema
+    assert(FileStatsIndex.prunedRead(spark, zDir, "a",
+      lit(maxA + 10), lit(maxA + 20)).count() == 0)
+  }
 }
