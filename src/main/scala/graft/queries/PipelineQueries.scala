@@ -214,6 +214,20 @@ object PipelineQueries {
       graft.streaming.StreamingReconcile.attributionJoinStream(s, dir)
         .orderBy("event_type")),
 
+    // persisted IVF index round trip: build (centroid-partitioned corpus on
+    // disk) then probe — the build-once/probe-many ANN shape. Hash-seeded
+    // centroids -> rows-only; index ≡ direct ivfKnn is spec'd.
+    "q83_ivf_index" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir, nCentroids = 16)
+      Similarity.queryIvfIndex(s, idxDir, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
     // sessionization over the events stream (30-min gap), batch form of the
     // mapGroupsWithState streaming operator
     "q46_sessionize" -> ((s, dir) => {
