@@ -140,6 +140,51 @@ object StreamingReconcile {
       .agg(count(lit(1)).as("n_attributed"))
   }
 
+  /** One micro-batch step of incremental fingerprint maintenance: fold the
+    * batch's per-partition (rows, fp) delta into the stored relation via
+    * [[graft.fp.Fingerprint.mergeDelta]]. The store's cardinality is the
+    * PARTITION count, so it round-trips through the driver exactly like
+    * the reconciler's partition list (bounded, never O(rows)) — which also
+    * sidesteps overwriting a path while lazily reading it. */
+  def mergeFingerprintBatch(spark: SparkSession, storePath: String,
+      batch: DataFrame, partKeys: Seq[(String, org.apache.spark.sql.Column)],
+      cols: Seq[org.apache.spark.sql.Column]): Unit = {
+    val delta = graft.fp.Fingerprint.byPartition(batch, partKeys, cols)
+    val keyNames = partKeys.map(_._1)
+    val merged =
+      if (new java.io.File(storePath).exists())
+        graft.fp.Fingerprint.mergeDelta(
+          spark.read.parquet(storePath), delta, keyNames)
+      else delta
+    val snapshot = merged.collect().toSeq // bounded: one row per partition
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(snapshot, 1), merged.schema)
+      .write.mode("overwrite").parquet(storePath)
+  }
+
+  /** Streaming maintenance of the stored per-partition fingerprint table:
+    * an actual stream over the events files folds each micro-batch into
+    * the store with [[mergeFingerprintBatch]], so the store always equals
+    * a full [[graft.fp.Fingerprint.byPartition]] recompute WITHOUT ever
+    * rescanning history — the streaming form of the mergeDelta
+    * O(delta + partitions) reconcile. Returns the final store. */
+  def fingerprintStoreStream(spark: SparkSession, dir: String,
+      storePath: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = "fingerprint_store_stream"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val contentCols = Seq(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = readEvents(spark, dir).writeStream
+      .queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeFingerprintBatch(spark, storePath, batch,
+          Seq("event_type" -> col("event_type")), contentCols)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(storePath)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(lastTs: Long, sessions: Int, events: Long)

@@ -40,6 +40,29 @@ class StreamingReconcileSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint store: two-batch merge and the streamed store equal a full recompute") {
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val contentCols = Seq(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keys = Seq("event_type" -> col("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = canon(graft.fp.Fingerprint.byPartition(ev, keys, contentCols))
+
+    // manual two-batch merge (exercises the store-exists path)
+    val store1 = tmpDir("fpstore1") + "/store"
+    StreamingReconcile.mergeFingerprintBatch(spark, store1,
+      ev.filter(col("event_id") % 2 === 0), keys, contentCols)
+    StreamingReconcile.mergeFingerprintBatch(spark, store1,
+      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols)
+    assert(canon(spark.read.parquet(store1)) == full)
+
+    // end-to-end: an actual availableNow stream maintains the same store
+    val store2 = tmpDir("fpstore2") + "/store"
+    val streamed = StreamingReconcile.fingerprintStoreStream(spark, sf001, store2)
+    assert(canon(streamed) == full)
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val got = StreamingReconcile.attributionJoinStream(spark, sf001)
       .orderBy("event_type").collect()
