@@ -31,6 +31,7 @@ import graft.text.TextAnalysis
   * ```
   *
   * Steps (any order, any subset):
+  *  - `strip_html` — crude tag/script removal for web-crawl input
   *  - `normalize` / `redact` — map-only text canonicalisation / PII masking
   *  - `dedup_exact` — keep the smallest id per exact content (8-byte hash
   *    shuffle key)
@@ -118,6 +119,8 @@ object GraftPipeline {
 
   /** Step registry: name → (config, frame) → frame. */
   val Steps: Map[String, (PipelineConfig, DataFrame) => DataFrame] = Map(
+    "strip_html" -> ((_, df) =>
+      df.withColumn("text", TextAnalysis.stripHtml(col("text")))),
     "normalize" -> ((_, df) =>
       df.withColumn("text", TextAnalysis.normalize(col("text")))),
     "redact" -> ((_, df) =>

@@ -21,4 +21,28 @@ object Formats {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Quarantining JSON read: malformed lines are neither dropped silently
+    * (PERMISSIVE's default nulls) nor allowed to kill a 100 TB ingest
+    * (FAILFAST); they land in a `_corrupt` column so the caller can split
+    * the stream — clean rows onward, quarantine rows to a side sink with
+    * the raw line preserved for replay. At scale, silent row loss in
+    * ingest is unauditable; a fatal job for one bad line is unoperable;
+    * this is the standard third way. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      // PERMISSIVE corrupt-column access requires a materialisation
+      // boundary since Spark 2.3 (the parser fills it lazily)
+      .cache()
+    val clean = withCorrupt.filter(col("_corrupt").isNull).drop("_corrupt")
+    val quarantine = withCorrupt.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"))
+    (clean, quarantine)
+  }
 }

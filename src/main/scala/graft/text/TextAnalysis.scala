@@ -74,6 +74,25 @@ object TextAnalysis {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
 
+  /** Crude HTML → text for web-crawl ingest: drop script/style blocks
+    * (content AND markup), strip remaining tags, decode the five core
+    * entities, collapse whitespace. RE2-safe patterns (no lookarounds,
+    * non-greedy block bodies), map-only, codegen'd — the cheap first-pass
+    * boilerplate cut before language-ID/quality scoring; a production
+    * extractor (readability/trafilatura-class) plugs in at the same
+    * column-in/column-out seam. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (col0, (ent, ch)) =>
+        regexp_replace(col0, ent, java.util.regex.Matcher.quoteReplacement(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** PII scrubbing: replace email addresses, international-ish phone
     * numbers, and IPv4 literals with type tags. Deliberately conservative
     * RE2-safe patterns (no lookarounds); map-only, codegen'd. Order

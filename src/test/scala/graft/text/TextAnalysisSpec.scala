@@ -58,6 +58,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](T.langId(col("text")), "xyzzy plugh qwert") == "und")
   }
 
+  test("stripHtml drops tags and script/style bodies, decodes entities") {
+    val html = "<html><head><style>body { color: red }</style>" +
+      "<script>var x = \"<b>evil</b>\";</script></head>" +
+      "<body><h1>Title</h1><p>Hello &amp; welcome to &quot;graft&quot;.</p>" +
+      "<a href=\"x\">link</a>&nbsp;end</body></html>"
+    assert(one[String](T.stripHtml(col("text")), html) ==
+      "Title Hello & welcome to \"graft\". link end")
+    // plain text passes through (modulo whitespace collapse)
+    assert(one[String](T.stripHtml(col("text")), "no  markup\there") == "no markup here")
+  }
+
   test("quality score bands") {
     val good = ("word " * 40).trim + " the and of it is" // >100 chars, no punct, stopwords
     assert(one[Double](T.qualityScore(col("text")), good) == 1.0)
