@@ -92,6 +92,37 @@ object ScaleQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // snapshot drift report: per-column distribution stats (rows, nulls,
+    // min/max, distinct) for two snapshots side by side — the data-quality
+    // canary run BEFORE a copy: one aggregate pass per side (map-side
+    // partial), one 1-row × 1-row join, long-format output. Same derived
+    // dst as q72 so the two reports cross-validate.
+    "q84_drift_report" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val dst = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      def stats(df: org.apache.spark.sql.DataFrame, p: String) = df.agg(
+        count(lit(1)).cast("double").as(s"${p}n_rows"),
+        min("o_totalprice").cast("double").as(s"${p}price_min"),
+        max("o_totalprice").cast("double").as(s"${p}price_max"),
+        countDistinct(col("o_orderpriority")).cast("double").as(s"${p}prio_distinct"),
+        countDistinct(col("o_orderstatus")).cast("double").as(s"${p}status_distinct"))
+      stats(o, "s_").crossJoin(stats(dst, "d_"))
+        .select(expr(
+          """stack(5,
+            |'n_rows', s_n_rows, d_n_rows,
+            |'price_max', s_price_max, d_price_max,
+            |'price_min', s_price_min, d_price_min,
+            |'prio_distinct', s_prio_distinct, d_prio_distinct,
+            |'status_distinct', s_status_distinct, d_status_distinct
+            |) AS (metric, src_value, dst_value)""".stripMargin))
+        .withColumn("drift", col("dst_value") - col("src_value"))
+        .orderBy("metric")
+    }),
+
     // dense time-grid gap fill: hourly event counts with missing
     // (hour × type) cells zero-filled — the regular-grid prerequisite for
     // any windowed/seasonal model. The grid is generated (hours × types,
@@ -153,6 +184,21 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q84_drift_report" ->
+      ("WITH src AS (SELECT CAST(count(*) AS DOUBLE) AS n_rows, CAST(min(o_totalprice) AS DOUBLE) AS price_min, " +
+        "CAST(max(o_totalprice) AS DOUBLE) AS price_max, CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS prio_distinct, " +
+        "CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS status_distinct FROM orders), " +
+        "dst AS (SELECT CAST(count(*) AS DOUBLE) AS n_rows, CAST(min(p) AS DOUBLE) AS price_min, " +
+        "CAST(max(p) AS DOUBLE) AS price_max, CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS prio_distinct, " +
+        "CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS status_distinct FROM " +
+        "(SELECT o_orderpriority, o_orderstatus, CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS p " +
+        "FROM orders WHERE o_orderkey % 97 <> 0)), " +
+        "m AS (SELECT 'n_rows' AS metric, s.n_rows AS src_value, d.n_rows AS dst_value FROM src s, dst d " +
+        "UNION ALL SELECT 'price_max', s.price_max, d.price_max FROM src s, dst d " +
+        "UNION ALL SELECT 'price_min', s.price_min, d.price_min FROM src s, dst d " +
+        "UNION ALL SELECT 'prio_distinct', s.prio_distinct, d.prio_distinct FROM src s, dst d " +
+        "UNION ALL SELECT 'status_distinct', s.status_distinct, d.status_distinct FROM src s, dst d) " +
+        "SELECT metric, src_value, dst_value, dst_value - src_value AS drift FROM m ORDER BY metric"),
     "q81_gap_fill" ->
       ("WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0, " +
         "date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1 FROM events), " +
