@@ -219,7 +219,10 @@ object PipelineQueries {
     // centroids -> rows-only; index ≡ direct ivfKnn is spec'd.
     "q83_ivf_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      // unique dir per invocation: a fixed shared path would let two
+      // concurrent runs overwrite each other's index mid-query
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir, nCentroids = 16)
       Similarity.queryIvfIndex(s, idxDir, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 10, nProbe = 4)

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   *    rebuild after writes, or maintain incrementally per new file.
   *  - [[prunedRead]]: filter the stats relation (files × columns rows,
   *    driver-bounded the same way the partition list is), then read ONLY
-  *    the surviving files. The predicate is re-applied exactly, so a
-  *    stale or over-wide index can only cost extra I/O, never wrong rows.
+  *    the surviving files. The predicate is re-applied exactly, so an
+  *    OVER-WIDE index (ranges looser than the data) only costs extra I/O.
+  *    The manifest must stay in sync with the file SET, exactly like a
+  *    Delta/Iceberg manifest: a file appended after [[build]] is invisible
+  *    to [[prunedRead]] (silently missing rows) and a deleted file fails
+  *    the read — rebuild (or incrementally extend) the index as part of
+  *    every write, the same transaction discipline table formats impose.
   *
   * Pairs with [[ZOrder.writeClustered]]: z-ordered files have tight
   * rectangles on both clustering keys, so this index prunes on either

@@ -145,14 +145,33 @@ object StreamingReconcile {
     * [[graft.fp.Fingerprint.mergeDelta]]. The store's cardinality is the
     * PARTITION count, so it round-trips through the driver exactly like
     * the reconciler's partition list (bounded, never O(rows)) — which also
-    * sidesteps overwriting a path while lazily reading it. */
+    * sidesteps overwriting a path while lazily reading it.
+    *
+    * IDEMPOTENT per `batchId`: foreachBatch is at-least-once, and XOR
+    * makes a double-merge silently self-cancel (fp ⊕ fp = 0, rows 2×), so
+    * the store records the last merged id in `_last_batch` and a replayed
+    * batch is skipped. Existence/marker checks go through the path's
+    * Hadoop filesystem — `java.io.File` would see only the driver's local
+    * disk and treat an object-store store as perpetually absent. */
   def mergeFingerprintBatch(spark: SparkSession, storePath: String,
       batch: DataFrame, partKeys: Seq[(String, org.apache.spark.sql.Column)],
-      cols: Seq[org.apache.spark.sql.Column]): Unit = {
+      cols: Seq[org.apache.spark.sql.Column], batchId: Long = 0L): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(storePath + "_last_batch")
+    def lastBatch: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    if (lastBatch.exists(_ >= batchId) && fs.exists(store)) return // replay
     val delta = graft.fp.Fingerprint.byPartition(batch, partKeys, cols)
     val keyNames = partKeys.map(_._1)
     val merged =
-      if (new java.io.File(storePath).exists())
+      if (fs.exists(store))
         graft.fp.Fingerprint.mergeDelta(
           spark.read.parquet(storePath), delta, keyNames)
       else delta
@@ -160,6 +179,9 @@ object StreamingReconcile {
     spark.createDataFrame(
         spark.sparkContext.parallelize(snapshot, 1), merged.schema)
       .write.mode("overwrite").parquet(storePath)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Streaming maintenance of the stored per-partition fingerprint table:
@@ -176,9 +198,12 @@ object StreamingReconcile {
     val contentCols = Seq(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val q = readEvents(spark, dir).writeStream
       .queryName(name)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // checkpoint + per-batch idempotence marker: a restarted query
+      // resumes instead of replaying history into the store
+      .option("checkpointLocation", storePath + "_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeFingerprintBatch(spark, storePath, batch,
-          Seq("event_type" -> col("event_type")), contentCols)
+          Seq("event_type" -> col("event_type")), contentCols, batchId)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -82,11 +82,17 @@ object TextAnalysis {
     * extractor (readability/trafilatura-class) plugs in at the same
     * column-in/column-out seam. */
   def stripHtml(c: Column): Column = {
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // one pass per block kind: an alternation <(script|style)>.*?</(script|style)>
+    // would let a script block terminate at a </style> inside a JS string
+    // literal and leak the tail of the script into the corpus
+    val noBlocks = Seq("script", "style").foldLeft(c)((col0, tag) =>
+      regexp_replace(col0, s"(?is)<$tag[^>]*>.*?</$tag>", " "))
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // decode &amp; LAST: decoding it first would turn the double-escaped
+    // &amp;lt; into &lt; and then into a literal '<' — re-inventing markup
+    // after tags were already stripped
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (col0, (ent, ch)) =>
         regexp_replace(col0, ent, java.util.regex.Matcher.quoteReplacement(ch))
       }

@@ -33,10 +33,11 @@ class FormatsSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (clean, quarantine) = Formats.readJsonQuarantine(spark, s"$p/in.json", schema)
-    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-    val bad = quarantine.collect().map(_.getString(0)).toSet
+    val qr = Formats.readJsonQuarantine(spark, s"$p/in.json", schema)
+    assert(qr.clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val bad = qr.quarantine.collect().map(_.getString(0)).toSet
     assert(bad.size == 2 && bad.contains("not json at all"))
     assert(bad.exists(_.contains("missing comma"))) // raw line kept for replay
+    qr.release() // frees the split's backing cache
   }
 }

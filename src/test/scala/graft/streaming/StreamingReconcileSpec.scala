@@ -52,9 +52,14 @@ class StreamingReconcileSpec extends SparkSpec {
     // manual two-batch merge (exercises the store-exists path)
     val store1 = tmpDir("fpstore1") + "/store"
     StreamingReconcile.mergeFingerprintBatch(spark, store1,
-      ev.filter(col("event_id") % 2 === 0), keys, contentCols)
+      ev.filter(col("event_id") % 2 === 0), keys, contentCols, batchId = 0L)
     StreamingReconcile.mergeFingerprintBatch(spark, store1,
-      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols)
+      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols, batchId = 1L)
+    assert(canon(spark.read.parquet(store1)) == full)
+    // at-least-once replay of an already-merged batch is a no-op (XOR
+    // would otherwise self-cancel the fingerprints)
+    StreamingReconcile.mergeFingerprintBatch(spark, store1,
+      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols, batchId = 1L)
     assert(canon(spark.read.parquet(store1)) == full)
 
     // end-to-end: an actual availableNow stream maintains the same store

@@ -67,6 +67,11 @@ class TextAnalysisSpec extends SparkSpec {
       "Title Hello & welcome to \"graft\". link end")
     // plain text passes through (modulo whitespace collapse)
     assert(one[String](T.stripHtml(col("text")), "no  markup\there") == "no markup here")
+    // a </style> inside a script string must not terminate the script block
+    assert(one[String](T.stripHtml(col("text")),
+      "<script>var s = \"</style>\"; trackUser(id);</script><p>Hi</p>") == "Hi")
+    // double-escaped entities decode ONE level (&amp;lt; -> &lt;, not '<')
+    assert(one[String](T.stripHtml(col("text")), "&amp;lt;b&amp;gt;") == "&lt;b&gt;")
   }
 
   test("quality score bands") {
