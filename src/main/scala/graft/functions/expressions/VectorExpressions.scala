@@ -2,8 +2,8 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -102,7 +102,66 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Sign-bit random-hyperplane LSH signature, bit-identical to the HOF
+    * formulation in [[graft.sim.Similarity.lshSignatureHof]] (parity
+    * property-tested): component j of plane p weighs
+    * `xxhash64(p, j) / Long.MaxValue`, the dot product accumulates in
+    * index order as double, bit p is set when the projection is >= 0.
+    * One imperative pass replaces planes × dim interpreted HOF lambda
+    * invocations per row — this is the corpus-side inner loop of every
+    * LSH ANN/dedup query. HOF edge semantics preserved: any null element
+    * nulls every projection (→ signature 0), empty vectors → 0. */
+  case class RandomHyperplaneSignature(child: Expression, planes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes >= 1 && planes <= 64, s"planes must be in [1, 64], got $planes")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "lsh_signature"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.sql}")
+    }
+
+    // xxhash64's fold state after hashing plane index p with the fixed seed
+    private lazy val planeSeeds: Array[Long] =
+      Array.tabulate(planes)(p => XxHash64Function.hash(p, IntegerType, 42L))
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return 0L // HOF: null-padded zip -> null projections -> 0
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var j = 0
+        var poisoned = false
+        while (j < n && !poisoned) {
+          if (arr.isNullAt(j)) poisoned = true
+          else {
+            val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+            val w = XxHash64Function.hash(j, IntegerType, planeSeeds(p)).toDouble /
+              Long.MaxValue.toDouble
+            dot += x * w
+          }
+          j += 1
+        }
+        if (!poisoned && dot >= 0) sig |= 1L << p
+        p += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): RandomHyperplaneSignature =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
   def cosine(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpr(a), toExpr(b)))
+  def lshSignature(vec: Column, planes: Int): Column =
+    toColumn(RandomHyperplaneSignature(toExpr(vec), planes))
 }

@@ -73,8 +73,15 @@ object Similarity {
   private def planeComponent(p: Column, j: Column): Column =
     xxhash64(p, j).cast("double") / lit(Long.MaxValue.toDouble)
 
-  /** Sign-bit LSH signature of `planes` random hyperplanes. */
-  def lshSignature(vec: Column, planes: Int = 16): Column = {
+  /** Sign-bit LSH signature of `planes` random hyperplanes — native
+    * imperative expression (one pass per row, vs planes × dim interpreted
+    * lambda calls in [[lshSignatureHof]], which it is bit-parity-tested
+    * against). */
+  def lshSignature(vec: Column, planes: Int = 16): Column =
+    graft.functions.expressions.VectorExpressions.lshSignature(vec, planes)
+
+  /** Builtin-HOF reference formulation of [[lshSignature]] (spec oracle). */
+  def lshSignatureHof(vec: Column, planes: Int = 16): Column = {
     val projections = transform(sequence(lit(0), lit(planes - 1)), p => {
       // dot(vec, plane_p) via index zip: component j weight = planeComponent
       aggregate(

@@ -75,4 +75,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cosine_similarity") ||
       e.getMessage.toLowerCase.contains("array"), e.getMessage)
   }
+
+  test("lsh signature: native == HOF bitwise on real embeddings and edge vectors") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    for (planes <- Seq(4, 8, 16, 64)) {
+      val diverged = emb.select(
+          Similarity.lshSignature(col("embedding"), planes).as("native"),
+          Similarity.lshSignatureHof(col("embedding"), planes).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diverged == 0, s"planes=$planes: $diverged rows diverge")
+    }
+    // edge vectors: empty -> 0; null element -> 0 (HOF's null projections)
+    val edges = Seq(Seq.empty[java.lang.Float], Seq(F(1f, -2f): _*),
+      Seq[java.lang.Float](java.lang.Float.valueOf(1f), null))
+      .toDF("v")
+      .select(Similarity.lshSignature(col("v"), 8).as("native"),
+        Similarity.lshSignatureHof(col("v"), 8).as("hof"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(edges(0).getLong(0) == 0L && edges(2).getLong(0) == 0L)
+  }
 }
