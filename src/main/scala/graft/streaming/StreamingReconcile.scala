@@ -120,6 +120,21 @@ object StreamingReconcile {
     import org.apache.spark.sql.streaming.Trigger
     val name = "q79_stream_join"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    // Stateful-shuffle width is a STATE-VOLUME knob, not a CPU knob: each
+    // partition materialises two RocksDB/HDFS state stores per side, so a
+    // small-state join at local[32] pays 32× store open/commit/close per
+    // micro-batch for no parallelism gain. Size to the state, floor 8.
+    // (A checkpointed production query pins this at first run; here every
+    // run starts a fresh checkpoint, so scoping the conf is safe.)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try attributionJoinStreamInner(spark, dir, name)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def attributionJoinStreamInner(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     val ev = readEvents(spark, dir)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
