@@ -71,6 +71,7 @@ object StreamingReconcile {
     import org.apache.spark.sql.streaming.Trigger
     val name = "q55_streaming_window"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    withStateWidth(spark, 8) {
     val agg = readEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -81,6 +82,7 @@ object StreamingReconcile {
     spark.table(name)
       .select(col("win.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
+    }
   }
 
   /** Streaming exact dedup: `dropDuplicates` keyed on (user_id,
@@ -96,15 +98,17 @@ object StreamingReconcile {
     import org.apache.spark.sql.streaming.Trigger
     val name = "q65_streaming_dedup"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val deduped = readEvents(spark, dir)
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_users"))
+    withStateWidth(spark, 8) {
+      val deduped = readEvents(spark, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+    }
   }
 
   /** Watermarked stream-stream inner join: every non-signup event joined
@@ -120,16 +124,19 @@ object StreamingReconcile {
     import org.apache.spark.sql.streaming.Trigger
     val name = "q79_stream_join"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    // Stateful-shuffle width is a STATE-VOLUME knob, not a CPU knob: each
-    // partition materialises two RocksDB/HDFS state stores per side, so a
-    // small-state join at local[32] pays 32× store open/commit/close per
-    // micro-batch for no parallelism gain. Size to the state, floor 8.
-    // (A checkpointed production query pins this at first run; here every
-    // run starts a fresh checkpoint, so scoping the conf is safe.)
+    withStateWidth(spark, 8)(attributionJoinStreamInner(spark, dir, name))
+  }
+
+  /** Stateful-shuffle width is a STATE-VOLUME knob, not a CPU knob: every
+    * partition materialises its own state store(s), so a small-state query
+    * at local[32] pays 32× store open/commit/close per micro-batch for no
+    * parallelism gain. Scope the conf to the stream (safe here: each run
+    * starts a fresh checkpoint; a checkpointed production query pins the
+    * width at first run). */
+  private def withStateWidth[T](spark: SparkSession, n: Int)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try attributionJoinStreamInner(spark, dir, name)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def attributionJoinStreamInner(spark: SparkSession, dir: String,
