@@ -169,6 +169,22 @@ object CurationQueries {
           round(col("n_shared") / col("n_chunks"), 6).as("shared_ratio"))
         .orderBy("doc_id")),
 
+    // k-anonymity guard: docs in a (lang, source) stratum smaller than k
+    // are re-identification risks — report every doc with its stratum size
+    // and keep verdict. One partial-aggregated shuffle for the sizes, then
+    // a broadcast-sized join back (|strata| rows).
+    "q85_k_anonymity" -> ((s, dir) => {
+      val k = 25
+      val docs = Tables.load(s, dir, "documents")
+      val strata = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("stratum_n"))
+      docs.select("doc_id", "lang", "source")
+        .join(broadcast(strata), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"), col("stratum_n"),
+          (col("stratum_n") >= k).as("is_kept"))
+        .orderBy("doc_id")
+    }),
+
     // repetition scoring: per-doc max-token-frequency and distinct-token
     // ratios — the standard "degenerate repetition" quality filter.
     "q62_repetition" -> ((s, dir) =>
@@ -220,6 +236,10 @@ object CurationQueries {
     "q68_normalize" ->
       ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents) " +
         "SELECT doc_id, length(norm) AS n_chars_norm, norm[1:30] AS prefix FROM n ORDER BY doc_id"),
+    "q85_k_anonymity" ->
+      ("WITH s AS (SELECT lang, source, count(*) AS stratum_n FROM documents GROUP BY 1, 2) " +
+        "SELECT d.doc_id, d.lang, d.source, s.stratum_n, s.stratum_n >= 25 AS is_kept " +
+        "FROM documents d JOIN s ON d.lang = s.lang AND d.source = s.source ORDER BY d.doc_id"),
     "q62_repetition" ->
       (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
         "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +
