@@ -129,6 +129,35 @@ object VectorExpressions {
     private lazy val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+    // plane weights depend only on (p, j) — cache the matrix instead of
+    // re-hashing planes × dim per ROW (that would be most of the per-row
+    // cost). Grown to the largest dimension seen; whole-outer-array swap
+    // through the volatile for safe publication across tasks.
+    @transient @volatile private var weightCache: Array[Array[Double]] = _
+    private def weightRow(p: Int, dim: Int): Array[Double] = {
+      val c0 = weightCache
+      if (c0 != null && c0(p).length >= dim) return c0(p)
+      synchronized {
+        val c1 =
+          if (weightCache == null) Array.fill(planes)(Array.emptyDoubleArray)
+          else weightCache.clone()
+        if (c1(p).length < dim)
+          c1(p) = Array.tabulate(dim)(j =>
+            XxHash64Function.hash(j, IntegerType, planeSeeds(p)).toDouble /
+              Long.MaxValue.toDouble)
+        weightCache = c1
+        c1(p)
+      }
+    }
+
+    // HOF parity for null input: a NULL vector yields null projections,
+    // and when(null >= 0, m).otherwise(0) ORs to 0 — never SQL NULL
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) 0L else nullSafeEval(v)
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -136,6 +165,7 @@ object VectorExpressions {
       var sig = 0L
       var p = 0
       while (p < planes) {
+        val w = weightRow(p, n)
         var dot = 0.0
         var j = 0
         var poisoned = false
@@ -143,13 +173,13 @@ object VectorExpressions {
           if (arr.isNullAt(j)) poisoned = true
           else {
             val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-            val w = XxHash64Function.hash(j, IntegerType, planeSeeds(p)).toDouble /
-              Long.MaxValue.toDouble
-            dot += x * w
+            dot += x * w(j)
           }
           j += 1
         }
-        if (!poisoned && dot >= 0) sig |= 1L << p
+        // Spark's double ordering treats NaN as larger than any value, so
+        // the HOF's `proj >= 0` is TRUE for a NaN projection — mirror it
+        if (!poisoned && (dot >= 0 || java.lang.Double.isNaN(dot))) sig |= 1L << p
         p += 1
       }
       sig

@@ -176,10 +176,16 @@ object CurationQueries {
     "q85_k_anonymity" -> ((s, dir) => {
       val k = 25
       val docs = Tables.load(s, dir, "documents")
+      // null-SAFE join back (<=>): a NULL lang/source stratum is the
+      // riskiest kind — a plain equi-join would silently drop those docs
+      // from the report instead of flagging them
       val strata = docs.groupBy("lang", "source")
         .agg(count(lit(1)).as("stratum_n"))
+        .withColumnRenamed("lang", "s_lang")
+        .withColumnRenamed("source", "s_source")
       docs.select("doc_id", "lang", "source")
-        .join(broadcast(strata), Seq("lang", "source"))
+        .join(broadcast(strata),
+          col("lang") <=> col("s_lang") && col("source") <=> col("s_source"))
         .select(col("doc_id"), col("lang"), col("source"), col("stratum_n"),
           (col("stratum_n") >= k).as("is_kept"))
         .orderBy("doc_id")
@@ -239,7 +245,8 @@ object CurationQueries {
     "q85_k_anonymity" ->
       ("WITH s AS (SELECT lang, source, count(*) AS stratum_n FROM documents GROUP BY 1, 2) " +
         "SELECT d.doc_id, d.lang, d.source, s.stratum_n, s.stratum_n >= 25 AS is_kept " +
-        "FROM documents d JOIN s ON d.lang = s.lang AND d.source = s.source ORDER BY d.doc_id"),
+        "FROM documents d JOIN s ON d.lang IS NOT DISTINCT FROM s.lang " +
+        "AND d.source IS NOT DISTINCT FROM s.source ORDER BY d.doc_id"),
     "q62_repetition" ->
       (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
         "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +

@@ -79,20 +79,31 @@ class VectorExpressionsSpec extends SparkSpec {
   test("lsh signature: native == HOF bitwise on real embeddings and edge vectors") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     for (planes <- Seq(4, 8, 16, 64)) {
+      // null-SAFE comparison: =!= would silently skip rows where one side
+      // is NULL, vacuously passing exactly the divergence class it guards
       val diverged = emb.select(
           Similarity.lshSignature(col("embedding"), planes).as("native"),
           Similarity.lshSignatureHof(col("embedding"), planes).as("hof"))
-        .filter(col("native") =!= col("hof")).count()
+        .filter(not(col("native") <=> col("hof"))).count()
       assert(diverged == 0, s"planes=$planes: $diverged rows diverge")
     }
-    // edge vectors: empty -> 0; null element -> 0 (HOF's null projections)
+    // edges: empty -> 0; null element -> 0; NULL vector -> 0 (HOF's null
+    // projections OR to zero); NaN projection -> all bits (Spark's double
+    // ordering puts NaN above 0, so `proj >= 0` is TRUE)
     val edges = Seq(Seq.empty[java.lang.Float], Seq(F(1f, -2f): _*),
-      Seq[java.lang.Float](java.lang.Float.valueOf(1f), null))
+      Seq[java.lang.Float](java.lang.Float.valueOf(1f), null),
+      null.asInstanceOf[Seq[java.lang.Float]],
+      Seq(F(Float.NaN, 1f): _*))
       .toDF("v")
       .select(Similarity.lshSignature(col("v"), 8).as("native"),
         Similarity.lshSignatureHof(col("v"), 8).as("hof"))
       .collect()
-    edges.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    edges.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"NULL leaked: $r")
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
     assert(edges(0).getLong(0) == 0L && edges(2).getLong(0) == 0L)
+    assert(edges(3).getLong(0) == 0L)          // NULL vector
+    assert(edges(4).getLong(0) == 255L)        // NaN: all 8 bits set
   }
 }
