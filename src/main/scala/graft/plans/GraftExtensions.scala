@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.expressions.BoundedTopK
 import graft.functions.expressions.TextHashExpressions.{MinHashSignature, SimHash64}
-import graft.functions.expressions.VectorExpressions.CosineSimilarity
+import graft.functions.expressions.VectorExpressions.{CosineSimilarity, RandomHyperplaneSignature}
 
 /** Session-extension registration: exposes graft's native expressions to
   * SQL, so `spark.sql("SELECT simhash64(text) …")` works alongside the
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_similarity", "cosine_similarity(a, b) - cosine over float arrays"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("lsh_signature"),
+      info("lsh_signature", "lsh_signature(vec, planes) - sign-bit random-hyperplane LSH signature"),
+      (children: Seq[Expression]) => RandomHyperplaneSignature(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("bounded_top_k"),
       info("bounded_top_k",
         "bounded_top_k(struct(score, id...), k) - k-bounded partial top-k aggregate"),
@@ -61,6 +66,9 @@ object GraftExtensions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_signature",
+      (children: Seq[Expression]) => RandomHyperplaneSignature(children(0),
+        children(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     reg.createOrReplaceTempFunction("bounded_top_k",
       (children: Seq[Expression]) => BoundedTopK(children(0),

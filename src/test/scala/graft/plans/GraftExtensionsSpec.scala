@@ -22,6 +22,14 @@ class GraftExtensionsSpec extends SparkSpec {
          FROM emb_ext a ORDER BY a.vec_id LIMIT 5""").collect()
     cos.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
 
+    val lsh = spark.sql(
+      "SELECT vec_id, lsh_signature(embedding, 8) AS sig FROM emb_ext ORDER BY vec_id LIMIT 20")
+    val lshCol = spark.table("emb_ext")
+      .select(col("vec_id"),
+        graft.sim.Similarity.lshSignature(col("embedding"), 8).as("sig"))
+      .orderBy("vec_id").limit(20)
+    assert(lsh.collect().toSeq == lshCol.collect().toSeq)
+
     // bounded_top_k as a SQL aggregate: top-3 docs by doc_id score
     val topk = spark.sql(
       """SELECT bounded_top_k(struct(CAST(doc_id AS DOUBLE) AS s, doc_id), 3) AS t

@@ -64,6 +64,27 @@ class QuantizedSpec extends SparkSpec {
       "centroid_id partition filter did not prune files")
   }
 
+  test("quantize property: codes bounded and dequant error <= scale/2 on generated vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-1e6f, 1e6f))
+    val vecs = (1 to 30)
+      .flatMap(i => genVec(Gen.Parameters.default, Seed(i.toLong)))
+      .filter(_.nonEmpty)
+    val rows = vecs.toDF("v")
+      .select(col("v"), Similarity.quantizeInt8(col("v")).as("qz")).collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val scale = r.getStruct(1).getFloat(0)
+      val codes = r.getStruct(1).getSeq[Byte](1)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range: $codes")
+      orig.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale.toDouble) <= scale / 2 + math.abs(x) * 1e-6,
+          s"dequant error: x=$x code=$c scale=$scale")
+      }
+    }
+  }
+
   test("zero vector quantises without dividing by zero") {
     val r = Seq(Seq(0.0f, 0.0f)).toDF("v")
       .select(Similarity.quantizeInt8(col("v")).as("qz")).head()
