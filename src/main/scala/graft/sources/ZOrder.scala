@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustering for multi-dimensional data skipping.
@@ -61,5 +61,21 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** The full curated-table write a 100 TB consumer actually wants, in one
+    * call: z-clustered layout on two skipping keys + the per-file min/max
+    * manifest built from the SAME write (the [[FileStatsIndex]] sync
+    * discipline by construction), so
+    * `FileStatsIndex.prunedRead(spark, path, "a" | "b", lo, hi)` skips
+    * files on either dimension immediately afterwards. `statCols` defaults
+    * to the two clustering keys; pass more to index extra columns. */
+  def writeCuratedTable(df: DataFrame, aName: String, bName: String,
+      path: String, numFiles: Int, statCols: Seq[String] = Nil): Unit = {
+    val Row(maxA: Long, maxB: Long) = df.agg(
+      max(col(aName).cast("long")), max(col(bName).cast("long"))).head()
+    writeClustered(df, col(aName), col(bName), maxA, maxB, path, numFiles)
+    FileStatsIndex.build(df.sparkSession, path,
+      if (statCols.nonEmpty) statCols else Seq(aName, bName))
   }
 }

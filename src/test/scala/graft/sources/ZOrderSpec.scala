@@ -84,4 +84,17 @@ class ZOrderSpec extends SparkSpec {
     assert(FileStatsIndex.prunedRead(spark, zDir, "a",
       lit(maxA + 10), lit(maxA + 20)).count() == 0)
   }
+
+  test("writeCuratedTable: one call yields a pruned-readable z layout in sync") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val dir = tmpDir("curated")
+    ZOrder.writeCuratedTable(li, "a", "b", dir, numFiles = 8)
+    val maxB = li.agg(max("b")).head().getLong(0)
+    val pruned = FileStatsIndex.prunedRead(spark, dir, "b", lit(0L), lit(maxB / 8))
+    val full = spark.read.parquet(dir).filter(col("b") >= 0L && col("b") <= maxB / 8)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    assert(pruned.select(input_file_name()).distinct().count() <
+      spark.read.parquet(dir).select(input_file_name()).distinct().count())
+  }
 }
