@@ -1,0 +1,71 @@
+package graft.multimodal
+
+/** Real container-header decoding — pure byte inspection, no media
+  * libraries. Pixel decode stays stubbed in this environment, but the
+  * header fields a curation pipeline actually filters on (format, width,
+  * height — "drop images under 64px", "keep aspect < 3") come from the
+  * genuine container bytes:
+  *
+  *  - PNG: IHDR is mandatory-first, so width/height sit at fixed offsets
+  *    16/20 (big-endian) after the 8-byte signature.
+  *  - GIF: logical screen descriptor at offsets 6/8 (little-endian).
+  *  - JPEG: walk the marker segments to the first SOFn (C0–CF minus the
+  *    non-frame C4/C8/CC); height/width are big-endian at +5/+7 into it.
+  *
+  * All three parsers are total: any malformed/truncated input returns
+  * None, never throws — at 100 TB the corrupt blobs ARE the interesting
+  * rows and they must flow to quarantine, not kill the stage.
+  */
+object MediaHeader {
+
+  final case class ImageHeader(format: String, width: Int, height: Int)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def parse(bytes: Array[Byte]): Option[ImageHeader] =
+    parsePng(bytes).orElse(parseGif(bytes)).orElse(parseJpeg(bytes))
+
+  def parsePng(b: Array[Byte]): Option[ImageHeader] =
+    if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+      new String(b, 12, 4, "US-ASCII") == "IHDR")
+      Some(ImageHeader("png", be32(b, 16), be32(b, 20)))
+    else None
+
+  def parseGif(b: Array[Byte]): Option[ImageHeader] =
+    if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
+      new String(b, 0, 6, "US-ASCII") == "GIF89a"))
+      Some(ImageHeader("gif", le16(b, 6), le16(b, 8)))
+    else None
+
+  def parseJpeg(b: Array[Byte]): Option[ImageHeader] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynchronised marker stream
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / scan start: no SOF seen
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          return Some(ImageHeader("jpeg", be16(b, i + 7), be16(b, i + 5)))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+}

@@ -34,18 +34,21 @@ object Multimodal {
       lit("txt").as("format")).as[MediaRow]
   }
 
-  /** STUB decoder: deterministic pseudo-features from the raw bytes.
-    * Replace with a real decoder (libjpeg/ffmpeg binding) in production —
+  /** Decoder: REAL container-header decode ([[MediaHeader]] — PNG/GIF/JPEG
+    * width/height from the genuine bytes), with the PIXEL decode stubbed
+    * (no image libraries in this environment): for non-image blobs the
+    * dimensions fall back to a deterministic fake derived from the bytes.
+    * Replace the fallback with a libjpeg/ffmpeg binding in production —
     * the signature (bytes in, typed features out) is the contract. */
   private[multimodal] def decodeStub(m: MediaRow): MediaFeatures = {
     val n = m.media.length.toLong
     // first code point (not first byte): well-defined for any UTF-8 text
     // fixture, and what a header-magic probe would canonicalise to
     val head = if (m.media.nonEmpty) new String(m.media, "UTF-8").codePointAt(0) else 0
-    // fake "decode": dimensions derived from content, as a real decoder
-    // would read them from the container header
-    val width = (n % 640).toInt
-    val height = (head % 480)
+    val (width, height) = MediaHeader.parse(m.media) match {
+      case Some(h) => (h.width, h.height)       // real header fields
+      case None => ((n % 640).toInt, head % 480) // stub for non-image bytes
+    }
     MediaFeatures(m.doc_id, n, head, width, height, frameHashes(m.media, 4))
   }
 

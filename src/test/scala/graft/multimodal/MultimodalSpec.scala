@@ -32,4 +32,52 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.distinct.length == 4) // distinct chunks -> distinct hashes
     assert(Multimodal.frameHashes(Array.emptyByteArray, 4).isEmpty)
   }
+
+  // hand-built REAL container bytes (format-spec layouts, no libraries)
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(24)
+    out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    out.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+    out.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 18 + 4 + 9)
+    out.put(Array(0xff, 0xd8).map(_.toByte))                    // SOI
+    out.put(Array(0xff, 0xe0).map(_.toByte)).putShort(18)       // APP0, len 18
+    out.put(new Array[Byte](16))                                // APP0 body
+    out.put(Array(0xff, 0xc0).map(_.toByte)).putShort(9.toShort) // SOF0, len 9
+    out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)   // prec, H, W
+    out.array()
+  }
+
+  test("real container headers parsed from genuine bytes; corrupt blobs -> None") {
+    assert(MediaHeader.parse(pngBytes(640, 480)) ==
+      Some(MediaHeader.ImageHeader("png", 640, 480)))
+    assert(MediaHeader.parse(gifBytes(320, 200)) ==
+      Some(MediaHeader.ImageHeader("gif", 320, 200)))
+    assert(MediaHeader.parse(jpegBytes(1920, 1080)) ==
+      Some(MediaHeader.ImageHeader("jpeg", 1920, 1080)))
+    // total on garbage: truncated, desynchronised, empty
+    assert(MediaHeader.parse(Array.emptyByteArray).isEmpty)
+    assert(MediaHeader.parse(pngBytes(640, 480).take(10)).isEmpty)
+    assert(MediaHeader.parse("plain text document".getBytes).isEmpty)
+    assert(MediaHeader.parse(Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("decode pipeline uses real header dimensions for image blobs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(640, 480), "png"),
+      Multimodal.MediaRow(2L, "just text".getBytes("UTF-8"), "txt")
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 640 && feats(1L).height == 480) // from the header
+    assert(feats(2L).width == "just text".getBytes.length % 640) // stub fallback
+  }
 }
