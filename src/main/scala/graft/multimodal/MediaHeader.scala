@@ -46,6 +46,44 @@ object MediaHeader {
       Some(ImageHeader("gif", le16(b, 6), le16(b, 8)))
     else None
 
+  final case class AudioHeader(format: String, channels: Int,
+      sampleRateHz: Int, bitsPerSample: Int, dataBytes: Long) {
+    /** Seconds of audio, from the header alone. */
+    def durationSec: Double = {
+      val byteRate = sampleRateHz.toLong * channels * (bitsPerSample / 8)
+      if (byteRate <= 0) 0.0 else dataBytes.toDouble / byteRate
+    }
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+
+  /** WAV (RIFF) header: walk the chunk list for `fmt ` (channels, sample
+    * rate, bit depth) and `data` (payload size → duration). Total on
+    * malformed input. */
+  def parseWav(b: Array[Byte]): Option[AudioHeader] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
+      else if (id == "data") dataBytes = size
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue - 16) return None
+    }
+    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
+      AudioHeader("wav", ch, rate, bits, dataBytes)
+    }
+  }
+
   def parseJpeg(b: Array[Byte]): Option[ImageHeader] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2

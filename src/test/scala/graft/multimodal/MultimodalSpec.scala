@@ -69,6 +69,26 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parse(Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)).isEmpty)
   }
 
+  test("WAV header: fmt/data chunks parsed, duration derived, garbage -> None") {
+    def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+        .putShort(bits.toShort)
+      out.put("data".getBytes).putInt(dataLen).put(new Array[Byte](dataLen))
+      out.array()
+    }
+    val h = MediaHeader.parseWav(wavBytes(2, 44100, 16, 44100 * 4)).get
+    assert(h.channels == 2 && h.sampleRateHz == 44100 && h.bitsPerSample == 16)
+    assert(math.abs(h.durationSec - 1.0) < 1e-9) // 1 second of stereo 16-bit
+    assert(MediaHeader.parseWav("RIFFxxxx".getBytes).isEmpty)
+    assert(MediaHeader.parseWav(wavBytes(2, 44100, 16, 100).take(20)).isEmpty)
+    assert(MediaHeader.parseWav("not audio at all".getBytes).isEmpty)
+  }
+
   test("decode pipeline uses real header dimensions for image blobs") {
     import spark.implicits._
     val media = Seq(
