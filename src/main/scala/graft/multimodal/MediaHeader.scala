@@ -34,16 +34,21 @@ object MediaHeader {
   def parse(bytes: Array[Byte]): Option[ImageHeader] =
     parsePng(bytes).orElse(parseGif(bytes)).orElse(parseJpeg(bytes))
 
+  // corrupt headers must flow to None, not to nonsense dimensions: be32 of
+  // bytes >= 0x80000000 is a negative Int, and 0 is not a legal image size
+  private def dims(format: String, w: Int, h: Int): Option[ImageHeader] =
+    if (w > 0 && h > 0) Some(ImageHeader(format, w, h)) else None
+
   def parsePng(b: Array[Byte]): Option[ImageHeader] =
     if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
       new String(b, 12, 4, "US-ASCII") == "IHDR")
-      Some(ImageHeader("png", be32(b, 16), be32(b, 20)))
+      dims("png", be32(b, 16), be32(b, 20))
     else None
 
   def parseGif(b: Array[Byte]): Option[ImageHeader] =
     if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
       new String(b, 0, 6, "US-ASCII") == "GIF89a"))
-      Some(ImageHeader("gif", le16(b, 6), le16(b, 8)))
+      dims("gif", le16(b, 6), le16(b, 8))
     else None
 
   final case class AudioHeader(format: String, channels: Int,
@@ -71,13 +76,17 @@ object MediaHeader {
     var dataBytes = -1L
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(b, i)
-      val size = le32(b, i + 4)
+      val size = le32(b, i + 4) // 0..2^32-1 as Long — never negative
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
       else if (id == "data") dataBytes = size
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue - 16) return None
+      // advance in LONG arithmetic: a crafted 32-bit size would overflow an
+      // Int index negative and re-enter the loop out of bounds. Chunks are
+      // word-aligned (odd sizes carry a pad byte); a size running past the
+      // blob just ends the walk — truncated tails are normal in the wild
+      // and the header chunks already seen remain valid.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
     }
     fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
       AudioHeader("wav", ch, rate, bits, dataBytes)
@@ -99,7 +108,7 @@ object MediaHeader {
         val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
         if (isSof) {
           if (len < 7) return None
-          return Some(ImageHeader("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          return dims("jpeg", be16(b, i + 7), be16(b, i + 5))
         }
         i += 2 + len
       }

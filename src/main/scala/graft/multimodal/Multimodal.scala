@@ -42,11 +42,17 @@ object Multimodal {
     * the signature (bytes in, typed features out) is the contract. */
   private[multimodal] def decodeStub(m: MediaRow): MediaFeatures = {
     val n = m.media.length.toLong
-    // first code point (not first byte): well-defined for any UTF-8 text
-    // fixture, and what a header-magic probe would canonicalise to
-    val head = if (m.media.nonEmpty) new String(m.media, "UTF-8").codePointAt(0) else 0
-    val (width, height) = MediaHeader.parse(m.media) match {
-      case Some(h) => (h.width, h.height)       // real header fields
+    // first code point (not first byte) — decoded from a 4-byte prefix: a
+    // UTF-8 code point is at most 4 bytes, so this is O(1), not O(blob)
+    val head =
+      if (m.media.isEmpty) 0
+      else new String(m.media, 0, math.min(4, m.media.length), "UTF-8").codePointAt(0)
+    // header probe is gated on the row's FORMAT metadata: a text document
+    // whose content merely starts with "GIF89a" must not decode as an
+    // image (and must keep matching the q45 oracle's stub formula)
+    val probed = if (m.format == "txt") None else MediaHeader.parse(m.media)
+    val (width, height) = probed match {
+      case Some(h) => (h.width, h.height)        // real header fields
       case None => ((n % 640).toInt, head % 480) // stub for non-image bytes
     }
     MediaFeatures(m.doc_id, n, head, width, height, frameHashes(m.media, 4))

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  import GraftExtensions.planesArg
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
@@ -40,8 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("lsh_signature"),
       info("lsh_signature", "lsh_signature(vec, planes) - sign-bit random-hyperplane LSH signature"),
-      (children: Seq[Expression]) => RandomHyperplaneSignature(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) =>
+        RandomHyperplaneSignature(children(0), planesArg(children))))
     ext.injectFunction((
       FunctionIdentifier("bounded_top_k"),
       info("bounded_top_k",
@@ -55,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Registration for an already-running session (tests, REPL). */
 object GraftExtensions {
+
+  /** Analyzer-time validation of the `planes` argument: a null, non-numeric
+    * or non-foldable second argument gets a usage message instead of an
+    * NPE/ClassCastException from a blind `eval().asInstanceOf`. */
+  private[plans] def planesArg(children: Seq[Expression]): Int = {
+    val usage = "lsh_signature(vec, planes): planes must be an integer literal in [1, 64]"
+    if (children.size != 2 || !children(1).foldable)
+      throw new IllegalArgumentException(usage)
+    children(1).eval() match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
@@ -67,8 +83,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("cosine_similarity",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signature",
-      (children: Seq[Expression]) => RandomHyperplaneSignature(children(0),
-        children(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      (children: Seq[Expression]) =>
+        RandomHyperplaneSignature(children(0), planesArg(children)), "scala_udf")
     // raw AggregateFunction: the analyzer wraps it in AggregateExpression
     reg.createOrReplaceTempFunction("bounded_top_k",
       (children: Seq[Expression]) => BoundedTopK(children(0),

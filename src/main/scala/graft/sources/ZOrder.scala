@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustering for multi-dimensional data skipping.
@@ -72,10 +72,16 @@ object ZOrder {
     * to the two clustering keys; pass more to index extra columns. */
   def writeCuratedTable(df: DataFrame, aName: String, bName: String,
       path: String, numFiles: Int, statCols: Seq[String] = Nil): Unit = {
-    val Row(maxA: Long, maxB: Long) = df.agg(
-      max(col(aName).cast("long")), max(col(bName).cast("long"))).head()
+    // max() over zero rows (or all-null keys) is null — an empty input is a
+    // legal boundary (a filter-everything pipeline) and writes an empty
+    // table, not a MatchError
+    val r = df.agg(max(col(aName).cast("long")), max(col(bName).cast("long"))).head()
+    val maxA = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val maxB = if (r.isNullAt(1)) 0L else r.getLong(1)
     writeClustered(df, col(aName), col(bName), maxA, maxB, path, numFiles)
+    // statCols EXTENDS the clustering keys (their manifest entries back the
+    // documented prunedRead-on-either-dimension guarantee)
     FileStatsIndex.build(df.sparkSession, path,
-      if (statCols.nonEmpty) statCols else Seq(aName, bName))
+      (Seq(aName, bName) ++ statCols).distinct)
   }
 }

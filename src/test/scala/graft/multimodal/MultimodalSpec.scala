@@ -67,6 +67,9 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parse(pngBytes(640, 480).take(10)).isEmpty)
     assert(MediaHeader.parse("plain text document".getBytes).isEmpty)
     assert(MediaHeader.parse(Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)).isEmpty)
+    // corrupt dimensions (zero / sign-bit) -> None, never negative sizes
+    assert(MediaHeader.parse(pngBytes(0, 480)).isEmpty)
+    assert(MediaHeader.parse(pngBytes(-1, 480)).isEmpty) // 0xFFFFFFFF width
   }
 
   test("WAV header: fmt/data chunks parsed, duration derived, garbage -> None") {
@@ -87,6 +90,14 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parseWav("RIFFxxxx".getBytes).isEmpty)
     assert(MediaHeader.parseWav(wavBytes(2, 44100, 16, 100).take(20)).isEmpty)
     assert(MediaHeader.parseWav("not audio at all".getBytes).isEmpty)
+    // crafted near-overflow chunk size must not wrap the index negative
+    val crafted = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+      .put("JUNK".getBytes).putInt(0x7FFFFFEF).array()
+    assert(MediaHeader.parseWav(crafted).isEmpty) // total, no exception
+    // a truncated data chunk still yields the header fields already seen
+    val torn = wavBytes(1, 8000, 8, 1000).take(44 + 10)
+    assert(MediaHeader.parseWav(torn).exists(_.sampleRateHz == 8000))
   }
 
   test("decode pipeline uses real header dimensions for image blobs") {
@@ -99,5 +110,15 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.doc_id -> f).toMap
     assert(feats(1L).width == 640 && feats(1L).height == 480) // from the header
     assert(feats(2L).width == "just text".getBytes.length % 640) // stub fallback
+  }
+
+  test("format gate: text content that LOOKS like a GIF header stays on the stub path") {
+    import spark.implicits._
+    val trap = "GIF89a document about image formats"
+    val feats = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(9L, trap.getBytes("UTF-8"), "txt")).toDS()).head()
+    // the q45 oracle's stub formula, NOT le16 bytes from the fake header
+    assert(feats.width == trap.getBytes.length % 640)
+    assert(feats.height == 'G'.toInt % 480)
   }
 }
