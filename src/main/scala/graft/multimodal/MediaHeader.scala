@@ -93,6 +93,52 @@ object MediaHeader {
     }
   }
 
+  final case class VideoHeader(format: String, timescale: Long,
+      duration: Long) {
+    def durationSec: Double =
+      if (timescale <= 0) 0.0 else duration.toDouble / timescale
+  }
+
+  private def be32L(b: Array[Byte], i: Int): Long = be32(b, i) & 0xffffffffL
+
+  /** MP4/ISO-BMFF: walk the top-level box list to `moov`, then its children
+    * to `mvhd` (version 0: 32-bit timescale/duration at +12/+16 past the
+    * box header; version 1: 64-bit at +20/+24). Total on malformed input;
+    * box sizes advance in Long arithmetic so crafted sizes can't wrap the
+    * index. */
+  def parseMp4(b: Array[Byte]): Option[VideoHeader] = {
+    // an MP4 opens with an ftyp (or styp) box in practice
+    if (b.length < 12 || (tag(b, 4) != "ftyp" && tag(b, 4) != "styp")) return None
+    def walk(from: Long, until: Long, want: String): Option[Long] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be32L(b, i.toInt)
+        if (size < 8) return None // size64/size0 forms unsupported -> bail
+        if (tag(b, i.toInt + 4) == want) return Some(i)
+        i += size
+      }
+      None
+    }
+    val end = b.length.toLong
+    for {
+      moov <- walk(0L, end, "moov")
+      moovEnd = math.min(end, moov + be32L(b, moov.toInt))
+      mvhd <- walk(moov + 8, moovEnd, "mvhd")
+      if mvhd + 32 <= end
+      version = b(mvhd.toInt + 8) & 0xff
+      header <- version match {
+        case 0 =>
+          Some(VideoHeader("mp4", be32L(b, mvhd.toInt + 20), be32L(b, mvhd.toInt + 24)))
+        case 1 if mvhd + 44 <= end =>
+          val ts = be32L(b, mvhd.toInt + 28)
+          val dur = (be32L(b, mvhd.toInt + 32) << 32) | be32L(b, mvhd.toInt + 36)
+          Some(VideoHeader("mp4", ts, dur))
+        case _ => None
+      }
+      if header.timescale > 0
+    } yield header
+  }
+
   def parseJpeg(b: Array[Byte]): Option[ImageHeader] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2

@@ -100,6 +100,28 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parseWav(torn).exists(_.sampleRateHz == 8000))
   }
 
+  test("MP4 header: moov/mvhd walked for timescale+duration, garbage -> None") {
+    def mp4Bytes(timescale: Int, duration: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(16 + 40) // big-endian default
+      out.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      out.putInt(40).put("moov".getBytes)
+      out.putInt(32).put("mvhd".getBytes).putInt(0) // version 0 + flags
+      out.putInt(0).putInt(0)                       // creation, modification
+      out.putInt(timescale).putInt(duration).putInt(0)
+      out.array()
+    }
+    val h = MediaHeader.parseMp4(mp4Bytes(600, 3000)).get
+    assert(h.timescale == 600 && h.duration == 3000)
+    assert(math.abs(h.durationSec - 5.0) < 1e-9)
+    assert(MediaHeader.parseMp4("not a video".getBytes).isEmpty)
+    assert(MediaHeader.parseMp4(mp4Bytes(600, 3000).take(20)).isEmpty)
+    assert(MediaHeader.parseMp4(mp4Bytes(0, 3000)).isEmpty) // zero timescale
+    // crafted box size below the 8-byte header floor must bail, not loop
+    val bad = mp4Bytes(600, 3000)
+    bad(16) = 0; bad(17) = 0; bad(18) = 0; bad(19) = 1 // moov "size" = 1
+    assert(MediaHeader.parseMp4(bad).isEmpty)
+  }
+
   test("decode pipeline uses real header dimensions for image blobs") {
     import spark.implicits._
     val media = Seq(
