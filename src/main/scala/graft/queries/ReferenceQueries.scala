@@ -14,7 +14,10 @@ import graft.recon.Reconciler
   *  - every query ends in a deterministic ORDER BY (unique tiebreak) so the
   *    row stream is identical on both sides;
   *  - money aggregates go through DECIMAL casts (exact, order-independent —
-  *    double sums would differ between engines by summation order);
+  *    double sums would differ between engines by summation order) and are
+  *    EMITTED as BIGINT scaled units (x100 or x10000 "cents"): round 2 showed the
+  *    driver's hasher canonicalizes Spark parquet decimal128 and DuckDB
+  *    decimals differently, while integers are hash-stable everywhere;
   *  - aliases match the oracle SQL exactly (driver hashes by column name).
   */
 object ReferenceQueries {
@@ -81,7 +84,10 @@ object ReferenceQueries {
           count(lit(1)).as("n_rows"),
           min("l_shipdate").as("min_time"),
           max("l_shipdate").as("max_time"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("bytes_proxy"))
+          // exact integer cents: decimal sums are exact and order-independent,
+          // and a BIGINT emission is hash-stable in every driver/oracle dtype
+          // canonicalization (DECIMAL output hash-mismatched in round 2)
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("bytes_proxy"))
         .orderBy(desc("bytes_proxy"), col("part"))),
 
     // A5 toUUIDOrZero or-zero semantics over derived valid/invalid inputs
@@ -139,9 +145,9 @@ object ReferenceQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 23:59:59").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_qty"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_base"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))").as("sum_disc"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_base"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)").as("sum_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -156,7 +162,7 @@ object ReferenceQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))").as("revenue"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)").as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
@@ -183,7 +189,7 @@ object ReferenceQueries {
       Tables.load(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_value"))
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
         .orderBy("hour", "event_type")),
 
     // JSON extraction from events.props
@@ -243,7 +249,7 @@ object ReferenceQueries {
     "q07_cast_project" ->
       "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int, CAST(l_orderkey AS VARCHAR) AS okey_str, CAST(l_shipdate AS DATE) AS ship_date, CAST(l_linenumber AS BIGINT) AS ln_big FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q08_partition_inventory" ->
-      "SELECT strftime(l_shipdate, '%Y%m') AS part, count(*) AS n_rows, min(l_shipdate) AS min_time, max(l_shipdate) AS max_time, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bytes_proxy FROM lineitem GROUP BY 1 ORDER BY bytes_proxy DESC, part",
+      "SELECT strftime(l_shipdate, '%Y%m') AS part, count(*) AS n_rows, min(l_shipdate) AS min_time, max(l_shipdate) AS max_time, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS bytes_proxy FROM lineitem GROUP BY 1 ORDER BY bytes_proxy DESC, part",
     "q09_uuid_or_zero" ->
       ("SELECT p_partkey, CASE WHEN u ~ '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' THEN lower(u) ELSE '00000000-0000-0000-0000-000000000000' END AS uuid_norm FROM " +
         "(SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||substr(h,17,4)||'-'||substr(h,21,12) ELSE 'not-a-uuid-'||CAST(p_partkey AS VARCHAR) END AS u FROM (SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS h FROM part)) ORDER BY p_partkey"),
@@ -268,15 +274,15 @@ object ReferenceQueries {
         "CASE WHEN sa.part IS NULL THEN 'dest_only' WHEN dst_rows IS NULL OR dst_rows = 0 THEN 'copy' WHEN src_rows = dst_rows AND sfp = dfp THEN 'skip' ELSE 'delete_recopy' END AS verdict " +
         "FROM sa FULL OUTER JOIN da ON sa.part = da.part ORDER BY part"),
     "q15_groupby_agg" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc, count(*) AS n_rows FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc, count(*) AS n_rows FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q16_join_agg" ->
-      "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue, count(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+      "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue, count(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q17_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q18_window" ->
       "SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders ORDER BY o_orderkey",
     "q19_events_window" ->
-      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q20_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id"
     // q21/q22: xxhash64 fingerprints have no DuckDB equivalent → rows-only.

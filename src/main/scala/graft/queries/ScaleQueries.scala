@@ -51,7 +51,7 @@ object ScaleQueries {
           expectedItems = 1000000L)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
-          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_qty"))
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -217,7 +217,7 @@ object ScaleQueries {
     },
     "q71_bloom_semijoin" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty " +
         "FROM lineitem WHERE l_orderkey IN " +
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),

@@ -75,7 +75,7 @@ object StreamingReconcile {
     val agg = readEvents(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_value"))
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -28,7 +28,7 @@ class StreamingReconcileSpec extends SparkSpec {
     def batch = graft.core.Tables.load(spark, sf001, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))").as("sum_value"))
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
       .orderBy("hour", "event_type").collect().toSeq
     val expected = batch
     // twice: re-running must re-register the memory sink cleanly (Verify and
