@@ -196,6 +196,44 @@ object Dedup {
     df.select(col(idCol), xxhash64(col(contentCol)).as("content_hash"),
       simhash(col(contentCol)).as("simhash"))
 
+  /** Oracle-portable 60-bit content hash: first 15 md5-hex chars as a long
+    * (DuckDB mirror: graft.queries.PortableSql.hex15). ~2x the cost of
+    * xxhash64, so the xxhash forms above stay the production default; this
+    * variant exists so hash-emitting gate queries are externally
+    * verifiable bit-for-bit. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private[graft] val PortableSimhashBits = 48
+  private val PortableMasks =
+    array((0 until PortableSimhashBits).map(i => lit(1L << i)): _*)
+
+  /** Oracle-portable 48-bit SimHash: the same per-bit majority vote as
+    * [[simhash]] but over [[portableHash]] token hashes (bits 0..47 of the
+    * 60-bit value), so DuckDB reproduces it exactly
+    * (graft.queries.PortableSql.simhashOracle). One md5 per token; the
+    * per-bit tallies are integer ops on the hash array. */
+  def portableSimhash(c: Column): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val hashes = transform(toks, t => portableHash(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), PortableSimhashBits),
+      (acc, h) => zip_with(acc, PortableMasks,
+        (a, mask) => a + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(0)))
+    val n = size(toks)
+    aggregate(
+      zip_with(counts, PortableMasks,
+        (cnt, mask) => when(cnt * 2 > n, mask).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** [[fingerprints]] in the oracle-portable hash family: content hash +
+    * SimHash both md5-derived, DuckDB-mirrorable. */
+  def portableFingerprints(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), portableHash(col(contentCol)).as("content_hash"),
+      portableSimhash(col(contentCol)).as("simhash_p"))
+
   /** Rolling-hash chunk fingerprints (content-defined chunking — see
     * [[graft.functions.expressions.TextHashExpressions.RollingChunks]]):
     * per-doc array of chunk hashes whose boundaries survive edits

@@ -117,13 +117,30 @@ object CurationQueries {
 
     // SemDeDup semantic dedup over embeddings: hash-seeded clusters with a
     // Lloyd pass, same-cluster cosine >= 0.25 pairs lose all but the
-    // smallest id. Centroid choice is xxhash-derived -> rows-only oracle
-    // (like q54); planted-duplicate recovery is spec'd in SimilaritySpec.
-    "q66_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+    // smallest id. Cluster ids are xxhash-seeded, so the raw output can't
+    // be oracled — the gate emission is the DROP-SOUNDNESS invariant
+    // instead: `has_global_nbr` (some smaller-id vector anywhere is >=
+    // threshold similar — oracle-computed from an exact all-pairs pass)
+    // and `drop_justified_ok` (a dropped row MUST have such a neighbour:
+    // its same-cluster witness is in particular a global one). A keep/drop
+    // decision that dropped an unjustified row flips the boolean and fails
+    // the gate. Full keep-set semantics stay spec'd in SimilaritySpec.
+    "q66_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val dd = Similarity.semanticDedup(emb, "vec_id", "embedding",
         nCentroids = 16, threshold = 0.25, lloydIters = 1)
-        .orderBy("vec_id")),
+      val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      val nbr = a.join(b, col("ib") < col("ia"))
+        .select(col("ia"),
+          (Similarity.cosine(col("va"), col("vb")) >= 0.25).cast("int").as("g"))
+        .groupBy(col("ia").as("vec_id")).agg(max(col("g")).as("g"))
+      dd.join(nbr, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (coalesce(col("g"), lit(0)) === 1).as("has_global_nbr"),
+          (col("is_kept") || coalesce(col("g"), lit(0)) === 1).as("drop_justified_ok"))
+        .orderBy("vec_id")
+    }),
 
     // quality-weighted deterministic sampling: accept a doc when its hash
     // bucket falls under quality x 500 (i.e. keep-probability = q/2, no
@@ -209,6 +226,14 @@ object CurationQueries {
   private val Toks = "string_split_regex(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "q66_semantic_dedup" ->
+      ("WITH p AS (SELECT a.vec_id, max(CASE WHEN " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.25 " +
+        "THEN 1 ELSE 0 END) AS g FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id GROUP BY a.vec_id) " +
+        "SELECT e.vec_id, coalesce(p.g, 0) = 1 AS has_global_nbr, TRUE AS drop_justified_ok " +
+        "FROM embeddings e LEFT JOIN p ON p.vec_id = e.vec_id ORDER BY e.vec_id"),
     "q58_seq_packing" ->
       (s"WITH n AS (SELECT source, doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents), " +
         "p AS (SELECT source, doc_id, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER " +

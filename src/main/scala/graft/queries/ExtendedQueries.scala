@@ -86,13 +86,25 @@ object ExtendedQueries {
           min("l_quantity").as("q_min"), max("l_quantity").as("q_max"))
         .orderBy("l_returnflag")),
 
-    // sketch aggregates (HLL / approx quantile) — engine-specific values,
-    // rows-only check; accuracy asserted in SketchSpec
+    // sketch aggregates (HLL / approx quantile). Sketch VALUES are
+    // engine-specific, so the gate emission is the exact reference values
+    // plus error-bound booleans the oracle asserts as TRUE — the driver
+    // now externally verifies the accuracy contract instead of skipping
+    // the query (round-2 verdict #3). Raw estimates stay spec'd in
+    // SketchSpec. Median is over l_quantity (integral doubles): the
+    // midpoint interpolation is exact in both engines, where a
+    // continuous-valued median could differ in the last ulp.
     "q27_approx_sketches" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
-        countDistinct(col("l_partkey")).as("exact_parts"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median_qty"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"))
+        .select(col("exact_parts"), col("exact_median_qty"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("approx_parts_ok"),
+          (abs(col("am") - col("exact_median_qty")) <= abs(col("exact_median_qty")) * 0.05)
+            .as("approx_median_ok"))),
 
     // salted skew join == plain join semantics
     "q28_salted_join" -> ((s, dir) => {
@@ -254,6 +266,9 @@ object ExtendedQueries {
       "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY flag, status",
     "q26_percentiles" ->
       "SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75, min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q27_approx_sketches" ->
+      ("SELECT count(DISTINCT l_partkey) AS exact_parts, quantile_cont(l_quantity, 0.5) AS exact_median_qty, " +
+        "TRUE AS approx_parts_ok, TRUE AS approx_median_ok FROM lineitem"),
     "q28_salted_join" ->
       "SELECT s_nationkey, count(*) AS n_rows, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey ORDER BY s_nationkey",
     "q47_window_frames" ->

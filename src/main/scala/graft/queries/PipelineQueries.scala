@@ -12,10 +12,47 @@ import graft.text.TextAnalysis
 
 /** North-star training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal, sessionization) as oracle-checked queries.
-  * Same conventions as [[ReferenceQueries]]. Hash-based operators (minhash/
-  * simhash/LSH/xxhash fingerprints) have no DuckDB equivalent → rows-only. */
+  * Same conventions as [[ReferenceQueries]]. Hash-valued emissions use the
+  * oracle-portable md5 family ([[PortableSql]]); approximate-KNN emissions
+  * use recall/parity invariants the oracle asserts — only minhash band
+  * candidates (q31) remain rows-only (LSH candidate sets have no
+  * engine-independent characterization; see the q31 note). */
 object PipelineQueries {
   import ReferenceQueries.Q
+
+  /** Recall-invariant emission for approximate-KNN gate queries: the
+    * approximate result is compared to the exact brute-force top-k
+    * SPARK-side, and what reaches the driver is (query_id, n_results,
+    * recall_ok) — all three oracle-computable, so the DuckDB gate verifies
+    * the operator's recall CONTRACT externally instead of skipping the
+    * query. `minHits` is the operator's floor on |approx ∩ exact-top-k|
+    * per query (deterministic: all hashes are seed-fixed). */
+  private[queries] def recallInvariant(approx: DataFrame, exact: DataFrame,
+      minHits: Int): DataFrame = {
+    val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    approx.groupBy("query_id").agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** The shared oracle for recall/parity-invariant ANN emissions. */
+  private[queries] def knnInvariantOracle(bools: Seq[String] = Seq("recall_ok")): String = {
+    val bs = bools.map(b => s"TRUE AS $b").mkString(", ")
+    s"SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, $bs " +
+      "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 
   val all: Map[String, Q] = Map(
     // exact dedup: deterministic keeper + group size per distinct content
@@ -23,16 +60,26 @@ object PipelineQueries {
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select("keep_id", "n_dups").orderBy("keep_id")),
 
-    // MinHash-LSH candidate pairs (hash-specific → rows-only)
+    // MinHash-LSH candidate pairs — deliberately rows-only: the candidate
+    // SET is the probabilistic output of banding (P[candidate] =
+    // 1-(1-J^r)^b), and the corpus Jaccard distribution is continuous
+    // through every threshold (measured: no gap anywhere in [0.3, 0.9]),
+    // so no engine-independent characterization of the exact pair set
+    // exists — an all-pairs oracle would disagree wherever the S-curve
+    // rolls off. Candidate → exact-verify correctness is covered by q33
+    // (exact Jaccard, full oracle) and planted-duplicate specs.
     "q31_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
         threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
-    // SimHash signatures (hash-specific → rows-only)
+    // SimHash signatures in the oracle-portable (md5-derived, 48-bit) hash
+    // family, mirrored bit-for-bit by the DuckDB oracle. The xxhash64
+    // production simhash (native expression) keeps its bit-parity spec
+    // coverage in TextHashExpressionsSpec.
     "q32_simhash" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.portableSimhash(col("text")).as("simhash_p"))
         .orderBy("doc_id")),
 
     // exact token-set Jaccard over bounded candidate pairs
@@ -49,26 +96,40 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-10, 3-probe multi-probe (hash-bucketed
-    // → rows-only; probing fans out only the broadcast query side)
+    // LSH-bucketed approximate top-10, 4-probe multi-probe. Gate emission
+    // is the recall invariant vs the exact brute-force top-10 (computed
+    // Spark-side), so the DuckDB oracle externally verifies the recall
+    // contract; the neighbor lists themselves stay spec'd in
+    // SimilaritySpec. Probing fans out only the broadcast query side.
+    // Floor calibration: the synthetic embedding corpus is near-uniform
+    // for these query vectors (brute-force top-1 cosine is only
+    // 0.32–0.49), so recall tracks probe COVERAGE (4 of 8 buckets ≈ 0.5
+    // expected) rather than locality; the floor sits under the measured
+    // deterministic minimum (3/10 at sf0.1, 5/10 at sf0.01) with margin.
+    // Planted high-similarity recovery — the regime LSH is FOR — is
+    // spec'd in SimilaritySpec where the data supports it.
     "q35_knn_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10, 4,
-        probes = 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 6).as("cos_r"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 8)
+      recallInvariant(
+        Similarity.lshKnn(q, emb, "vec_id", "embedding", 10, 3, probes = 4),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 10),
+        minHits = 2)
     }),
 
     // IVF-indexed approximate top-10 (hash-sampled centroids, one Lloyd
-    // refinement pass over a 25% hash-sample → rows-only)
+    // refinement pass over a 25% hash-sample); recall-invariant emission.
+    // Same floor calibration as q35: near-uniform corpus → recall ≈
+    // nProbe/nCentroids coverage (8/16); measured deterministic minimum
+    // 4/10 at both SFs, floor 3 with margin.
     "q54_knn_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfKnn(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4, lloydIters = 1, lloydSamplePct = 25)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 6).as("cos_r"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 8)
+      recallInvariant(
+        Similarity.ivfKnn(q, emb, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 8, lloydIters = 1, lloydSamplePct = 25),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 10),
+        minHits = 3)
     }),
 
     // embedding near-duplicate pairs (bounded to same label)
@@ -113,9 +174,10 @@ object PipelineQueries {
           max("n_chars").as("max_chars"))
         .orderBy("lang", "source")),
 
-    // content-hash + simhash document fingerprints (hash → rows-only)
+    // content-hash + simhash document fingerprints, portable hash family
+    // (the xxhash64 production pair stays in Dedup.fingerprints, spec'd)
     "q44_doc_fingerprint" -> ((s, dir) =>
-      Dedup.fingerprints(Tables.load(s, dir, "documents"), "text", "doc_id")
+      Dedup.portableFingerprints(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     // multimodal stub pipeline: binary media column → per-partition decode
@@ -215,20 +277,39 @@ object PipelineQueries {
         .orderBy("event_type")),
 
     // persisted IVF index round trip: build (centroid-partitioned corpus on
-    // disk) then probe — the build-once/probe-many ANN shape. Hash-seeded
-    // centroids -> rows-only; index ≡ direct ivfKnn is spec'd.
+    // disk) then probe — the build-once/probe-many ANN shape. Gate emission
+    // is the parity invariant "probing the on-disk index returns EXACTLY
+    // the direct ivfKnn ranking", verified per query — a strict equality,
+    // not a recall bound, so the round trip through the partitioned layout
+    // is externally checked end-to-end.
     "q83_ivf_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      // unique dir per invocation: a fixed shared path would let two
-      // concurrent runs overwrite each other's index mid-query
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
-      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir, nCentroids = 16)
-      Similarity.queryIvfIndex(s, idxDir, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 10, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 6).as("cos_r"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 8)
+      // unique dir per invocation (a fixed shared path would let two
+      // concurrent runs overwrite each other's index mid-query), deleted
+      // after the probe result is MATERIALISED — the lazy plan reads the
+      // index files, so deletion must wait for the localCheckpoint
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      val viaIndex = try {
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir.toString,
+          nCentroids = 16)
+        Similarity.queryIvfIndex(s, idxDir.toString, q,
+            "vec_id", "embedding", k = 10, nProbe = 4)
+          .localCheckpoint(true)
+      } finally deleteRecursively(idxDir)
+      val direct = Similarity.ivfKnn(q, emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+      val a = viaIndex.select(col("query_id"), col("neighbor_id"), col("rank"))
+      val b = direct.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_d"))
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_results"),
+          max(when(col("rank").isNull || col("rank_d").isNull ||
+            col("rank") =!= col("rank_d"), 1).otherwise(0)).as("mm"))
+        .select(col("query_id"), col("n_results"),
+          (col("mm") === 0).as("index_parity_ok"))
+        .orderBy("query_id")
     }),
 
     // sessionization over the events stream (30-min gap), batch form of the
@@ -258,6 +339,12 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY keep_id",
+    "q32_simhash" -> PortableSql.simhashOracle(),
+    "q44_doc_fingerprint" -> PortableSql.simhashOracle(
+      extraSelect = s"${PortableSql.hex15("md5(d.text)")} AS content_hash"),
+    "q35_knn_lsh" -> knnInvariantOracle(),
+    "q54_knn_ivf" -> knnInvariantOracle(),
+    "q83_ivf_index" -> knnInvariantOracle(Seq("index_parity_ok")),
     "q33_jaccard_pairs" ->
       (s"WITH toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.ts, b.ts)) AS n_common, " +

@@ -1,0 +1,62 @@
+package graft.queries
+
+/** DuckDB-side mirrors of the ORACLE-PORTABLE hash family:
+  * [[graft.fp.Fingerprint.portableRowHash]] / `portableAgg` and
+  * [[graft.dedup.Dedup.portableHash]] / `portableSimhash`.
+  *
+  * xxhash64 — the engine's production row hash — has no DuckDB equivalent,
+  * which left every hash-emitting catalog query invisible to the external
+  * DuckDB correctness gate (round-2 verdict §"What's missing" #2). Both
+  * engines share `md5` over strings, and DuckDB parses '0x…' string casts
+  * to integers, so a 60-bit md5-prefix hash is computable bit-for-bit on
+  * both sides. The generators here are the single source of the DuckDB SQL
+  * text; the Spark formulations live next to the production operators and
+  * reference these in their Scaladoc — change both together.
+  */
+object PortableSql {
+
+  /** First 15 md5-hex chars of `e` as a BIGINT (60 bits, sign-safe in both
+    * engines). Spark mirror: `conv(substring(md5(e), 1, 15), 16, 10)`. */
+  def hex15(e: String): String = s"CAST('0x' || substr($e, 1, 15) AS BIGINT)"
+
+  /** Canonical string forms (Spark mirror: Fingerprint.portableCanonical).
+    * NULL → chr(0) sentinel after conversion, because concat_ws drops
+    * nulls in both engines. */
+  def canon(e: String): String = s"coalesce(CAST($e AS VARCHAR), chr(0))"
+  def canonDouble(e: String): String =
+    s"coalesce(CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR), chr(0))"
+  def canonTimestamp(e: String): String =
+    s"coalesce(strftime($e, '%Y-%m-%d %H:%M:%S'), chr(0))"
+
+  /** Portable 60-bit row hash over canonicalized columns. */
+  def rowHash(canonCols: Seq[String]): String =
+    hex15(s"md5(concat_ws(chr(1), ${canonCols.mkString(", ")}))")
+
+  /** XOR-aggregate fingerprint (0 on empty input, like the Spark side). */
+  def fpAgg(canonCols: Seq[String]): String =
+    s"coalesce(bit_xor(${rowHash(canonCols)}), 0)"
+
+  /** Bits in the portable SimHash (Dedup.PortableSimhashBits mirror). */
+  val SimhashBits = 48
+
+  /** Whole-oracle SQL for the portable 48-bit SimHash over whitespace
+    * tokens of `documents.text`: per-token 60-bit md5 hash, per-bit
+    * majority vote across the document's tokens (duplicates counted, as in
+    * the Spark HOF), bits 0..47 assembled into one BIGINT.
+    *
+    * @param extraSelect additional projections from the `documents` table
+    *                    (prefix `d.`), e.g. a content hash column
+    */
+  def simhashOracle(extraSelect: String = "", alias: String = "simhash_p"): String = {
+    val counts = (0 until SimhashBits)
+      .map(i => s"sum(CAST((h >> $i) & 1 AS BIGINT)) AS c$i").mkString(", ")
+    val assemble = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val extra = if (extraSelect.isEmpty) "" else s"$extraSelect, "
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, ${hex15("md5(tok)")} AS h FROM t), " +
+      s"b AS (SELECT doc_id, count(*) AS n, $counts FROM h GROUP BY doc_id) " +
+      s"SELECT d.doc_id, ${extra}CAST($assemble AS BIGINT) AS $alias " +
+      "FROM documents d JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
+  }
+}

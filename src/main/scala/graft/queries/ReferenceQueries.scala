@@ -199,19 +199,25 @@ object ReferenceQueries {
         .orderBy("event_id")),
 
     // A10+A11 order-independent content fingerprint over a projected
-    // subquery (xxhash64-specific → no SQL oracle; rows-only check +
-    // property-tested in FingerprintSpec)
+    // subquery — emitted in the ORACLE-PORTABLE (md5-derived) hash family
+    // so the driver's DuckDB gate verifies the flagship verification
+    // semantic itself bit-for-bit (round-2 verdict #3). The xxhash64
+    // production fingerprint keeps its own coverage via q14 (the verdict
+    // ladder consumes it) and FingerprintSpec.
     "q21_fingerprint" -> ((s, dir) => {
       val df = li(s, dir).filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
-      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").map(col)
-      df.agg(Fingerprint.agg(cols).as("fp"), count(lit(1)).as("n_rows"))
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      df.agg(
+        Fingerprint.portableAgg(Fingerprint.portableCanonicalCols(df, cols)).as("fp_portable"),
+        count(lit(1)).as("n_rows"))
     }),
 
-    // A10 per-partition fingerprint map (the one-pass system.parts+hash scan)
+    // A10 per-partition fingerprint map (the one-pass system.parts+hash
+    // scan), portable hash family — full 11-column row canonicalization
     "q22_fingerprint_by_partition" -> ((s, dir) => {
       val df = li(s, dir)
-      val cols = df.columns.toSeq.map(col)
-      Fingerprint.byPartition(df, Seq("part" -> date_format(col("l_shipdate"), "yyyyMM")), cols)
+      Fingerprint.byPartitionPortable(df,
+          Seq("part" -> date_format(col("l_shipdate"), "yyyyMM")), df.columns.toSeq)
         .orderBy("part")
     })
   )
@@ -284,7 +290,23 @@ object ReferenceQueries {
     "q19_events_window" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q20_json_extract" ->
-      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id"
-    // q21/q22: xxhash64 fingerprints have no DuckDB equivalent → rows-only.
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id",
+    "q21_fingerprint" -> {
+      import PortableSql._
+      val c = Seq(canon("l_orderkey"), canon("l_linenumber"),
+        canonDouble("l_quantity"), canon("l_returnflag"))
+      s"SELECT ${fpAgg(c)} AS fp_portable, count(*) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    },
+    "q22_fingerprint_by_partition" -> {
+      import PortableSql._
+      val c = Seq(canon("l_orderkey"), canon("l_partkey"), canon("l_suppkey"),
+        canon("l_linenumber"), canonDouble("l_quantity"),
+        canonDouble("l_extendedprice"), canonDouble("l_discount"),
+        canonDouble("l_tax"), canon("l_returnflag"), canon("l_linestatus"),
+        canonTimestamp("l_shipdate"))
+      s"SELECT strftime(l_shipdate, '%Y%m') AS part, count(*) AS n_rows, " +
+        s"${fpAgg(c)} AS fp_portable FROM lineitem GROUP BY 1 ORDER BY part"
+    }
   )
 }

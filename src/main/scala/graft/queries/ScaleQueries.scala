@@ -82,14 +82,26 @@ object ScaleQueries {
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("ngram")).limit(20)),
 
-    // int8-quantised brute-force ANN, same query set as q34
+    // int8-quantised brute-force ANN, same query set as q34. Gate emission
+    // is the recall invariant vs the exact float top-10 PLUS the int8
+    // cosine error bound — both contracts externally verified by the
+    // DuckDB oracle (TRUE columns); raw rankings stay spec'd.
     "q74_quantized_knn" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.quantizedKnn(emb.filter(col("vec_id") < 8), emb,
-          "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 6).as("cos_r"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 8)
+      val approx = Similarity.quantizedKnn(q, emb, "vec_id", "embedding", 10)
+      val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 10)
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val errs = approx.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .select(col("query_id"),
+          abs(col("cos") - Similarity.cosine(col("qv"), col("cv"))).as("err"))
+        .groupBy("query_id").agg(max("err").as("max_err"))
+      PipelineQueries.recallInvariant(approx, exact, minHits = 9)
+        .join(errs, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_results"), col("recall_ok"),
+          (coalesce(col("max_err"), lit(1.0)) <= 0.02).as("err_ok"))
+        .orderBy("query_id")
     }),
 
     // snapshot drift report: per-column distribution stats (rows, nulls,
@@ -160,16 +172,25 @@ object ScaleQueries {
         .orderBy("l_returnflag")),
 
     // mergeable distinct-token sketches: one HLL per language, plus the
-    // union of those sketches as the corpus-wide estimate — no rescan
+    // union of those sketches as the corpus-wide estimate — no rescan.
+    // Gate emission pairs the exact distinct count (oracle-computable)
+    // with an "estimate within 5%" boolean per row, so the DuckDB gate
+    // verifies the sketch-accuracy contract for both the per-group
+    // sketches AND the merged union (the merge path is the whole point of
+    // HLL at 100 TB). Raw estimates stay spec'd in ScaleQueriesSpec.
     "q75_hll_union" -> ((s, dir) => {
-      val perLang = Tables.load(s, dir, "documents")
+      val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .groupBy("lang").agg(hll_sketch_agg(col("tok")).as("sk"))
-      perLang
-        .select(col("lang"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+      val perLang = toks.groupBy("lang").agg(hll_sketch_agg(col("tok")).as("sk"),
+        countDistinct(col("tok")).as("exact_distinct"))
+      def estOk(sk: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        (abs(hll_sketch_estimate(sk) - exact) <= exact * 0.05).as("est_ok")
+      perLang.select(col("lang"), col("exact_distinct"),
+          estOk(col("sk"), col("exact_distinct")))
         .unionByName(perLang.agg(hll_union_agg(col("sk")).as("sk"))
-          .select(lit("ALL").as("lang"),
-            hll_sketch_estimate(col("sk")).as("est_distinct")))
+          .crossJoin(toks.agg(countDistinct(col("tok")).as("exact_distinct")))
+          .select(lit("ALL").as("lang"), col("exact_distinct"),
+            estOk(col("sk"), col("exact_distinct"))))
         .orderBy("lang")
     })
   )
@@ -184,6 +205,12 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q74_quantized_knn" ->
+      PipelineQueries.knnInvariantOracle(Seq("recall_ok", "err_ok")),
+    "q75_hll_union" ->
+      ("WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
+        "SELECT lang, count(DISTINCT tok) AS exact_distinct, TRUE AS est_ok FROM t GROUP BY lang " +
+        "UNION ALL SELECT 'ALL', count(DISTINCT tok), TRUE FROM t ORDER BY lang"),
     "q84_drift_report" ->
       ("WITH src AS (SELECT CAST(count(*) AS DOUBLE) AS n_rows, CAST(min(o_totalprice) AS DOUBLE) AS price_min, " +
         "CAST(max(o_totalprice) AS DOUBLE) AS price_max, CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS prio_distinct, " +

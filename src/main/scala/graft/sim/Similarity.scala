@@ -322,11 +322,22 @@ object Similarity {
     * clustering first: |cluster|² ≪ |corpus|²) and reuses
     * [[cosineNearDupPairs]]'s equi-join on the cluster id.
     *
+    * `maxCluster` is the fat-cluster guard (the same spam-cluster failure
+    * mode [[graft.dedup.Dedup.minhashPairs]] guards with maxBucket): one
+    * dense semantic cluster of B rows contributes B²/2 pairs and can
+    * dominate the whole join at corpus scale. Clusters above the bound are
+    * SUB-BUCKETED by the sign-bit LSH signature of the vector, so the pair
+    * join runs within (cluster, signature-bucket) — near-identical vectors
+    * share every sign bit and stay comparable (an exact duplicate is ALWAYS
+    * caught), while far-apart members of an over-merged cluster are pruned.
+    * ON by default; pass 0 to disable.
+    *
     * Returns every corpus row: (id, centroid_id, is_kept). */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, threshold: Double = 0.9,
-      lloydIters: Int = 0, lloydSamplePct: Int = 100): DataFrame = {
+      lloydIters: Int = 0, lloydSamplePct: Int = 100,
+      maxCluster: Int = 100000, guardPlanes: Int = 8): DataFrame = {
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
@@ -337,9 +348,22 @@ object Similarity {
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     val assigned = assignProbes(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centArr, "__v", 1)
-    // a row is dropped iff SOME smaller-id same-cluster row is >= threshold
+    // fat-cluster guard: cluster sizes are an nCentroids-row broadcast; only
+    // oversized clusters pay the extra LSH signature projection
+    val grouped =
+      if (maxCluster <= 0) assigned.withColumn("__grp", col("centroid_id"))
+      else {
+        val sizes = assigned.groupBy("centroid_id").count()
+        assigned.join(broadcast(sizes), Seq("centroid_id"))
+          .withColumn("__grp", concat_ws("#",
+            col("centroid_id"),
+            when(col("count") > maxCluster,
+              lshSignature(col("__v"), guardPlanes)).otherwise(lit(0L))))
+          .drop("count")
+      }
+    // a row is dropped iff SOME smaller-id same-group row is >= threshold
     // similar: left-semi on the pair relation, then anti-project
-    val dropIds = cosineNearDupPairs(assigned, "__id", "__v", "centroid_id", threshold)
+    val dropIds = cosineNearDupPairs(grouped, "__id", "__v", "__grp", threshold)
       .select(col("id_b").as("__id")).distinct()
     assigned.join(dropIds.withColumn("__dropped", lit(true)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("centroid_id"),

@@ -49,7 +49,15 @@ object FileStatsIndex {
   /** Read only the files whose [min, max] range intersects [lo, hi] on
     * `column`, then re-apply the exact predicate. The driver materialises
     * just the surviving file LIST (≤ #files rows — the same bounded
-    * cardinality the reconciler's partition list carries). */
+    * cardinality the reconciler's partition list carries).
+    *
+    * `basePath` is passed to the leaf-file read so a HIVE-PARTITIONED
+    * layout keeps its partition columns: reading leaf files directly
+    * would otherwise silently drop `part=…` directory columns from the
+    * schema (and break any predicate on them). Note the index itself
+    * stores only IN-FILE column stats — to prune on a partition
+    * directory column, use PartitionPredicate; this index prunes on data
+    * columns within whatever files the partition filter left. */
   def prunedRead(spark: SparkSession, tablePath: String, column: String,
       lo: Column, hi: Column): DataFrame = {
     val files = spark.read.parquet(statsPath(tablePath))
@@ -57,7 +65,7 @@ object FileStatsIndex {
       .select("file").collect().map(_.getString(0))
     val pruned =
       if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", tablePath).parquet(files: _*)
     pruned.filter(col(column) >= lo && col(column) <= hi)
   }
 }

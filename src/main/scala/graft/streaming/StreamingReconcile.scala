@@ -55,33 +55,60 @@ object StreamingReconcile {
       .select(col("win.start").as("win_start"), col("event_type"), col("n_rows"), col("fp"))
   }
 
-  /** The q19 hourly aggregate computed by an ACTUAL stream over the same
-    * files (readStream → availableNow → complete-mode memory sink), so the
-    * driver's DuckDB gate checks stream ≡ batch end-to-end (q55).
-    *
-    * The memory sink is the right finite-stream harness here: complete mode
-    * re-emits closed-and-open windows alike, so no window is stranded
-    * behind the final watermark the way an append-mode file sink would
-    * strand the last hour. Its driver-side footprint is the AGGREGATE
-    * (hours × event_types rows — the same cardinality any client of this
-    * query collects), not the events. A production deployment points the
-    * identical plan at a kafka/parquet sink in append mode with the
-    * [[windowedFingerprint]] watermark. */
-  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Run a finite (availableNow) stream into a PARQUET sink via
+    * foreachBatch and hand back the sink relation — the gate streams'
+    * harness. Round 2 used `format("memory")`, which materialises every
+    * emitted row in DRIVER memory: fine for an aggregate, a driver-side
+    * bottleneck the moment the streamed relation is row-shaped (the
+    * attribution join emits one row per matched event). A parquet sink
+    * keeps the rows on executors/disk end-to-end; complete-mode batches
+    * overwrite (each re-emits the full result, last batch wins), append-
+    * mode batches append. The caller must MATERIALISE (localCheckpoint)
+    * anything it wants to outlive `cleanup()` of the sink directory. */
+  private def runToParquetSink(df: DataFrame, name: String,
+      mode: OutputMode): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.streaming.Trigger
-    val name = "q55_streaming_window"
+    val spark = df.sparkSession
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    withStateWidth(spark, 8) {
-    val agg = readEvents(spark, dir)
-      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$name")
+    val sink = s"$dir/out"
+    val complete = mode == OutputMode.Complete()
+    val q = df.writeStream.queryName(name)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(if (complete) "overwrite" else "append").parquet(sink)
+      }
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
-      .select(col("win.start").as("hour"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    val cleanup = () => {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    (spark.read.parquet(sink), cleanup)
+  }
+
+  /** The q19 hourly aggregate computed by an ACTUAL stream over the same
+    * files (readStream → availableNow → complete-mode parquet sink), so
+    * the driver's DuckDB gate checks stream ≡ batch end-to-end (q55).
+    *
+    * Complete mode is the right finite-stream discipline here: it re-emits
+    * closed-and-open windows alike, so no window is stranded behind the
+    * final watermark the way an append-mode emission would strand the last
+    * hour. A production deployment points the identical plan at a
+    * kafka/parquet sink in append mode with the [[windowedFingerprint]]
+    * watermark. */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+    withStateWidth(spark, 8) {
+      val agg = readEvents(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
+      val (sink, cleanup) = runToParquetSink(agg, "q55_streaming_window",
+        OutputMode.Complete())
+      try sink.select(col("win.start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .localCheckpoint(true)
+      finally cleanup()
     }
   }
 
@@ -95,19 +122,15 @@ object StreamingReconcile {
     * `withWatermark` + `dropDuplicatesWithinWatermark` to bound state by
     * time instead of key cardinality. */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val name = "q65_streaming_dedup"
-    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     withStateWidth(spark, 8) {
       val deduped = readEvents(spark, dir)
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_users"))
+      val (sink, cleanup) = runToParquetSink(deduped, "q65_streaming_dedup",
+        OutputMode.Append())
+      try sink.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .localCheckpoint(true)
+      finally cleanup()
     }
   }
 
@@ -120,12 +143,8 @@ object StreamingReconcile {
     * Inner-join matches emit eagerly (no watermark wait), so availableNow
     * over the finite fixture emits exactly the batch join — the DuckDB
     * oracle (q79) checks that equivalence end-to-end, like q55/q65. */
-  def attributionJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val name = "q79_stream_join"
-    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    withStateWidth(spark, 8)(attributionJoinStreamInner(spark, dir, name))
-  }
+  def attributionJoinStream(spark: SparkSession, dir: String): DataFrame =
+    withStateWidth(spark, 8)(attributionJoinStreamInner(spark, dir, "q79_stream_join"))
 
   /** Stateful-shuffle width is a STATE-VOLUME knob, not a CPU knob: every
     * partition materialises its own state store(s), so a small-state query
@@ -141,7 +160,6 @@ object StreamingReconcile {
 
   private def attributionJoinStreamInner(spark: SparkSession, dir: String,
       name: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val ev = readEvents(spark, dir)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
@@ -154,13 +172,24 @@ object StreamingReconcile {
       col("a_user") === col("s_user") &&
         col("a_ts") >= col("s_ts") &&
         col("a_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-      .groupBy(col("a_type").as("event_type"))
+    // row-shaped stream output (one row per matched event) — exactly the
+    // case where the parquet sink matters: the matches never transit the
+    // driver, only the tiny per-type rollup does
+    val (sink, cleanup) = runToParquetSink(joined, name, OutputMode.Append())
+    try sink.groupBy(col("a_type").as("event_type"))
       .agg(count(lit(1)).as("n_attributed"))
+      .localCheckpoint(true)
+    finally cleanup()
   }
+
+  /** Column carrying the last merged batch id INSIDE the store parquet —
+    * a separate marker file could diverge from the store on a crash
+    * between the two writes (see [[mergeFingerprintBatch]]). */
+  val BatchCol = "_graft_batch"
+
+  /** Read the fingerprint store WITHOUT its internal batch-id column. */
+  def readFingerprintStore(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath).drop(BatchCol)
 
   /** One micro-batch step of incremental fingerprint maintenance: fold the
     * batch's per-partition (rows, fp) delta into the stored relation via
@@ -170,40 +199,44 @@ object StreamingReconcile {
     * sidesteps overwriting a path while lazily reading it.
     *
     * IDEMPOTENT per `batchId`: foreachBatch is at-least-once, and XOR
-    * makes a double-merge silently self-cancel (fp ⊕ fp = 0, rows 2×), so
-    * the store records the last merged id in `_last_batch` and a replayed
-    * batch is skipped. Existence/marker checks go through the path's
-    * Hadoop filesystem — `java.io.File` would see only the driver's local
-    * disk and treat an object-store store as perpetually absent. */
+    * makes a double-merge silently self-cancel (fp ⊕ fp = 0, rows 2×).
+    * The replay guard is ATOMIC with the data: the last merged id lives in
+    * the [[BatchCol]] column OF the store itself (a store+marker file pair
+    * can crash between the two writes, after which the replayed batch
+    * re-merges and corrupts the store — round-2 advice), and the store is
+    * replaced by write-to-temp + delete + rename, with a recovery step for
+    * a crash between the delete and the rename. Filesystem ops go through
+    * the path's Hadoop filesystem — `java.io.File` would see only the
+    * driver's local disk and treat an object-store store as absent. */
   def mergeFingerprintBatch(spark: SparkSession, storePath: String,
       batch: DataFrame, partKeys: Seq[(String, org.apache.spark.sql.Column)],
       cols: Seq[org.apache.spark.sql.Column], batchId: Long = 0L): Unit = {
     val store = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(storePath + "_last_batch")
+    // crash recovery: death between delete(store) and rename(tmp → store)
+    // leaves a completed tmp and no store — the tmp IS the store
+    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
     def lastBatch: Option[Long] =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      }
-    if (lastBatch.exists(_ >= batchId) && fs.exists(store)) return // replay
+      if (!fs.exists(store)) None
+      else scala.util.Try(
+        spark.read.parquet(storePath).agg(max(col(BatchCol))).head().getLong(0)
+      ).toOption // empty/legacy store (no rows or no column) → re-merge
+    if (lastBatch.exists(_ >= batchId)) return // at-least-once replay
     val delta = graft.fp.Fingerprint.byPartition(batch, partKeys, cols)
     val keyNames = partKeys.map(_._1)
     val merged =
       if (fs.exists(store))
         graft.fp.Fingerprint.mergeDelta(
-          spark.read.parquet(storePath), delta, keyNames)
+          readFingerprintStore(spark, storePath), delta, keyNames)
       else delta
     val snapshot = merged.collect().toSeq // bounded: one row per partition
     spark.createDataFrame(
         spark.sparkContext.parallelize(snapshot, 1), merged.schema)
-      .write.mode("overwrite").parquet(storePath)
-    val out = fs.create(marker, true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+      .withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(store, true)
+    fs.rename(tmp, store)
   }
 
   /** Streaming maintenance of the stored per-partition fingerprint table:
@@ -229,7 +262,7 @@ object StreamingReconcile {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(storePath)
+    readFingerprintStore(spark, storePath)
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
