@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cents == 1)
   }
 
+  test("semanticDedup fat-cluster guard: sub-bucketing still catches exact duplicates") {
+    // plant a FAT cluster: 40 identical copies of one vector, so their
+    // centroid's cluster blows past maxCluster and the LSH sub-bucket
+    // guard engages — identical vectors share every sign bit, so the
+    // guard must not hide them from each other
+    val base = emb.filter(col("vec_id") === 5)
+    val copies = base.crossJoin(spark.range(40).select((col("id") + 900000L).as("nid")))
+      .withColumn("vec_id", col("nid")).drop("nid")
+      .select(emb.columns.map(col): _*)
+    val corpus = emb.unionByName(copies)
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.999999, maxCluster = 10)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(rows.size == corpus.count())
+    assert(rows(5L)) // smallest id of the identical set survives
+    (0 until 40).foreach(i => assert(!rows(900000L + i), s"copy $i kept"))
+    // on this fixture the guard changes nothing else: guard-off parity
+    val offRows = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        nCentroids = 8, threshold = 0.999999, maxCluster = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(rows == offRows)
+  }
+
   test("bounded top-k reproduces row_number window semantics exactly") {
     import org.apache.spark.sql.expressions.Window
     val q = emb.filter(col("vec_id") < 8)

@@ -85,6 +85,24 @@ class ZOrderSpec extends SparkSpec {
       lit(maxA + 10), lit(maxA + 20)).count() == 0)
   }
 
+  test("prunedRead keeps hive partition columns on a partitioned layout (basePath)") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"),
+        (col("l_orderkey") % 4).as("p"))
+    val dir = tmpDir("partstats")
+    li.write.mode("overwrite").partitionBy("p").parquet(dir)
+    FileStatsIndex.build(spark, dir, Seq("a"))
+    val maxA = li.agg(max("a")).head().getLong(0)
+    val pruned = FileStatsIndex.prunedRead(spark, dir, "a", lit(0L), lit(maxA / 4))
+    // without basePath the leaf-file read would silently drop `p`
+    assert(pruned.columns.contains("p"))
+    val expected = spark.read.parquet(dir)
+      .filter(col("a") >= 0L && col("a") <= maxA / 4)
+      .groupBy("p").count().orderBy("p").collect().toSeq
+    assert(pruned.groupBy("p").count().orderBy("p").collect().toSeq == expected)
+    assert(pruned.count() > 0)
+  }
+
   test("writeCuratedTable: one call yields a pruned-readable z layout in sync") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))

@@ -68,6 +68,33 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(canon(streamed) == full)
   }
 
+  test("fingerprint store: crash between delete and rename recovers; replay after recovery is a no-op") {
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val contentCols = Seq(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keys = Seq("event_type" -> col("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val store = tmpDir("fpstore_crash") + "/store"
+    StreamingReconcile.mergeFingerprintBatch(spark, store,
+      ev.filter(col("event_id") % 2 === 0), keys, contentCols, batchId = 0L)
+    StreamingReconcile.mergeFingerprintBatch(spark, store,
+      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols, batchId = 1L)
+    val full = canon(StreamingReconcile.readFingerprintStore(spark, store))
+    // simulate dying between fs.delete(store) and fs.rename(tmp → store):
+    // the completed new store sits at _tmp, the store path is gone
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_tmp"))
+    // the checkpointed replay of batch 1 must first adopt _tmp as the
+    // store, then skip the merge (its embedded batch id is current) —
+    // a re-merge would XOR-cancel the fingerprints and double the counts
+    StreamingReconcile.mergeFingerprintBatch(spark, store,
+      ev.filter(col("event_id") % 2 =!= 0), keys, contentCols, batchId = 1L)
+    assert(canon(StreamingReconcile.readFingerprintStore(spark, store)) == full)
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val got = StreamingReconcile.attributionJoinStream(spark, sf001)
       .orderBy("event_type").collect()
