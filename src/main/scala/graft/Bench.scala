@@ -48,13 +48,18 @@ object Bench {
       val spread = runs.max / math.max(runs.min, 1e-9)
       if (spread > 2.0)
         System.err.println(f"[bench] $name spread ${spread}%.1fx: ${runs.map(r => f"$r%.2f").mkString(",")}s")
-      name -> runs.min
+      name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // all three per-query runs, so a reader can tell VM noise (wide spread)
+    // from a real regression (all three runs slower) without a re-run
+    val runsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in r1).
     try {
       Files.createDirectories(Paths.get("tmp"))

@@ -200,7 +200,11 @@ object Dedup {
     * (DuckDB mirror: graft.queries.PortableSql.hex15). ~2x the cost of
     * xxhash64, so the xxhash forms above stay the production default; this
     * variant exists so hash-emitting gate queries are externally
-    * verifiable bit-for-bit. */
+    * verifiable bit-for-bit. Deliberately the BUILTIN pipeline, not a
+    * native expression: md5/conv/substring are all codegen'd, so this
+    * stays inside whole-stage codegen with the canonicalization
+    * projections feeding it — a CodegenFallback scalar here measured
+    * SLOWER (it forces the whole projection interpreted). */
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
@@ -211,9 +215,17 @@ object Dedup {
   /** Oracle-portable 48-bit SimHash: the same per-bit majority vote as
     * [[simhash]] but over [[portableHash]] token hashes (bits 0..47 of the
     * 60-bit value), so DuckDB reproduces it exactly
-    * (graft.queries.PortableSql.simhashOracle). One md5 per token; the
-    * per-bit tallies are integer ops on the hash array. */
-  def portableSimhash(c: Column): Column = {
+    * (graft.queries.PortableSql.simhashOracle). Production path is the
+    * native expression (one md5 + 48 integer ops per token; the HOF form
+    * below allocates a 48-slot array per token — measured 6.5s vs ~0.5s
+    * per 5000-doc sf0.1 pass). */
+  def portableSimhash(c: Column): Column =
+    graft.functions.expressions.TextHashExpressions.portableSimhash48(c)
+
+  /** Builtin-HOF reference formulation of [[portableSimhash]] (the
+    * executable spec the native expression is bit-parity-tested against —
+    * and the direct transliteration of the DuckDB oracle SQL). */
+  def portableSimhashHof(c: Column): Column = {
     val toks = TextAnalysis.tokens(c)
     val hashes = transform(toks, t => portableHash(t))
     val counts = aggregate(

@@ -65,6 +65,60 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Per-thread MD5 instance: MessageDigest is stateful and not
+    * thread-safe, and an Expression instance can be shared across tasks. */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** The oracle-portable 60-bit token hash: first 15 md5-hex chars as a
+    * long, i.e. the big-endian first 60 bits of the digest —
+    * `longBE(bytes 0..7) >>> 4` equals `parseLong(hexString.take(15), 16)`
+    * (14 full hex chars from bytes 0..6 plus the high nibble of byte 7).
+    * Bit-parity with Dedup.portableHash (conv/substring/md5 builtins) is
+    * spec'd. */
+  private[expressions] def md5Prefix60(bytes: Array[Byte]): Long = {
+    val d = Md5.get().digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Oracle-portable 48-bit SimHash: the [[SimHash64]] majority vote over
+    * [[md5Prefix60]] token hashes, bits 0..47 — bit-identical to the
+    * builtin-HOF formulation in Dedup.portableSimhashHof (spec'd), ~40x
+    * its throughput (the HOF form allocates a 48-slot array per token). */
+  case class PortableSimHash48(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_simhash48"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val counts = new Array[Int](48)
+      var ti = 0
+      while (ti < toks.length) {
+        val h = md5Prefix60(
+          toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 48) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        ti += 1
+      }
+      val n = toks.length
+      var out = 0L
+      var b = 0
+      while (b < 48) {
+        if (counts(b) * 2 > n) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PortableSimHash48 = copy(c)
+  }
+
   /** k MinHash values over a shingle array, identical to the HOF version:
     * slot i holds min over shingles of xxhash64(i, shingle) — the builtin's
     * left-fold seed chaining hash(s, hash(i, 42)). */
@@ -261,6 +315,7 @@ object TextHashExpressions {
   // Column wrappers (classic-API bridge between Column and Expression)
   import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
+  def portableSimhash48(c: Column): Column = toColumn(PortableSimHash48(toExpr(c)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpr(shingles), k))
   def minhashShingled(text: Column, n: Int, k: Int): Column =

@@ -24,6 +24,28 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("PortableSimHash48 expression == HOF formulation on the corpus + edge cases") {
+    import spark.implicits._
+    val edge = Seq("", " ", "one", "a  b\t c ",
+      "hello\n", "\thello", "a\nb", "trailing\t", "\n", "a b").toDF("text")
+      .select(col("text"), lit(-1L).as("doc_id"))
+    val all = docs.select(col("text"), col("doc_id")).unionByName(edge)
+    val diff = all.select(
+      Dedup.portableSimhash(col("text")).as("fast"),
+      Dedup.portableSimhashHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("portableHash builtin pipeline == the JVM md5Prefix60 reference") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello", "éü中文", "0", "the quick fox")
+    val got = inputs.toDF("w").select(Dedup.portableHash(col("w")))
+      .collect().map(_.getLong(0)).toSeq
+    val jvm = inputs.map(w => TextHashExpressions.md5Prefix60(w.getBytes("UTF-8")))
+    assert(got == jvm)
+  }
+
   test("MinHashSignature expression == HOF formulation") {
     val sh = Dedup.wordShingles(col("text"), 3)
     val diff = docs.select(
