@@ -58,6 +58,31 @@ object Tables {
   def exists(dir: String, name: String): Boolean =
     new java.io.File(s"$dir/$name.parquet").exists()
 
+  /** Register the fixture table as a REAL session-catalog table — an
+    * EXTERNAL parquet table pointing at the fixture file (no copy; DROP
+    * removes only metadata). This is the `system.tables` analogue done
+    * through `spark.catalog` instead of paths: existence is
+    * `spark.catalog.tableExists`, DESCRIBE is `spark.catalog.listColumns`,
+    * reads are `spark.table(name)`. A fresh UUID-suffixed name per call
+    * keeps concurrent registrations (Bench runs each query 3x in one
+    * session) from colliding. Caller drops the table when done. */
+  def registerExternal(spark: SparkSession, dir: String, name: String): String = {
+    val tbl = s"graft_${name}_${java.util.UUID.randomUUID.toString.take(8)}"
+    // resolve through load() first so session confs (ns timestamps, UTC)
+    // are applied before the catalog relation is cached
+    load(spark, dir, name)
+    spark.catalog.createTable(tbl, s"$dir/$name.parquet", "parquet")
+    tbl
+  }
+
+  /** Write `df` as a Hive-style PARTITIONED external catalog table at
+    * `path`, partitioned by `partCol` — the layout `SHOW PARTITIONS` and
+    * partition pruning operate on. Caller drops + deletes. */
+  def writePartitionedTable(df: DataFrame, table: String, path: String,
+      partCol: String): Unit =
+    df.write.partitionBy(partCol).format("parquet")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
   /** DESCRIBE TABLE as data: (col_name, col_type) rows in schema order. */
   def describe(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = load(spark, dir, name).schema

@@ -219,6 +219,48 @@ object ReferenceQueries {
       Fingerprint.byPartitionPortable(df,
           Seq("part" -> date_format(col("l_shipdate"), "yyyyMM")), df.columns.toSeq)
         .orderBy("part")
+    }),
+
+    // A15+A16+A17 through a REAL session catalog (not paths): register an
+    // external table, assert existence via spark.catalog.tableExists, and
+    // emit its DESCRIBE surface via spark.catalog.listColumns — the
+    // catalog-backed variant of q12
+    "q86_catalog_describe" -> ((s, dir) => {
+      val tbl = Tables.registerExternal(s, dir, "lineitem")
+      try {
+        val exists = s.catalog.tableExists(tbl)
+        import s.implicits._
+        s.catalog.listColumns(tbl).collect().map(_.name).toSeq.sorted
+          .map(c => (c, exists)).toDF("col_name", "table_exists")
+          .orderBy("col_name")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // A18 through the catalog: a Hive-partitioned external table's SHOW
+    // PARTITIONS listing joined to per-partition counts — parity between
+    // the CATALOG's partition inventory and the data itself (a partition
+    // the catalog lists but the data lacks would emit n_rows = -1 and
+    // hash-mismatch; one it misses would drop a row and row-mismatch)
+    "q87_catalog_partitions" -> ((s, dir) => {
+      val tbl = s"graft_parts_${java.util.UUID.randomUUID.toString.take(8)}"
+      val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+      try {
+        Tables.writePartitionedTable(
+          li(s, dir).withColumn("part", date_format(col("l_shipdate"), "yyyyMM")),
+          tbl, s"$wh/$tbl", "part")
+        val parts = s.sql(s"SHOW PARTITIONS $tbl")
+          .select(regexp_extract(col("partition"), "^part=(.*)$", 1).as("part"))
+        val counts = s.table(tbl).groupBy("part").agg(count(lit(1)).as("n_rows"))
+        parts.join(counts, Seq("part"), "left")
+          .select(col("part"), coalesce(col("n_rows"), lit(-1L)).as("n_rows"))
+          .orderBy("part")
+          .localCheckpoint(true) // materialise before the table is dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     })
   )
 
@@ -307,6 +349,11 @@ object ReferenceQueries {
         canonTimestamp("l_shipdate"))
       s"SELECT strftime(l_shipdate, '%Y%m') AS part, count(*) AS n_rows, " +
         s"${fpAgg(c)} AS fp_portable FROM lineitem GROUP BY 1 ORDER BY part"
-    }
+    },
+    "q86_catalog_describe" ->
+      ("SELECT column_name AS col_name, TRUE AS table_exists " +
+        "FROM (DESCRIBE SELECT * FROM lineitem) ORDER BY col_name"),
+    "q87_catalog_partitions" ->
+      "SELECT strftime(l_shipdate, '%Y%m') AS part, count(*) AS n_rows FROM lineitem GROUP BY 1 ORDER BY part"
   )
 }
