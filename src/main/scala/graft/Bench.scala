@@ -55,7 +55,9 @@ object Bench {
     // all three per-query runs, so a reader can tell VM noise (wide spread)
     // from a real regression (all three runs slower) without a re-run
     val runsJson = results.map { case (k, rs) =>
-      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+      // Locale.ROOT: a comma-decimal default locale would emit broken JSON
+      "\"" + k + "\":[" + rs.map(r =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

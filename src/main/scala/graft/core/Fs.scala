@@ -1,0 +1,18 @@
+package graft.core
+
+/** Local-filesystem helpers shared by gate queries and stream harnesses
+  * (temp index/sink/warehouse directories). These operate on DRIVER-local
+  * java.nio paths only — store-path operations that must work on an
+  * object store go through Hadoop's FileSystem instead (see
+  * StreamingReconcile.mergeFingerprintBatch). */
+object Fs {
+
+  /** Delete a directory tree, deepest-first. Missing path is a no-op. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+}

@@ -46,13 +46,8 @@ object PipelineQueries {
       "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.Fs.deleteRecursively(p)
 
   val all: Map[String, Q] = Map(
     // exact dedup: deterministic keeper + group size per distinct content

@@ -24,7 +24,7 @@ object PortableSql {
     * nulls in both engines. */
   def canon(e: String): String = s"coalesce(CAST($e AS VARCHAR), chr(0))"
   def canonDouble(e: String): String =
-    s"coalesce(CAST(CAST($e AS DECIMAL(18,6)) AS VARCHAR), chr(0))"
+    s"coalesce(CAST(TRY_CAST($e AS DECIMAL(38,6)) AS VARCHAR), chr(0))"
   def canonTimestamp(e: String): String =
     s"coalesce(strftime($e, '%Y-%m-%d %H:%M:%S'), chr(0))"
 
@@ -53,10 +53,14 @@ object PortableSql {
     val assemble = (0 until SimhashBits)
       .map(i => s"(CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val extra = if (extraSelect.isEmpty) "" else s"$extraSelect, "
+    // LEFT join + NULL arm: a NULL text yields no token rows in `b`, but
+    // the Spark side still emits the doc with a NULL simhash — the oracle
+    // must mirror that row rather than drop it
     "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
       s"h AS (SELECT doc_id, ${hex15("md5(tok)")} AS h FROM t), " +
       s"b AS (SELECT doc_id, count(*) AS n, $counts FROM h GROUP BY doc_id) " +
-      s"SELECT d.doc_id, ${extra}CAST($assemble AS BIGINT) AS $alias " +
-      "FROM documents d JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
+      s"SELECT d.doc_id, ${extra}CASE WHEN b.doc_id IS NULL THEN NULL " +
+      s"ELSE CAST($assemble AS BIGINT) END AS $alias " +
+      "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
   }
 }

@@ -257,9 +257,7 @@ object ReferenceQueries {
           .localCheckpoint(true) // materialise before the table is dropped
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        graft.core.Fs.deleteRecursively(wh)
       }
     })
   )

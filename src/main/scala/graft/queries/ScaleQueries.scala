@@ -179,16 +179,27 @@ object ScaleQueries {
     // sketches AND the merged union (the merge path is the whole point of
     // HLL at 100 TB). Raw estimates stay spec'd in ScaleQueriesSpec.
     "q75_hll_union" -> ((s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
+      // ONE corpus-scale pass: distinct (lang, tok) pairs are materialised
+      // once (vocabulary-sized), then every branch — per-lang exact +
+      // sketch, global exact, union sketch — aggregates that small
+      // relation. HLL register updates are idempotent per value, so
+      // sketching the DISTINCT pairs gives the identical sketch the raw
+      // token stream would. (The previous formulation re-tokenized the
+      // corpus three times.)
+      val distinctToks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      val perLang = toks.groupBy("lang").agg(hll_sketch_agg(col("tok")).as("sk"),
-        countDistinct(col("tok")).as("exact_distinct"))
+        .distinct()
+        .localCheckpoint(true)
+      val perLang = distinctToks.groupBy("lang").agg(
+        hll_sketch_agg(col("tok")).as("sk"),
+        count(lit(1)).as("exact_distinct")) // pairs are distinct already
       def estOk(sk: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
         (abs(hll_sketch_estimate(sk) - exact) <= exact * 0.05).as("est_ok")
       perLang.select(col("lang"), col("exact_distinct"),
           estOk(col("sk"), col("exact_distinct")))
         .unionByName(perLang.agg(hll_union_agg(col("sk")).as("sk"))
-          .crossJoin(toks.agg(countDistinct(col("tok")).as("exact_distinct")))
+          .crossJoin(distinctToks.select("tok").distinct()
+            .agg(count(lit(1)).as("exact_distinct")))
           .select(lit("ALL").as("lang"), col("exact_distinct"),
             estOk(col("sk"), col("exact_distinct"))))
         .orderBy("lang")

@@ -73,18 +73,24 @@ object StreamingReconcile {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$name")
     val sink = s"$dir/out"
     val complete = mode == OutputMode.Complete()
-    val q = df.writeStream.queryName(name)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode(if (complete) "overwrite" else "append").parquet(sink)
-      }
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val cleanup = () => {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-    (spark.read.parquet(sink), cleanup)
+    val cleanup = () => graft.core.Fs.deleteRecursively(dir)
+    try {
+      val q = df.writeStream.queryName(name)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode(if (complete) "overwrite" else "append").parquet(sink)
+        }
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // zero committed batches (empty source) → no sink files; mirror the
+      // memory sink's behavior and hand back an EMPTY relation, not an
+      // AnalysisException from reading a non-existent path
+      val out =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+          spark.read.parquet(sink)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      (out, cleanup)
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   /** The q19 hourly aggregate computed by an ACTUAL stream over the same
@@ -217,11 +223,31 @@ object StreamingReconcile {
     // crash recovery: death between delete(store) and rename(tmp → store)
     // leaves a completed tmp and no store — the tmp IS the store
     if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    // Replay guard. Read errors must PROPAGATE (failing the stream), not
+    // silently disable the guard — a guard-less replay re-merges and
+    // XOR-cancels the store, the exact corruption it exists to prevent.
+    // Only two soft cases fall back: an empty store (max → null) and a
+    // pre-BatchCol legacy store, whose id lives in the old marker FILE
+    // (unparseable marker = absent-but-warn; the marker is deleted after
+    // the first new-style write so it cannot go stale).
+    val legacyMarker = new org.apache.hadoop.fs.Path(storePath + "_last_batch")
     def lastBatch: Option[Long] =
       if (!fs.exists(store)) None
-      else scala.util.Try(
-        spark.read.parquet(storePath).agg(max(col(BatchCol))).head().getLong(0)
-      ).toOption // empty/legacy store (no rows or no column) → re-merge
+      else {
+        val df = spark.read.parquet(storePath)
+        if (df.columns.contains(BatchCol))
+          Option(df.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long])
+        else if (!fs.exists(legacyMarker)) None
+        else {
+          val in = fs.open(legacyMarker)
+          val txt = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+          val parsed = scala.util.Try(txt.toLong).toOption
+          if (parsed.isEmpty) System.err.println(
+            s"[graft] unparseable legacy batch marker at $legacyMarker ('$txt') — treating as absent")
+          parsed
+        }
+      }
     if (lastBatch.exists(_ >= batchId)) return // at-least-once replay
     val delta = graft.fp.Fingerprint.byPartition(batch, partKeys, cols)
     val keyNames = partKeys.map(_._1)
@@ -237,6 +263,7 @@ object StreamingReconcile {
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(store, true)
     fs.rename(tmp, store)
+    fs.delete(legacyMarker, false) // superseded by the in-store batch id
   }
 
   /** Streaming maintenance of the stored per-partition fingerprint table:

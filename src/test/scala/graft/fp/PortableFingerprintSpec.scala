@@ -49,7 +49,7 @@ class PortableFingerprintSpec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
-  test("double canonicalization renders via DECIMAL(18,6) with full scale") {
+  test("double canonicalization renders via DECIMAL(38,6) with full scale") {
     val got = Seq(1.5, -0.25, 3.0).toDF("x")
       .select(Fingerprint.portableCanonical(col("x"), DoubleType))
       .as[String].collect().toSeq
