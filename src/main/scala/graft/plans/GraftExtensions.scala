@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.expressions.BoundedTopK
-import graft.functions.expressions.TextHashExpressions.{MinHashSignature, SimHash64}
+import graft.functions.expressions.TextHashExpressions.{MinHashSignature, PortableSimHash48, SimHash64}
 import graft.functions.expressions.VectorExpressions.{CosineSimilarity, RandomHyperplaneSignature}
 
 /** Session-extension registration: exposes graft's native expressions to
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit near-duplicate signature"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("portable_simhash48"),
+      info("portable_simhash48",
+        "portable_simhash48(text) - 48-bit md5-family simhash, DuckDB-mirrorable"),
+      (children: Seq[Expression]) => PortableSimHash48(children.head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k MinHash values"),
@@ -75,6 +80,8 @@ object GraftExtensions {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       (children: Seq[Expression]) => SimHash64(children.head), "scala_udf")
+    reg.createOrReplaceTempFunction("portable_simhash48",
+      (children: Seq[Expression]) => PortableSimHash48(children.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       (children: Seq[Expression]) => children match {
         case Seq(c) => MinHashSignature(c, 32)

@@ -26,7 +26,7 @@ object PortableSql {
   def canonDouble(e: String): String =
     s"coalesce(CAST(TRY_CAST($e AS DECIMAL(38,6)) AS VARCHAR), chr(0))"
   def canonTimestamp(e: String): String =
-    s"coalesce(strftime($e, '%Y-%m-%d %H:%M:%S'), chr(0))"
+    s"coalesce(CAST(epoch_us($e) AS VARCHAR), chr(0))"
 
   /** Portable 60-bit row hash over canonicalized columns. */
   def rowHash(canonCols: Seq[String]): String =

@@ -49,6 +49,22 @@ class PortableFingerprintSpec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
+  test("timestamp canonicalization: NTZ and instant forms agree on epoch micros under UTC") {
+    // the fixture's parquet timestamps load as TimestampNTZ — the NTZ arm
+    // must produce the same canonical as the instant arm under the pinned
+    // UTC session, and both must equal the JVM epoch computation
+    val df = Seq("1995-01-02 03:04:05").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ntz"),
+        col("s").cast("timestamp").as("tz"))
+    val r = df.select(
+      Fingerprint.portableCanonical(col("ntz"), TimestampNTZType),
+      Fingerprint.portableCanonical(col("tz"), TimestampType)).head()
+    val expected = (java.time.Instant.parse("1995-01-02T03:04:05Z")
+      .toEpochMilli * 1000L).toString
+    assert(r.getString(0) == expected)
+    assert(r.getString(1) == expected)
+  }
+
   test("double canonicalization renders via DECIMAL(38,6) with full scale") {
     val got = Seq(1.5, -0.25, 3.0).toDF("x")
       .select(Fingerprint.portableCanonical(col("x"), DoubleType))

@@ -16,6 +16,13 @@ class GraftExtensionsSpec extends SparkSpec {
       .orderBy("doc_id").limit(20)
     assert(viaSql.collect().toSeq == viaColumn.collect().toSeq)
 
+    val viaSqlP = spark.sql(
+      "SELECT doc_id, portable_simhash48(text) AS sh FROM docs_ext ORDER BY doc_id LIMIT 20")
+    val viaColumnP = spark.table("docs_ext")
+      .select(col("doc_id"), graft.dedup.Dedup.portableSimhash(col("text")).as("sh"))
+      .orderBy("doc_id").limit(20)
+    assert(viaSqlP.collect().toSeq == viaColumnP.collect().toSeq)
+
     spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_ext")
     val cos = spark.sql(
       """SELECT a.vec_id, cosine_similarity(a.embedding, a.embedding) AS c
