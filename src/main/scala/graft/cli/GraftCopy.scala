@@ -17,6 +17,8 @@ import graft.schema.SchemaReconciler
   *   --sync     verdicts + repair the destination
   *              (≙ `copy.Copy`, `/root/reference/copy/copy.go:139-273`)
   *   --version  print version and exit (`/root/reference/version.go:20-23`)
+  * Plus `--debug`/`-d` (`/root/reference/main.go:52`): verbose engine
+  * logging — Spark log level INFO instead of the default WARN.
   *
   * Usage:
   *   GraftCopy (--info|--sync|--version) <srcDir> <dstDir> <table> <partitionKeyExpr>
@@ -65,6 +67,11 @@ object GraftCopy {
     }
   }
 
+  /** `--debug`/`-d` (reference `main.go:52`): not a mode — composes with
+    * any of them. */
+  def parseDebug(args: Seq[String]): Boolean =
+    args.exists(a => a == "--debug" || a == "-d")
+
   def main(args: Array[String]): Unit = sys.exit(run(args.toIndexedSeq))
 
   def run(args: Seq[String]): Int = parseMode(args) match {
@@ -84,6 +91,7 @@ object GraftCopy {
             System.err.println(s"$Name: config: $err"); Status.UsageFail
           case Right(cfg) =>
             val spark = GraftSession.local()
+            applyDebug(spark, args)
             try runConfigured(spark, cfg, execute = mode == Sync)
             finally spark.stop()
         }
@@ -95,10 +103,15 @@ object GraftCopy {
         }
         val Seq(srcDir, dstDir, table, partKey) = rest
         val spark = GraftSession.local()
+        applyDebug(spark, args)
         try reconcile(spark, srcDir, dstDir, table, partKey, execute = mode == Sync)
         finally spark.stop()
       }
   }
+
+  private def applyDebug(spark: org.apache.spark.sql.SparkSession,
+      args: Seq[String]): Unit =
+    spark.sparkContext.setLogLevel(if (parseDebug(args)) "INFO" else "WARN")
 
   /** Drive a reconcile from a loaded config file — flags map 1:1 onto
     * [[Reconciler.Config]] (`/root/reference/config/config.go:34-37`). */

@@ -13,6 +13,16 @@ class GraftCopySpec extends SparkSpec {
     assert(parseMode(Seq("--info", "--sync")).isLeft)
   }
 
+  test("parseDebug: composes with any mode, never a mode itself (main.go:52)") {
+    assert(GraftCopy.parseDebug(Seq("--info", "-d")))
+    assert(GraftCopy.parseDebug(Seq("--debug", "--sync")))
+    assert(!GraftCopy.parseDebug(Seq("--info")))
+    // debug alone is still a usage error: a mode is required
+    assert(parseMode(Seq("--debug")).isLeft)
+    // and it does not break mode parsing
+    assert(parseMode(Seq("-d", "-i")) == Right(Info))
+  }
+
   test("version mode exits clean without a session") {
     assert(GraftCopy.run(Seq("--version")) == Status.Ok)
   }
