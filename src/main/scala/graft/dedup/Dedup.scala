@@ -37,6 +37,31 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the batch-over-batch production shape: a
+    * 100 TB pipeline never re-deduplicates the whole corpus per ingest; it
+    * carries a persisted SEEN-HASH store (8 bytes per distinct document,
+    * the [[graft.fp.Fingerprint]] discipline applied to dedup) and
+    * anti-joins each incoming shard against it. Shuffle volume is the
+    * incoming shard + the 8-byte store keys — never historic text.
+    *
+    * `seen` must have a single `content_hash` column (as produced by
+    * [[seenHashes]]). Rows of `incoming` whose content hash appears in
+    * `seen` are dropped; within-shard duplicates are NOT collapsed here
+    * (compose with [[dropExact]] first when the shard itself may repeat).
+    * After a batch commits, the new store is
+    * `seen ∪ seenHashes(survivors)` — [[updateSeen]]. */
+  def dropSeen(incoming: DataFrame, contentCol: String, seen: DataFrame): DataFrame =
+    incoming.join(seen,
+      xxhash64(col(contentCol)) === seen("content_hash"), "left_anti")
+
+  /** The persisted-store projection: distinct 8-byte content hashes. */
+  def seenHashes(df: DataFrame, contentCol: String): DataFrame =
+    df.select(xxhash64(col(contentCol)).as("content_hash")).distinct()
+
+  /** Fold a committed batch's survivors into the seen store. */
+  def updateSeen(seen: DataFrame, survivors: DataFrame, contentCol: String): DataFrame =
+    seen.unionByName(seenHashes(survivors, contentCol)).distinct()
+
   /** Word n-gram shingles (default 3): slide over the token array.
     * Empty/short docs yield an empty array. Production path is the native
     * one-pass expression (bit-identical to [[wordShinglesHof]], the

@@ -55,6 +55,19 @@ object PipelineQueries {
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
         .select("keep_id", "n_dups").orderBy("keep_id")),
 
+    // incremental exact dedup: a derived "already ingested" batch
+    // (doc_id % 3 == 0) populates the 8-byte seen-hash store; the incoming
+    // batch anti-joins against it. The surviving ID SET is
+    // hash-value-independent (the hash only stands in for text equality),
+    // so the DuckDB oracle checks it with a plain NOT EXISTS on text.
+    "q88_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val seen = Dedup.seenHashes(docs.filter(col("doc_id") % 3 === 0), "text")
+      Dedup.dropSeen(docs.filter(col("doc_id") % 3 =!= 0), "text", seen)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH candidate pairs — deliberately rows-only: the candidate
     // SET is the probabilistic output of banding (P[candidate] =
     // 1-(1-J^r)^b), and the corpus Jaccard distribution is continuous
@@ -334,6 +347,10 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text ORDER BY keep_id",
+    "q88_incremental_dedup" ->
+      ("SELECT d.doc_id, d.lang, d.source FROM documents d WHERE d.doc_id % 3 <> 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND s.text = d.text) " +
+        "ORDER BY d.doc_id"),
     "q32_simhash" -> PortableSql.simhashOracle(),
     "q44_doc_fingerprint" -> PortableSql.simhashOracle(
       extraSelect = s"${PortableSql.hex15("md5(d.text)")} AS content_hash"),

@@ -30,6 +30,24 @@ class DedupSpec extends SparkSpec {
     assert(deduped.filter(col("doc_id") === 200000).count() == 0)
   }
 
+  test("incremental dedup: seen content dropped across batches, store folds forward") {
+    // batch 1 = the corpus; batch 2 = two exact copies of batch-1 docs plus
+    // one genuinely new doc
+    val seen = Dedup.seenHashes(docs, "text")
+    val batch2 = docs.filter(col("doc_id") < 2)
+      .withColumn("doc_id", col("doc_id") + 300000)
+      .unionByName(docs.filter(col("doc_id") === 5)
+        .withColumn("doc_id", lit(300005L))
+        .withColumn("text", concat(col("text"), lit(" genuinely-new-suffix"))))
+    val survivors = Dedup.dropSeen(batch2, "text", seen)
+    assert(survivors.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(300005L))
+    // store update: survivors' hashes join the store; replaying batch 2
+    // against the UPDATED store drops everything
+    val seen2 = Dedup.updateSeen(seen, survivors, "text")
+    assert(seen2.count() == seen.count() + 1)
+    assert(Dedup.dropSeen(batch2, "text", seen2).count() == 0)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val pairs = Dedup.minhashPairs(withDups, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
