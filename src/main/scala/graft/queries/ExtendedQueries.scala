@@ -94,17 +94,25 @@ object ExtendedQueries {
     // SketchSpec. Median is over l_quantity (integral doubles): the
     // midpoint interpolation is exact in both engines, where a
     // continuous-valued median could differ in the last ulp.
-    "q27_approx_sketches" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem").agg(
+    "q27_approx_sketches" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // the distinct aggregate runs in its OWN branch: mixing
+      // countDistinct with the percentile aggregates plans an Expand that
+      // routes every duplicated row through both percentile buffers (~2x
+      // the dominant cost); two one-row branches crossJoin for free
+      val parts = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+      val quantiles = li.agg(
         expr("percentile(l_quantity, 0.5)").as("exact_median_qty"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"))
+      parts.crossJoin(quantiles)
         .select(col("exact_parts"), col("exact_median_qty"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
             .as("approx_parts_ok"),
           (abs(col("am") - col("exact_median_qty")) <= abs(col("exact_median_qty")) * 0.05)
-            .as("approx_median_ok"))),
+            .as("approx_median_ok"))
+    }),
 
     // salted skew join == plain join semantics
     "q28_salted_join" -> ((s, dir) => {
