@@ -62,8 +62,10 @@ object Bench {
     val total = results.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    // Stable-file copy of the artifact (driver stdout capture failed in r1).
-    try {
+    // Stable-file copy of the artifact (driver stdout capture failed in
+    // r1) — FULL runs only: a filtered iteration run must not overwrite
+    // the round's record with a subset.
+    if (wanted.isEmpty) try {
       Files.createDirectories(Paths.get("tmp"))
       Files.writeString(Paths.get("tmp/bench_latest.json"), line + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
