@@ -7,12 +7,15 @@ package graft.core
   * StreamingReconcile.mergeFingerprintBatch). */
 object Fs {
 
-  /** Delete a directory tree, deepest-first. Missing path is a no-op. */
+  /** Delete a directory tree, deepest-first. Missing path is a no-op.
+    * The walk stream is closed eagerly (it holds a directory fd open;
+    * relying on GC finalization leaks descriptors in a long-lived driver). */
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      val walk = java.nio.file.Files.walk(p)
+      val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      files.foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
 }

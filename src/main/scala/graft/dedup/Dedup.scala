@@ -48,15 +48,22 @@ object Dedup {
     * [[seenHashes]]). Rows of `incoming` whose content hash appears in
     * `seen` are dropped; within-shard duplicates are NOT collapsed here
     * (compose with [[dropExact]] first when the shard itself may repeat).
-    * After a batch commits, the new store is
-    * `seen ∪ seenHashes(survivors)` — [[updateSeen]]. */
+    * NULL content is never "seen" (SQL equality semantics: NULL ≠ NULL —
+    * without the guard, xxhash64(NULL) is a seed constant and every
+    * NULL-content row would alias every other); route null-content rows
+    * through a quarantine/normalize step, not dedup. After a batch
+    * commits, the new store is `seen ∪ seenHashes(survivors)` —
+    * [[updateSeen]]. */
   def dropSeen(incoming: DataFrame, contentCol: String, seen: DataFrame): DataFrame =
     incoming.join(seen,
-      xxhash64(col(contentCol)) === seen("content_hash"), "left_anti")
+      col(contentCol).isNotNull &&
+        xxhash64(col(contentCol)) === seen("content_hash"), "left_anti")
 
-  /** The persisted-store projection: distinct 8-byte content hashes. */
+  /** The persisted-store projection: distinct 8-byte content hashes
+    * (null content excluded — see [[dropSeen]]). */
   def seenHashes(df: DataFrame, contentCol: String): DataFrame =
-    df.select(xxhash64(col(contentCol)).as("content_hash")).distinct()
+    df.filter(col(contentCol).isNotNull)
+      .select(xxhash64(col(contentCol)).as("content_hash")).distinct()
 
   /** Fold a committed batch's survivors into the seen store. */
   def updateSeen(seen: DataFrame, survivors: DataFrame, contentCol: String): DataFrame =

@@ -46,8 +46,6 @@ object PipelineQueries {
       "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    graft.core.Fs.deleteRecursively(p)
 
   val all: Map[String, Q] = Map(
     // exact dedup: deterministic keeper + group size per distinct content
@@ -304,7 +302,7 @@ object PipelineQueries {
         Similarity.queryIvfIndex(s, idxDir.toString, q,
             "vec_id", "embedding", k = 10, nProbe = 4)
           .localCheckpoint(true)
-      } finally deleteRecursively(idxDir)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
       val direct = Similarity.ivfKnn(q, emb, "vec_id", "embedding",
         k = 10, nCentroids = 16, nProbe = 4)
       val a = viaIndex.select(col("query_id"), col("neighbor_id"), col("rank"))

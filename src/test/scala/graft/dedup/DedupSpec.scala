@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     val seen2 = Dedup.updateSeen(seen, survivors, "text")
     assert(seen2.count() == seen.count() + 1)
     assert(Dedup.dropSeen(batch2, "text", seen2).count() == 0)
+    // NULL content is never "seen" (SQL equality semantics): a null-text
+    // row survives even when the seen batch also contained a null text
+    val nullRow = docs.limit(1)
+      .withColumn("doc_id", lit(400000L))
+      .withColumn("text", lit(null).cast("string"))
+    val seenWithNull = Dedup.seenHashes(
+      docs.unionByName(nullRow.withColumn("doc_id", lit(400001L))), "text")
+    assert(Dedup.dropSeen(nullRow, "text", seenWithNull)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(400000L))
   }
 
   test("minhash LSH finds planted near-duplicates") {
