@@ -9,8 +9,15 @@ import java.nio.file.{Files, Paths}
   *
   * Robustness (round-1 post-mortem): the JSON line is ALSO written to
   * tmp/bench_latest.json so the artifact survives even if stdout capture
-  * fails again, and each query runs three times (min taken) because this VM
-  * shows 2-3x wall-clock noise from host memory-compaction stalls.
+  * fails again. Each query runs three times, but the repetitions are
+  * interleaved round-robin across the WHOLE catalog (pass 1 of every query,
+  * then pass 2, then pass 3) rather than back-to-back: this VM shows
+  * multi-minute host memory-compaction stall windows, and three consecutive
+  * runs of one query all land inside such a window (round-3 post-mortem:
+  * q79 recorded 25.3 s vs a quiet-window 2.31 s). Spread over ~50 s passes,
+  * a stall inflates each query at most once, which min-of-3 then discards.
+  * Both min and median are reported so a reader can tell residual noise
+  * (median >> min on one query) from a real regression (min itself moved).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,21 +43,27 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Three timed runs per query, min taken; per-run spread logged to stderr
-    // so a single kcompactd stall is visible instead of silently inflating
-    // the round's number.
     // optional args: query-name substrings to run (iteration aid)
     val wanted = args.toSeq
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
-      .map { case (name, fn) =>
-      val runs = Seq.fill(3)(once(name, fn))
+    // Three interleaved passes over the whole catalog (see scaladoc): a
+    // sustained VM stall poisons at most one pass of each query, never all
+    // three repetitions of the same query.
+    val passes: Seq[Map[String, Double]] = (1 to 3).map { _ =>
+      catalog.map { case (name, fn) => name -> once(name, fn) }.toMap
+    }
+    val results = catalog.map { case (name, _) =>
+      val runs = passes.map(_(name))
       val spread = runs.max / math.max(runs.min, 1e-9)
       if (spread > 2.0)
         System.err.println(f"[bench] $name spread ${spread}%.1fx: ${runs.map(r => f"$r%.2f").mkString(",")}s")
       name -> runs
     }
+    def median(rs: Seq[Double]): Double = rs.sorted.apply(rs.size / 2)
     val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }
+      .mkString("{", ",", "}")
+    val medians = results.map { case (k, rs) => "\"" + k + "\":" + median(rs) }
       .mkString("{", ",", "}")
     // all three per-query runs, so a reader can tell VM noise (wide spread)
     // from a real regression (all three runs slower) without a re-run
@@ -60,8 +73,9 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
+    val totalMedian = results.map { case (_, rs) => median(rs) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$medians,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in
     // r1) — FULL runs only: a filtered iteration run must not overwrite
     // the round's record with a subset.

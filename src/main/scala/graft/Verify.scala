@@ -23,7 +23,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val status = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Long]]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional args beyond (sfDir, outDir): query-name substrings to run
+    // (iteration aid; the driver passes none and gets the full catalog)
+    val wanted = args.drop(2).toSeq
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

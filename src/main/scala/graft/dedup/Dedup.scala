@@ -169,6 +169,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** LSH-accelerated near-duplicate pairs with EXACT shingle-Jaccard
+    * verification — the production two-stage shape (candidates from
+    * [[minhashPairs]] banding, then the exact intersect only on
+    * candidates, never all pairs). Output: (id_a, id_b, n_common,
+    * n_union, est_jaccard, jaccard) with exact `jaccard >= minJaccard`,
+    * id_a < id_b. Empty-shingle docs (degenerate est=1.0 collisions)
+    * are excluded by the `n_union > 0` guard. */
+  def verifiedNearDupPairs(df: DataFrame, contentCol: String, idCol: String,
+      minJaccard: Double, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucket: Int = 500): DataFrame = {
+    val cands = minhashPairs(df, contentCol, idCol, k, bands, shingleN,
+      threshold = 0.0, maxBucket = maxBucket)
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(contentCol), shingleN)).as("ts"))
+    val inter = size(array_intersect(col("ts_a"), col("ts_b")))
+    val uni = size(col("ts_a")) + size(col("ts_b")) - inter
+    cands
+      .join(sh.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_common"), uni.as("n_union"),
+        col("est_jaccard"))
+      .filter(col("n_union") > 0)
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Bit masks 2^0..2^63 as an array literal (2^63 wraps negative — AND
     * still tests the sign bit correctly). */
   private val BitMasks = array((0 until 64).map(i => lit(1L << i)): _*)
@@ -289,6 +315,15 @@ object Dedup {
     val bits = 63 - java.lang.Long.numberOfLeadingZeros(avgChunkBytes.toLong)
     graft.functions.expressions.TextHashExpressions
       .rollingChunks(c, maskBits = bits.toInt)
+  }
+
+  /** The chunk TEXTS for the same boundaries as [[chunkFingerprints]] —
+    * the audit companion: reconstruction/bounds/hash-consistency contracts
+    * over it are externally checkable (q69). */
+  def chunkTexts(c: Column, avgChunkBytes: Int = 64): Column = {
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(avgChunkBytes.toLong)
+    graft.functions.expressions.TextHashExpressions
+      .rollingChunkTexts(c, maskBits = bits.toInt)
   }
 
   /** Per-doc CDC-chunk sharing counts — the single implementation behind

@@ -170,6 +170,39 @@ object TextHashExpressions {
     *
     * Deterministic: the 256-entry byte-mix table is xxhash64-derived, no
     * RNG. Null/empty text → empty array. */
+  // deterministic per-byte mix table (Buzhash "T") — shared by the chunk
+  // expressions so hash- and text-emitting variants cannot drift
+  private lazy val BuzT: Array[Long] =
+    Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, Seed))
+  @inline private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+
+  /** The single Buzhash boundary walk behind [[RollingChunks]] and
+    * [[RollingChunkTexts]]: exclusive END offsets of each chunk (the last
+    * end equals `bytes.length`; empty input → empty array). */
+  private[expressions] def chunkEnds(bytes: Array[Byte], window: Int,
+      maskBits: Int, minChunk: Int, maxChunk: Int): Array[Int] = {
+    val n = bytes.length
+    if (n == 0) return Array.emptyIntArray
+    val mask: Long = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val in = BuzT(bytes(i) & 0xff)
+      h = rotl(h, 1) ^ in
+      if (i - start >= window) h ^= rotl(BuzT(bytes(i - window) & 0xff), window)
+      val len = i - start + 1
+      if ((len >= minChunk && (h & mask) == 0L) || len >= maxChunk || i == n - 1) {
+        out += i + 1
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   case class RollingChunks(
       child: Expression, window: Int = 16, maskBits: Int = 6,
       minChunk: Int = 16, maxChunk: Int = 256)
@@ -180,39 +213,60 @@ object TextHashExpressions {
     override def nullable: Boolean = false
     override def prettyName: String = "rolling_chunks"
 
-    private val mask: Long = (1L << maskBits) - 1
-    // deterministic per-byte mix table (Buzhash "T")
-    private lazy val T: Array[Long] =
-      Array.tabulate(256)(i => XxHash64Function.hash(i, IntegerType, Seed))
-    @inline private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val ends = chunkEnds(bytes, window, maskBits, minChunk, maxChunk)
+      val out = new Array[Any](ends.length)
+      var start = 0
+      var ci = 0
+      while (ci < ends.length) {
+        out(ci) = XxHash64Function.hash(
+          UTF8String.fromBytes(bytes, start, ends(ci) - start), StringType, Seed)
+        start = ends(ci)
+        ci += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): RollingChunks = copy(child = c)
+  }
+
+  /** The chunk TEXTS for the same boundary walk as [[RollingChunks]] —
+    * the audit/gate companion: `concat(texts) == document` and per-chunk
+    * length bounds become externally checkable booleans (q69), and
+    * `xxhash64(texts[i]) == rollingChunks(...)[i]` ties the production
+    * hash emission to the text it claims to fingerprint. Chunk boundaries
+    * are byte offsets, so a chunk may start/end mid-codepoint; UTF8String
+    * concat is byte-level, so reconstruction is still exact. */
+  case class RollingChunkTexts(
+      child: Expression, window: Int = 16, maskBits: Int = 6,
+      minChunk: Int = 16, maxChunk: Int = 256)
+      extends UnaryExpression with CodegenFallback {
+    require(window > 0 && maskBits >= 0 && minChunk >= window && maxChunk > minChunk,
+      s"bad CDC parameters: window=$window maskBits=$maskBits min=$minChunk max=$maxChunk")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "rolling_chunk_texts"
 
     override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
       if (v == null) return new GenericArrayData(Array.empty[Any])
       val bytes = v.asInstanceOf[UTF8String].getBytes
-      val n = bytes.length
-      if (n == 0) return new GenericArrayData(Array.empty[Any])
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val ends = chunkEnds(bytes, window, maskBits, minChunk, maxChunk)
+      val out = new Array[Any](ends.length)
       var start = 0
-      var h = 0L
-      var i = 0
-      while (i < n) {
-        val in = T(bytes(i) & 0xff)
-        h = rotl(h, 1) ^ in
-        if (i - start >= window) h ^= rotl(T(bytes(i - window) & 0xff), window)
-        val len = i - start + 1
-        if ((len >= minChunk && (h & mask) == 0L) || len >= maxChunk || i == n - 1) {
-          out += XxHash64Function.hash(
-            UTF8String.fromBytes(bytes, start, len), StringType, Seed)
-          start = i + 1
-          h = 0L
-        }
-        i += 1
+      var ci = 0
+      while (ci < ends.length) {
+        out(ci) = UTF8String.fromBytes(bytes, start, ends(ci) - start)
+        start = ends(ci)
+        ci += 1
       }
-      new GenericArrayData(out.toArray)
+      new GenericArrayData(out)
     }
 
-    override protected def withNewChildInternal(c: Expression): RollingChunks = copy(child = c)
+    override protected def withNewChildInternal(c: Expression): RollingChunkTexts = copy(child = c)
   }
 
   /** Fused text → word-shingle array: tokenize once, emit the n-token
@@ -325,4 +379,7 @@ object TextHashExpressions {
   def rollingChunks(text: Column, window: Int = 16, maskBits: Int = 6,
       minChunk: Int = 16, maxChunk: Int = 256): Column =
     toColumn(RollingChunks(toExpr(text), window, maskBits, minChunk, maxChunk))
+  def rollingChunkTexts(text: Column, window: Int = 16, maskBits: Int = 6,
+      minChunk: Int = 16, maxChunk: Int = 256): Column =
+    toColumn(RollingChunkTexts(toExpr(text), window, maskBits, minChunk, maxChunk))
 }

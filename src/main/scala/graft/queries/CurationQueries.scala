@@ -164,27 +164,81 @@ object CurationQueries {
           substring(col("norm"), 1, 30).as("prefix"))
         .orderBy("doc_id")),
 
-    // rolling-hash (CDC) chunk fingerprints: chunk count + order-free XOR
-    // digest per doc (xxhash-derived boundaries -> rows-only oracle; the
-    // suffix-stability property that justifies CDC is spec'd).
-    "q69_chunk_fingerprint" -> ((s, dir) =>
+    // rolling-hash (CDC) chunk fingerprints with CONTRACT-BOOLEAN oracle
+    // (round-4: was rows-only): the boundaries are Buzhash-specific so the
+    // hash values have no engine-independent form, but the chunking
+    // CONTRACT does — (1) the ordered chunks reconstruct the document
+    // byte-for-byte, (2) every chunk is within [minChunk, maxChunk] and
+    // non-tail chunks respect the minimum, (3) the production hash
+    // emission equals xxhash64 of the text it claims to fingerprint.
+    // All three are emitted per doc and the DuckDB oracle asserts TRUE —
+    // the q35/q83 contract pattern. Suffix stability stays spec'd.
+    "q69_chunk_fingerprint" -> ((s, dir) => {
+      val minChunk = 16
+      val maxChunk = 256
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Dedup.chunkFingerprints(col("text")).as("chunks"))
-        .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
-          aggregate(col("chunks"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("chunks_xor"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("text"),
+          Dedup.chunkFingerprints(col("text")).as("chs"),
+          Dedup.chunkTexts(col("text")).as("cts"))
+        .withColumn("lens", transform(col("cts"), c => octet_length(c)))
+        .select(
+          col("doc_id"),
+          (coalesce(concat_ws("", col("cts")), lit("")) ===
+            coalesce(col("text"), lit(""))).as("reconstructs_ok"),
+          (forall(col("lens"), l => l <= maxChunk) &&
+            (size(col("lens")) <= 1 ||
+              forall(slice(col("lens"), lit(1), size(col("lens")) - 1), l => l >= minChunk)))
+            .as("bounds_ok"),
+          (size(col("chs")) === size(col("cts")) &&
+            forall(zip_with(col("chs"), col("cts"), (h, t) => h === xxhash64(t)), x => x))
+            .as("hashes_ok"))
+        .orderBy("doc_id")
+    }),
 
     // partial-duplicate ratio via CDC chunks: fraction of each doc's
     // rolling-hash chunks that also occur in ANOTHER doc — the
     // paragraph-level "how much of this document is boilerplate" score
     // that follows q69's chunking. Two 8-byte-key shuffles (chunk
-    // counts, join-back); chunk hashes are xxhash-derived -> rows-only
-    // oracle, planted-overlap recovery spec'd in DedupSpec.
-    "q80_chunk_overlap" -> ((s, dir) =>
-      Dedup.chunkSharedCounts(Tables.load(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
-          round(col("n_shared") / col("n_chunks"), 6).as("shared_ratio"))
-        .orderBy("doc_id")),
+    // counts, join-back). Round-4 contract-boolean oracle (was
+    // rows-only): the shared COUNTS are Buzhash-specific, but
+    // (1) 0 <= n_shared <= n_chunks, and (2) every verified near-dup doc
+    // (exact shingle-Jaccard >= 0.8 — DuckDB recomputes that set exactly,
+    // same ground truth as q31) shares at least one chunk with its
+    // partner. is_near_dup itself is emitted and value-checked, so the
+    // oracle is a real row-wise comparison, not 500 constant TRUEs.
+    // The shared-chunk floor applies only to near-dup pairs where BOTH
+    // docs exceed maxChunk (256) chars: a shorter doc can collapse to ONE
+    // chunk (no hash boundary fires before the forced tail), and a
+    // single-chunk doc cannot partially overlap — any edit changes its
+    // only hash (measured: the 59–202-char near-dup docs share nothing;
+    // every >256 pair shares). Fixture-calibrated fail-loud floor, the
+    // ANN-recall-floor pattern.
+    "q80_chunk_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = Dedup.chunkSharedCounts(docs, "doc_id", "text")
+      val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+      val pairs = Dedup.verifiedNearDupPairs(docs, "text", "doc_id", 0.8)
+        .join(lens.select(col("doc_id").as("id_a"), col("len").as("len_a")), "id_a")
+        .join(lens.select(col("doc_id").as("id_b"), col("len").as("len_b")), "id_b")
+      val ndFlags = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"),
+          (col("len_a") > 256 && col("len_b") > 256).as("long_pair"))
+        .groupBy("doc_id").agg(max(col("long_pair")).as("nd_long"))
+        .withColumn("nd", lit(true))
+      docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left") // empty-text docs have 0 chunks
+        .join(ndFlags, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("nd"), lit(false)).as("is_near_dup"),
+          (coalesce(col("n_shared"), lit(0L)) >= 0 &&
+            coalesce(col("n_shared"), lit(0L)) <= coalesce(col("n_chunks"), lit(0L)))
+            .as("in_range_ok"),
+          (!coalesce(col("nd_long"), lit(false)) ||
+            coalesce(col("n_shared"), lit(0L)) > 0)
+            .as("dup_implies_shared_ok"))
+        .orderBy("doc_id")
+    }),
 
     // k-anonymity guard: docs in a (lang, source) stratum smaller than k
     // are re-identification risks — report every doc with its stratum size
@@ -226,6 +280,22 @@ object CurationQueries {
   private val Toks = "string_split_regex(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    // contract booleans (see the query comments): the chunking invariants
+    // hold for every document, unconditionally
+    "q69_chunk_fingerprint" ->
+      ("SELECT doc_id, TRUE AS reconstructs_ok, TRUE AS bounds_ok, TRUE AS hashes_ok " +
+        "FROM documents ORDER BY doc_id"),
+    // is_near_dup is recomputed exactly from raw text (all-pairs shingle
+    // Jaccard, the q31 ground truth); the two contract booleans assert TRUE
+    "q80_chunk_overlap" ->
+      (s"WITH ${PortableSql.shingleNearDupCtes(0.8)}, " +
+        "lens AS (SELECT doc_id, length(text) AS L FROM documents), " +
+        "pl AS (SELECT id_a, id_b, (la.L > 256 AND lb.L > 256) AS long_pair " +
+        "FROM ndpairs JOIN lens la ON la.doc_id = id_a JOIN lens lb ON lb.doc_id = id_b), " +
+        "nd AS (SELECT id FROM (SELECT id_a AS id FROM pl UNION SELECT id_b FROM pl)) " +
+        "SELECT d.doc_id, (nd.id IS NOT NULL) AS is_near_dup, " +
+        "TRUE AS in_range_ok, TRUE AS dup_implies_shared_ok " +
+        "FROM documents d LEFT JOIN nd ON nd.id = d.doc_id ORDER BY d.doc_id"),
     "q66_semantic_dedup" ->
       ("WITH p AS (SELECT a.vec_id, max(CASE WHEN " +
         "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +

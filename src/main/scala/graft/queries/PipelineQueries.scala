@@ -14,9 +14,9 @@ import graft.text.TextAnalysis
   * text analysis, multimodal, sessionization) as oracle-checked queries.
   * Same conventions as [[ReferenceQueries]]. Hash-valued emissions use the
   * oracle-portable md5 family ([[PortableSql]]); approximate-KNN emissions
-  * use recall/parity invariants the oracle asserts — only minhash band
-  * candidates (q31) remain rows-only (LSH candidate sets have no
-  * engine-independent characterization; see the q31 note). */
+  * use recall/parity invariants the oracle asserts; LSH near-dup pairs
+  * (q31) are exact-verified against the all-pairs shingle-Jaccard ground
+  * truth. Round 4: every catalog query has a full oracle. */
 object PipelineQueries {
   import ReferenceQueries.Q
 
@@ -66,17 +66,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH candidate pairs — deliberately rows-only: the candidate
-    // SET is the probabilistic output of banding (P[candidate] =
-    // 1-(1-J^r)^b), and the corpus Jaccard distribution is continuous
-    // through every threshold (measured: no gap anywhere in [0.3, 0.9]),
-    // so no engine-independent characterization of the exact pair set
-    // exists — an all-pairs oracle would disagree wherever the S-curve
-    // rolls off. Candidate → exact-verify correctness is covered by q33
-    // (exact Jaccard, full oracle) and planted-duplicate specs.
+    // MinHash-LSH near-dup pairs with a FULL external oracle (round-4: was
+    // rows-only). The banded candidate set itself is probabilistic
+    // (P[candidate] = 1-(1-J^r)^b), but this corpus's SHINGLE-Jaccard
+    // distribution — the quantity minhash estimates — is bimodal with a
+    // measured empty gap (no pair in [0.2, 0.8) at sf0.001/sf0.01; near-dup
+    // pairs all sit at J >= 0.8 where the S-curve gives P ≈ 0.985..1), so
+    // candidates ∩ {exact J >= 0.8} IS the deterministic all-pairs set
+    // DuckDB recomputes from raw text. The emission therefore verifies,
+    // bit-for-bit: (1) LSH recall on the high-similarity regime (a missed
+    // pair = row mismatch), (2) the exact re-scoring join (n_common /
+    // n_union / jaccard, the q33 move), (3) the minhash ESTIMATE's
+    // accuracy contract (est_ok: |est - exact| <= 0.2 ≈ 4σ at k=32).
+    // Spark-side cost stays candidate-bounded — exact Jaccard runs only on
+    // LSH survivors, never all pairs; only the sf-gate-sized oracle is
+    // quadratic.
     "q31_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.4)
+      Dedup.verifiedNearDupPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+          col("jaccard"), (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_ok"))
         .orderBy("id_a", "id_b")),
 
     // SimHash signatures in the oracle-portable (md5-derived, 48-bit) hash
@@ -355,6 +364,14 @@ object PipelineQueries {
     "q35_knn_lsh" -> knnInvariantOracle(),
     "q54_knn_ivf" -> knnInvariantOracle(),
     "q83_ivf_index" -> knnInvariantOracle(Seq("index_parity_ok")),
+    // all-pairs exact SHINGLE Jaccard at the same 0.8 threshold; equals the
+    // Spark emission because the corpus Jaccard gap makes LSH recall
+    // deterministic there (see the q31 query comment)
+    "q31_minhash_pairs" ->
+      (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +
+        "SELECT id_a, id_b, n_common, n_union, " +
+        "CAST(n_common AS DOUBLE) / n_union AS jaccard, TRUE AS est_ok " +
+        "FROM ndpairs ORDER BY id_a, id_b"),
     "q33_jaccard_pairs" ->
       (s"WITH toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.ts, b.ts)) AS n_common, " +

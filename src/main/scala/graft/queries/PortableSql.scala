@@ -47,6 +47,25 @@ object PortableSql {
     * @param extraSelect additional projections from the `documents` table
     *                    (prefix `d.`), e.g. a content hash column
     */
+  /** CTE bodies (for a `WITH ${...}, more...` splice) computing
+    * `sh(doc_id, ts)` — each document's DISTINCT 3-token shingle set
+    * (Spark mirror: `array_distinct(Dedup.wordShingles(text))`) — and
+    * `ndpairs(id_a, id_b, n_common, n_union)`, the all-pairs EXACT
+    * shingle-Jaccard >= `minJ` near-duplicate pairs. This is the ground
+    * truth the q31/q80 LSH emissions are compared against; quadratic, but
+    * only the gate-SF oracle ever runs it — the Spark side stays
+    * candidate-bounded. */
+  def shingleNearDupCtes(minJ: Double): String =
+    "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN " +
+      "list_transform(range(1, len(tk)-1), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+      "ELSE [] END) AS ts FROM t), " +
+      "ndpairs AS (SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "len(list_intersect(a.ts, b.ts)) AS n_common, " +
+      "len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union " +
+      "FROM sh a JOIN sh b ON b.doc_id > a.doc_id) " +
+      s"WHERE n_union > 0 AND CAST(n_common AS DOUBLE) / n_union >= $minJ)"
+
   def simhashOracle(extraSelect: String = "", alias: String = "simhash_p"): String = {
     val counts = (0 until SimhashBits)
       .map(i => s"sum(CAST((h >> $i) & 1 AS BIGINT)) AS c$i").mkString(", ")

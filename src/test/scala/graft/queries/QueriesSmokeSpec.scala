@@ -28,12 +28,10 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(failures.isEmpty, s"${failures.size} queries failed:\n${failures.mkString("\n")}")
   }
 
-  test("every query has either an oracle or a documented rows-only reason") {
-    val rowsOnly = Set("q31_minhash_pairs", "q69_chunk_fingerprint", "q80_chunk_overlap")
-    val missing = graft.SparkEntry.queries.keySet --
-      graft.SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle (round 4: the catalog is 100% oracle-covered)") {
+    val missing = graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
-      s"queries without oracle coverage or a rows-only entry here: $missing")
+      s"queries without oracle coverage: $missing")
     // and no orphan oracles for queries that do not exist
     val orphans = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
