@@ -207,9 +207,7 @@ object ReferenceQueries {
     "q21_fingerprint" -> ((s, dir) => {
       val df = li(s, dir).filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      df.agg(
-        Fingerprint.portableAgg(Fingerprint.portableCanonicalCols(df, cols)).as("fp_portable"),
-        count(lit(1)).as("n_rows"))
+      Fingerprint.portableOfDataFrame(df, cols)
     }),
 
     // A10 per-partition fingerprint map (the one-pass system.parts+hash
