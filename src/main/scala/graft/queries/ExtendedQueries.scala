@@ -100,9 +100,13 @@ object ExtendedQueries {
       // countDistinct with the percentile aggregates plans an Expand that
       // routes every duplicated row through both percentile buffers (~2x
       // the dominant cost); two one-row branches crossJoin for free
+      // rsd 0.01 with a 5% gate = a 5-sigma bound: the earlier default-rsd
+      // (0.05) form asserted the estimate within ONE sigma, which any
+      // healthy sketch exceeds ~32% of the time on a fresh fixture
+      // (round-3 advice) — fine deterministically, fragile across SFs
       val parts = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("ap"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
       val quantiles = li.agg(
         expr("percentile(l_quantity, 0.5)").as("exact_median_qty"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"))

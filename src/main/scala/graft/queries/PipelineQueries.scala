@@ -26,7 +26,18 @@ object PipelineQueries {
     * recall_ok) — all three oracle-computable, so the DuckDB gate verifies
     * the operator's recall CONTRACT externally instead of skipping the
     * query. `minHits` is the operator's floor on |approx ∩ exact-top-k|
-    * per query (deterministic: all hashes are seed-fixed). */
+    * per query (deterministic: all hashes are seed-fixed).
+    *
+    * FIXTURE-CALIBRATED, fail-loud by design (round-3 advice): the oracle
+    * side hardcodes the fixture facts — n_results = k = 10, the query set
+    * `vec_id < 8`, and each caller's measured recall floor. Changing k,
+    * the query set, or the embedding fixtures therefore surfaces as an
+    * n_results/recall_ok value mismatch at the gate rather than silently
+    * passing; the recalibration step is: re-measure `n_hits` per query at
+    * both gate SFs and set each floor strictly under the deterministic
+    * minimum (see the q35/q54 calibration comments). An approx query whose
+    * candidate pool is smaller than k fails n_results on purpose — a
+    * shrunken pool is a retrieval regression, not a tolerable variant. */
   private[queries] def recallInvariant(approx: DataFrame, exact: DataFrame,
       minHits: Int): DataFrame = {
     val hits = approx.join(exact.select("query_id", "neighbor_id"),

@@ -221,8 +221,15 @@ object StreamingReconcile {
     val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: death between delete(store) and rename(tmp → store)
-    // leaves a completed tmp and no store — the tmp IS the store
-    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    // leaves a completed tmp and no store — the tmp IS the store. But only
+    // a COMPLETED tmp (_SUCCESS present): a crash mid-write of the
+    // first-ever store also matches "no store + tmp exists", and adopting
+    // that partial parquet dir would poison every later read — delete it
+    // and let the replayed batch rebuild from scratch instead.
+    if (!fs.exists(store) && fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, store)
+      else fs.delete(tmp, true)
+    }
     // Replay guard. Read errors must PROPAGATE (failing the stream), not
     // silently disable the guard — a guard-less replay re-merges and
     // XOR-cancels the store, the exact corruption it exists to prevent.

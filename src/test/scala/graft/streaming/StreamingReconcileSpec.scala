@@ -31,8 +31,10 @@ class StreamingReconcileSpec extends SparkSpec {
         expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
       .orderBy("hour", "event_type").collect().toSeq
     val expected = batch
-    // twice: re-running must re-register the memory sink cleanly (Verify and
-    // Bench both invoke the query repeatedly in one session)
+    // twice: re-running must stop the prior named stream and clean its
+    // temp parquet-sink dir (Verify and Bench both invoke the query
+    // repeatedly in one session; the harness sinks via foreachBatch →
+    // parquet, not a memory sink)
     (1 to 2).foreach { _ =>
       val got = StreamingReconcile.hourlyAggStream(spark, sf001)
         .orderBy("hour", "event_type").collect().toSeq
