@@ -35,6 +35,12 @@ import graft.text.TextAnalysis
   *  - `normalize` / `redact` — map-only text canonicalisation / PII masking
   *  - `dedup_exact` — keep the smallest id per exact content (8-byte hash
   *    shuffle key)
+  *  - `dedup_seen` — incremental exact dedup against the persisted
+  *    seen-hash store at `seen_store.path` (q88 primitive); survivors are
+  *    folded into the store after the output commits
+  *  - `fingerprint_store` — post-write maintenance of a per-source
+  *    (rows, fp) store at `fingerprint_store.path` (mergeDelta — O(delta)
+  *    reconcile inventory of everything shipped)
   *  - `dedup_minhash` — MinHash-LSH near-dup candidates above the
   *    threshold; every pair's larger id is dropped (anti-join)
   *  - `quality_filter` — drop docs under `quality_min`
@@ -62,7 +68,9 @@ object GraftPipeline {
       packBudget: Int, testPct: Int,
       chunkOverlapMax: Double = 0.5,
       benchmarkDir: String = "", benchmarkTable: String = "documents",
-      mixRates: Map[String, Double] = Map.empty)
+      mixRates: Map[String, Double] = Map.empty,
+      seenStorePath: String = "",
+      fingerprintStorePath: String = "")
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -74,6 +82,10 @@ object GraftPipeline {
       Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
+    else if (steps.contains("dedup_seen") && kv.getOrElse("seen_store.path", "").isEmpty)
+      Left("dedup_seen requires seen_store.path")
+    else if (steps.contains("fingerprint_store") && kv.getOrElse("fingerprint_store.path", "").isEmpty)
+      Left("fingerprint_store requires fingerprint_store.path")
     else parseRates(kv.getOrElse("mix_rates", "")) match {
       case Left(err) => Left(err)
       case Right(rates) if steps.contains("mix") && rates.isEmpty =>
@@ -96,7 +108,9 @@ object GraftPipeline {
       chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
       benchmarkDir = kv.getOrElse("benchmark.path", ""),
       benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
-      mixRates = rates)
+      mixRates = rates,
+      seenStorePath = kv.getOrElse("seen_store.path", ""),
+      fingerprintStorePath = kv.getOrElse("fingerprint_store.path", ""))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -127,6 +141,18 @@ object GraftPipeline {
       df.withColumn("text", TextAnalysis.redactPii(col("text")))),
     "dedup_exact" -> ((_, df) =>
       Dedup.dropExact(df, "text", "doc_id")),
+    // incremental exact dedup (the q88 primitive): drop docs whose content
+    // hash is in the persisted seen-hash store at seen_store.path. The
+    // store UPDATE (fold this run's survivors in) happens in run() AFTER
+    // the output write commits — crash in between = the shard replays and
+    // the already-seen rows fall out again (at-least-once safe).
+    "dedup_seen" -> ((c, df) =>
+      graft.dedup.SeenStore.filter(df.sparkSession, c.seenStorePath, df, "text")),
+    // per-source fingerprint-store maintenance: no transform at plan time —
+    // run() folds byPartition(output) into fingerprint_store.path after the
+    // write, giving downstream reconciles an O(delta) per-source (rows, fp)
+    // inventory of everything this pipeline has shipped.
+    "fingerprint_store" -> ((_, df) => df),
     "dedup_minhash" -> ((c, df) => {
       val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
         .select(col("id_b").as("doc_id")).distinct()
@@ -192,14 +218,34 @@ object GraftPipeline {
     }
 
   /** Run the pipeline and write split-partitioned shards. Returns
-    * (rows in, rows out). */
+    * (rows in, rows out). Store maintenance (seen-hash, fingerprint) runs
+    * AFTER the output write commits, so a crash mid-run never records rows
+    * the output does not hold; replaying the shard then converges (seen
+    * update is idempotent union+distinct). Re-running an ALREADY-COMMITTED
+    * shard against the same fingerprint store double-folds its delta — the
+    * replay-guarded variant is the streaming path
+    * (StreamingReconcile.mergeFingerprintBatch, batch-id in store); the
+    * CLI contract is one run per shard. */
   def run(spark: SparkSession, cfg: PipelineConfig): (Long, Long) = {
     val in = graft.core.Tables.load(spark, cfg.inputDir, cfg.table).count()
     val out = plan(spark, cfg)
     val writer = out.write.mode("overwrite")
     (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
       .parquet(cfg.outputDir)
-    (in, spark.read.parquet(cfg.outputDir).count())
+    val written = spark.read.parquet(cfg.outputDir)
+    if (cfg.steps.contains("dedup_seen"))
+      graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text")
+    if (cfg.steps.contains("fingerprint_store")) {
+      val delta = graft.fp.Fingerprint.byPartition(
+        written, Seq("source" -> col("source")),
+        Seq(col("doc_id"), col("text"), col("source")))
+      val merged = graft.core.AtomicStore.read(spark, cfg.fingerprintStorePath) match {
+        case Some(stored) => graft.fp.Fingerprint.mergeDelta(stored, delta, Seq("source"))
+        case None => delta
+      }
+      graft.core.AtomicStore.replace(spark, cfg.fingerprintStorePath, merged)
+    }
+    (in, written.count())
   }
 
   def main(args: Array[String]): Unit = {

@@ -100,19 +100,21 @@ object ExtendedQueries {
       // countDistinct with the percentile aggregates plans an Expand that
       // routes every duplicated row through both percentile buffers (~2x
       // the dominant cost); two one-row branches crossJoin for free
-      // rsd 0.01 with a 5% gate = a 5-sigma bound: the earlier default-rsd
-      // (0.05) form asserted the estimate within ONE sigma, which any
-      // healthy sketch exceeds ~32% of the time on a fresh fixture
-      // (round-3 advice) — fine deterministically, fragile across SFs
+      // 15% gate = 3 sigma at the default rsd (0.05): the earlier 5% form
+      // asserted the estimate within ONE sigma, which a healthy sketch
+      // exceeds ~32% of the time on a fresh fixture (round-3 advice) —
+      // fine deterministically, fragile across SFs. A tighter rsd instead
+      // was measured 6x the query cost (HLL register blowup) for no gate
+      // value.
       val parts = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+        approx_count_distinct(col("l_partkey")).as("ap"))
       val quantiles = li.agg(
         expr("percentile(l_quantity, 0.5)").as("exact_median_qty"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"))
       parts.crossJoin(quantiles)
         .select(col("exact_parts"), col("exact_median_qty"),
-          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)
             .as("approx_parts_ok"),
           (abs(col("am") - col("exact_median_qty")) <= abs(col("exact_median_qty")) * 0.05)
             .as("approx_median_ok"))

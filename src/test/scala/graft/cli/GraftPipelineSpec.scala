@@ -172,4 +172,64 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "contamination_filter"))
     assert(bad.swap.toOption.get.contains("benchmark.path"))
   }
+
+  test("dedup_seen: shard-over-shard incremental dedup through the persisted store") {
+    import spark.implicits._
+    val out = tmpDir("pipe5")
+    val store = s"$out/seen_store"
+    def doc(id: Long, text: String) = (id, text, "en", "src")
+    // shard 1: three fresh docs
+    Seq(doc(1, "alpha text"), doc(2, "beta text"), doc(3, "gamma text"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s1/documents.parquet")
+    // shard 2: one fresh doc + two re-ingested copies of shard-1 content
+    Seq(doc(10, "delta text"), doc(11, "alpha text"), doc(12, "beta text"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s2/documents.parquet")
+    def cfg(in: String, shard: String) = GraftPipeline.PipelineConfig(
+      inputDir = in, table = "documents", outputDir = s"$out/$shard",
+      steps = Seq("dedup_seen"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      seenStorePath = store)
+    val (in1, out1) = GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    assert((in1, out1) == ((3L, 3L))) // empty store: everything passes
+    val (in2, out2) = GraftPipeline.run(spark, cfg(s"$out/s2", "shard2"))
+    assert((in2, out2) == ((3L, 1L))) // the two re-ingested texts dropped
+    assert(spark.read.parquet(s"$out/shard2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+    // store now holds all four distinct content hashes
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4)
+    // fromKv refuses the step without seen_store.path
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "dedup_seen")).swap.toOption.get.contains("seen_store.path"))
+  }
+
+  test("fingerprint_store accumulates per-source (rows, fp) across shard runs") {
+    import spark.implicits._
+    val out = tmpDir("pipe6")
+    val store = s"$out/fp_store"
+    Seq((1L, "one text", "en", "web"), (2L, "two text", "en", "news"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s1/documents.parquet")
+    Seq((3L, "three text", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s2/documents.parquet")
+    def cfg(in: String, shard: String) = GraftPipeline.PipelineConfig(
+      inputDir = in, table = "documents", outputDir = s"$out/$shard",
+      steps = Seq("fingerprint_store"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      fingerprintStorePath = store)
+    GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    GraftPipeline.run(spark, cfg(s"$out/s2", "shard2"))
+    // the accumulated store equals a one-shot recompute over both outputs
+    val both = spark.read.parquet(s"$out/shard1")
+      .unionByName(spark.read.parquet(s"$out/shard2"))
+    val expect = graft.fp.Fingerprint.byPartition(both,
+        Seq("source" -> col("source")),
+        Seq(col("doc_id"), col("text"), col("source")))
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = graft.core.AtomicStore.read(spark, store).get
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }
