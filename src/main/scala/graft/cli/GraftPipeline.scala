@@ -70,7 +70,11 @@ object GraftPipeline {
       benchmarkDir: String = "", benchmarkTable: String = "documents",
       mixRates: Map[String, Double] = Map.empty,
       seenStorePath: String = "",
-      fingerprintStorePath: String = "")
+      fingerprintStorePath: String = "",
+      shardIdOverride: String = "") {
+    /** Replay-guard key for the fingerprint store: one fold per shard. */
+    def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
+  }
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -110,7 +114,8 @@ object GraftPipeline {
       benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
       mixRates = rates,
       seenStorePath = kv.getOrElse("seen_store.path", ""),
-      fingerprintStorePath = kv.getOrElse("fingerprint_store.path", ""))
+      fingerprintStorePath = kv.getOrElse("fingerprint_store.path", ""),
+      shardIdOverride = kv.getOrElse("shard_id", ""))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -220,12 +225,11 @@ object GraftPipeline {
   /** Run the pipeline and write split-partitioned shards. Returns
     * (rows in, rows out). Store maintenance (seen-hash, fingerprint) runs
     * AFTER the output write commits, so a crash mid-run never records rows
-    * the output does not hold; replaying the shard then converges (seen
-    * update is idempotent union+distinct). Re-running an ALREADY-COMMITTED
-    * shard against the same fingerprint store double-folds its delta — the
-    * replay-guarded variant is the streaming path
-    * (StreamingReconcile.mergeFingerprintBatch, batch-id in store); the
-    * CLI contract is one run per shard. */
+    * the output does not hold; replaying the shard then converges: the
+    * seen update is idempotent union+distinct, and the fingerprint fold is
+    * shard-id-guarded in the store itself (FingerprintStore — re-running a
+    * committed shard is a no-op, the unordered-shard analogue of the
+    * streaming path's batch-id guard). */
   def run(spark: SparkSession, cfg: PipelineConfig): (Long, Long) = {
     val in = graft.core.Tables.load(spark, cfg.inputDir, cfg.table).count()
     val out = plan(spark, cfg)
@@ -236,14 +240,12 @@ object GraftPipeline {
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text")
     if (cfg.steps.contains("fingerprint_store")) {
-      val delta = graft.fp.Fingerprint.byPartition(
-        written, Seq("source" -> col("source")),
+      // replay-guarded: the shard id (config `shard_id`, default the input
+      // path) is recorded IN the store, so re-running a committed shard is
+      // a no-op instead of a double-fold
+      graft.fp.FingerprintStore.fold(spark, cfg.fingerprintStorePath,
+        cfg.shardId, written, Seq("source" -> col("source")),
         Seq(col("doc_id"), col("text"), col("source")))
-      val merged = graft.core.AtomicStore.read(spark, cfg.fingerprintStorePath) match {
-        case Some(stored) => graft.fp.Fingerprint.mergeDelta(stored, delta, Seq("source"))
-        case None => delta
-      }
-      graft.core.AtomicStore.replace(spark, cfg.fingerprintStorePath, merged)
     }
     (in, written.count())
   }

@@ -228,8 +228,14 @@ class GraftPipelineSpec extends SparkSpec {
         Seq("source" -> col("source")),
         Seq(col("doc_id"), col("text"), col("source")))
       .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val got = graft.core.AtomicStore.read(spark, store).get
+    def got() = graft.fp.FingerprintStore.read(spark, store).get
       .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == expect)
+    assert(got() == expect)
+    // replaying shard 1 (same input path = same default shard id) is a
+    // no-op: the in-store guard refuses the double-fold
+    GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    assert(got() == expect)
+    assert(graft.fp.FingerprintStore.foldedShards(spark, store) ==
+      Set(s"$out/s1", s"$out/s2"))
   }
 }

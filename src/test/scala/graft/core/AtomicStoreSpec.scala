@@ -1,0 +1,60 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** Crash-recovery contract of the persisted-store replace discipline:
+  * every interleaving of (write tmp, delete store, rename) that a crash
+  * can produce must read back as either the OLD complete store or the NEW
+  * complete store — never a partial directory. */
+class AtomicStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(path: String, xs: Seq[Long]): Unit =
+    AtomicStore.replace(spark, path, xs.toDF("v"))
+
+  private def readBack(path: String): Option[Set[Long]] =
+    AtomicStore.read(spark, path).map(_.as[Long].collect().toSet)
+
+  test("replace then read round-trips; second replace swaps contents") {
+    val p = tmpDir("astore") + "/store"
+    write(p, Seq(1L, 2L))
+    assert(readBack(p).contains(Set(1L, 2L)))
+    write(p, Seq(3L))
+    assert(readBack(p).contains(Set(3L)))
+    // no tmp dir left behind after a clean replace
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + "_tmp")))
+  }
+
+  test("crash between delete and rename: completed tmp is adopted as the store") {
+    val p = tmpDir("astore") + "/store"
+    write(p, Seq(1L, 2L))
+    // simulate: new store fully written to tmp, old store deleted, crash
+    // before rename
+    (Seq(9L).toDF("v")).write.mode("overwrite").parquet(p + "_tmp")
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+    assert(readBack(p).contains(Set(9L))) // read() adopted the tmp
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + "_tmp")))
+  }
+
+  test("crash mid-write of the first-ever store: partial tmp is deleted, not promoted") {
+    val p = tmpDir("astore") + "/store"
+    // simulate: tmp contains files but no _SUCCESS (incomplete job)
+    val tmp = java.nio.file.Paths.get(p + "_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.writeString(tmp.resolve("part-00000.parquet"), "garbage")
+    assert(readBack(p).isEmpty) // no store, no crash, no adoption
+    assert(!java.nio.file.Files.exists(tmp)) // partial tmp cleaned up
+    // and the path is reusable afterwards
+    write(p, Seq(5L))
+    assert(readBack(p).contains(Set(5L)))
+  }
+
+  test("replace may lazily read the store it replaces (incremental merge shape)") {
+    val p = tmpDir("astore") + "/store"
+    write(p, Seq(1L, 2L))
+    val incremented = AtomicStore.read(spark, p).get
+      .union(Seq(3L).toDF("v")) // lazy plan still reading the old store
+    AtomicStore.replace(spark, p, incremented)
+    assert(readBack(p).contains(Set(1L, 2L, 3L)))
+  }
+}
