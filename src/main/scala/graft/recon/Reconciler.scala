@@ -206,4 +206,43 @@ object Reconciler {
     * castedExprs`, `/root/reference/database/database.go:486-495`). */
   def copyInto(src: DataFrame, castCols: Seq[Column], dstPath: String): Unit =
     src.select(castCols: _*).write.mode("append").parquet(dstPath)
+
+  /** [[repair]] for a REMOTE (JDBC) destination — the reference's actual
+    * execution mode (`/root/reference/copy/copy.go:246-266`): per
+    * delete_recopy partition a driver-issued partition DELETE
+    * (`DeletePartition`, one statement, no data movement), then one
+    * distributed INSERT append of all affected partitions' (cast) source
+    * rows — the `INSERT … SELECT` data path, executors writing batches in
+    * parallel. skip_delete / skip_reimport compose exactly as in the
+    * file-backed form: skip_delete turns delete_recopy into a plain
+    * append (duplicating rows, as the reference would), skip_reimport
+    * into a bare delete.
+    *
+    * @return partition values acted on */
+  def repairJdbc(
+      spark: SparkSession,
+      verdictDf: DataFrame,
+      srcWithKey: DataFrame,
+      partKeyAlias: String,
+      dst: graft.sources.ClickHouseJdbc.Conn,
+      conf: Config = Config()): Seq[Any] = {
+    val rows = verdictDf
+      .filter(col("verdict").isin(Verdict.Copy, Verdict.DeleteRecopy))
+      .select(col(partKeyAlias), col("verdict")).collect()
+    val copyParts = rows.filter(_.getString(1) == Verdict.Copy).map(_.get(0)).toSeq
+    val recopyParts = rows.filter(_.getString(1) == Verdict.DeleteRecopy).map(_.get(0)).toSeq
+
+    val deletes = if (!conf.skipDelete) recopyParts else Nil
+    val inserts = copyParts ++ (if (!conf.skipReimport) recopyParts else Nil)
+
+    deletes.foreach(v =>
+      graft.sources.ClickHouseJdbc.deletePartition(dst, partKeyAlias, v))
+    if (inserts.nonEmpty) {
+      val (nullKeys, realKeys) = inserts.partition(_ == null)
+      val pred = ((if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
+        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)).reduce(_ || _)
+      graft.sources.ClickHouseJdbc.append(srcWithKey.filter(pred), dst)
+    }
+    (deletes ++ inserts).distinct
+  }
 }

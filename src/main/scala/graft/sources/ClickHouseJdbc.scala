@@ -140,4 +140,28 @@ object ClickHouseJdbc {
     conn.options.foldLeft(df.write.format("jdbc")) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("append").save()
+
+  /** A19 partition delete against a remote destination — the reference's
+    * `DeletePartition` (`/root/reference/database/database.go:434-456`,
+    * one `ALTER TABLE … DROP PARTITION` per partition): a single
+    * driver-issued statement per partition value, no data movement. The
+    * generic-SQL form is a predicate DELETE (ClickHouse's own dialect
+    * would use ALTER ... DROP PARTITION; either way the driver sends one
+    * statement and the server does the work). Value binding is a
+    * PreparedStatement parameter — partition values come from data, never
+    * spliced into SQL text. */
+  def deletePartition(conn: Conn, column: String, value: Any): Unit = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      val st =
+        if (value == null) {
+          c.prepareStatement(s"DELETE FROM ${conn.dbtable} WHERE $column IS NULL")
+        } else {
+          val s = c.prepareStatement(s"DELETE FROM ${conn.dbtable} WHERE $column = ?")
+          s.setObject(1, value)
+          s
+        }
+      try st.executeUpdate() finally st.close()
+    } finally c.close()
+  }
 }

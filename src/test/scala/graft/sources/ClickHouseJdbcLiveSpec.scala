@@ -71,6 +71,38 @@ class ClickHouseJdbcLiveSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
   }
 
+  test("END-TO-END live reconcile: verify -> repair -> re-verify between two JDBC tables") {
+    import graft.recon.Reconciler
+    fixture.count()
+    // src: 60 rows over 3 partitions (GRP 0/1/2); dst: partition 2 missing,
+    // one row of partition 1 corrupted — the reference's repair scenario
+    val src = (1L to 60L).map(i => (i, s"v$i", i % 3)).toDF("ID", "VAL", "GRP")
+    ClickHouseJdbc.append(src, conn("T_RECON_SRC"))
+    val dstRows = src.filter(col("GRP") =!= 2)
+      .withColumn("VAL", when(col("ID") === 4, "corrupted").otherwise(col("VAL")))
+    ClickHouseJdbc.append(dstRows, conn("T_RECON_DST"))
+
+    def side(table: String) = ClickHouseJdbc.read(spark, conn(table))
+    val contentCols = Seq(col("ID"), col("VAL"), col("GRP"))
+    def verdicts() = Reconciler.verdicts(
+      side("T_RECON_SRC"), side("T_RECON_DST"),
+      Seq("GRP" -> col("GRP")), contentCols, contentCols)
+    val v1 = verdicts().collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(v1 == Map(0L -> "skip", 1L -> "delete_recopy", 2L -> "copy"))
+
+    // repair the REMOTE destination: driver-side partition DELETE + one
+    // distributed JDBC append of the affected partitions
+    val acted = Reconciler.repairJdbc(spark, verdicts(),
+      side("T_RECON_SRC"), "GRP", conn("T_RECON_DST"))
+    assert(acted.map(_.asInstanceOf[Long]).toSet == Set(1L, 2L))
+
+    // post-repair: every partition verifies clean, content round-tripped
+    val v2 = verdicts().collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(v2 == Map(0L -> "skip", 1L -> "skip", 2L -> "skip"))
+    assert(side("T_RECON_DST").as[(Long, String, Long)].collect().toSet ==
+      src.as[(Long, String, Long)].collect().toSet)
+  }
+
   test("Catalyst pushes filters into the remote JDBC query (PushedFilters)") {
     fixture.count()
     val filtered = ClickHouseJdbc.read(spark, conn("T_ROUNDTRIP"))
