@@ -32,6 +32,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "decimal agg fell back to sort-based")
   }
 
+  test("q02: equality predicate pushed to the parquet scan") {
+    val p = plan("q02_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(c_nationkey), EqualTo(c_nationkey,5)]"), p.take(800))
+  }
+
+  test("q17: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q22: fused portable hash stays in its own projection; aggregate consumes the column") {
+    // the CodegenFallback hash as an aggregate INPUT expression would pull
+    // the whole HashAggregate stage out of whole-stage codegen (measured
+    // 1.7x at sf0.1) — the aggregate must see the pre-projected __ph
+    // column, the Project must host the expression
+    val p = plan("q22_fingerprint_by_partition")
+    assert(p.contains("portable_row_hash60"), p.take(1500))
+    assert(p.contains("bit_xor(__ph"), "aggregate should consume the pre-projected column:\n" + p.take(1500))
+    assert(!p.contains("bit_xor(portable_row_hash60"),
+      "fused hash leaked into the aggregate expression:\n" + p.take(1500))
+  }
+
+  test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
+    val p = plan("q88_incremental_dedup")
+    assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     spark.sql("DROP TABLE IF EXISTS li_bkt_a")
