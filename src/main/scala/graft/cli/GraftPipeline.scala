@@ -223,30 +223,41 @@ object GraftPipeline {
     }
 
   /** Run the pipeline and write split-partitioned shards. Returns
-    * (rows in, rows out). Store maintenance (seen-hash, fingerprint) runs
-    * AFTER the output write commits, so a crash mid-run never records rows
-    * the output does not hold; replaying the shard then converges: the
-    * seen update is idempotent union+distinct, and the fingerprint fold is
-    * shard-id-guarded in the store itself (FingerprintStore — re-running a
-    * committed shard is a no-op, the unordered-shard analogue of the
-    * streaming path's batch-id guard). */
+    * (rows in, rows out).
+    *
+    * Shard-replay protocol (every store step is guarded by `cfg.shardId`,
+    * default the input path):
+    *  1. A shard already recorded in the SEEN store short-circuits the
+    *     WHOLE run — its hashes are all "seen", so re-filtering would emit
+    *     an empty relation and clobber the shard's committed output.
+    *  2. Otherwise: write output, THEN fold fingerprints (in-store
+    *     shard-id guard makes it idempotent), THEN update the seen store
+    *     (which also records the shard id). A crash before the seen
+    *     update replays with the seen store unchanged, so the re-run
+    *     recomputes the identical output and the fingerprint fold skips;
+    *     a crash after it short-circuits at step 1. Either way the stores
+    *     never record rows the output does not hold, and no committed
+    *     output is ever destroyed. */
   def run(spark: SparkSession, cfg: PipelineConfig): (Long, Long) = {
     val in = graft.core.Tables.load(spark, cfg.inputDir, cfg.table).count()
+    if (cfg.steps.contains("dedup_seen") &&
+        graft.dedup.SeenStore.processedShards(spark, cfg.seenStorePath)
+          .contains(cfg.shardId)) {
+      System.err.println(s"[$Name] shard ${cfg.shardId} already processed — skipping")
+      return (in, spark.read.parquet(cfg.outputDir).count())
+    }
     val out = plan(spark, cfg)
     val writer = out.write.mode("overwrite")
     (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
       .parquet(cfg.outputDir)
     val written = spark.read.parquet(cfg.outputDir)
-    if (cfg.steps.contains("dedup_seen"))
-      graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text")
     if (cfg.steps.contains("fingerprint_store")) {
-      // replay-guarded: the shard id (config `shard_id`, default the input
-      // path) is recorded IN the store, so re-running a committed shard is
-      // a no-op instead of a double-fold
       graft.fp.FingerprintStore.fold(spark, cfg.fingerprintStorePath,
         cfg.shardId, written, Seq("source" -> col("source")),
         Seq(col("doc_id"), col("text"), col("source")))
     }
+    if (cfg.steps.contains("dedup_seen"))
+      graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)
     (in, written.count())
   }
 

@@ -48,6 +48,13 @@ object AtomicStore {
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val fs = fsFor(spark, store)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // the recovery protocol keys on _SUCCESS, but the committer only
+    // writes one when marksuccessfuljobs is on (object-store tunings turn
+    // it off) — guarantee the marker ourselves, or a crash between the
+    // delete and the rename would make read() discard a COMPLETE tmp and
+    // silently erase the whole accumulated store
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     fs.delete(store, true)
     fs.rename(tmp, store)
   }

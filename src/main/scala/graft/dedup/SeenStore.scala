@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The persisted seen-hash store behind incremental exact dedup (the q88
   * primitive, production-shaped): 8 bytes per distinct document ever
@@ -8,17 +9,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(shard + store), never O(corpus). Storage goes through
   * [[graft.core.AtomicStore]] (crash-safe tmp/rename replace).
   *
-  * Protocol per shard: `filter(shard, dropSeen against read(path))` →
-  * commit the survivors downstream → [[update]] with the survivors. The
-  * update runs AFTER the downstream commit so a crash in between re-drops
-  * nothing (the shard replays, already-seen rows fall out, the store
-  * converges) — the at-least-once ordering the streaming fingerprint
-  * store implements with batch ids. */
+  * Like [[graft.fp.FingerprintStore]], the store carries the set of
+  * PROCESSED SHARD IDS in the same relation as the hashes (kind rows), so
+  * the guard commits atomically with the data. This is what makes shard
+  * replay safe end-to-end: a replayed shard whose id is already recorded
+  * must be SKIPPED ENTIRELY by the caller ([[processedShards]]) — its
+  * hashes are all in the store, so re-filtering would emit an empty
+  * relation and clobber the shard's committed output.
+  *
+  * Protocol per shard: if `shardId ∈ processedShards` → done (output is
+  * already committed). Else `filter` the shard against [[read]], commit
+  * the survivors downstream, then [[update]] with the survivors + shard
+  * id. A crash before [[update]] replays with the store unchanged, so the
+  * re-run recomputes the identical output; after [[update]], the replay
+  * short-circuits at the guard. */
 object SeenStore {
 
-  /** The store's hash relation, or None before the first [[update]]. */
-  def read(spark: SparkSession, path: String): Option[DataFrame] =
+  private val Kind = "__kind"
+  private val ShardId = "__shard_id"
+
+  private def raw(spark: SparkSession, path: String): Option[DataFrame] =
     graft.core.AtomicStore.read(spark, path)
+
+  /** The store's hash relation (content_hash), or None before the first
+    * [[update]]. A pre-guard store (bare hash column) reads as all-hash. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    raw(spark, path).map { df =>
+      if (df.columns.contains(Kind))
+        df.filter(col(Kind) === "hash").select("content_hash")
+      else df
+    }
+
+  /** Shard ids whose survivors are already folded in. */
+  def processedShards(spark: SparkSession, path: String): Set[String] =
+    raw(spark, path) match {
+      case Some(df) if df.columns.contains(Kind) =>
+        df.filter(col(Kind) === "shard").select(ShardId)
+          .collect().map(_.getString(0)).toSet
+      case _ => Set.empty
+    }
 
   /** Drop rows of `incoming` whose content hash is already in the store;
     * identity when the store does not exist yet. */
@@ -29,14 +58,23 @@ object SeenStore {
       case None => incoming
     }
 
-  /** Fold a committed shard's survivors into the store (union + distinct —
-    * idempotent, so replaying the same survivors is harmless). */
+  /** Fold a committed shard's survivors into the store and record the
+    * shard id (one atomic replace). Idempotent per shard id. */
   def update(spark: SparkSession, path: String, survivors: DataFrame,
-      contentCol: String): Unit = {
-    val merged = read(spark, path) match {
+      contentCol: String, shardId: String): Unit = {
+    val shardIds = processedShards(spark, path) + shardId
+    val hashes = (read(spark, path) match {
       case Some(seen) => Dedup.updateSeen(seen, survivors, contentCol)
       case None => Dedup.seenHashes(survivors, contentCol)
-    }
-    graft.core.AtomicStore.replace(spark, path, merged)
+    }).withColumn(Kind, lit("hash")).withColumn(ShardId, lit(null).cast("string"))
+    val shardRows = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          shardIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(ShardId,
+            org.apache.spark.sql.types.StringType))))
+      .select(lit(null).cast("long").as("content_hash"),
+        lit("shard").as(Kind), col(ShardId))
+    graft.core.AtomicStore.replace(spark, path, hashes.unionByName(shardRows))
   }
 }

@@ -55,14 +55,28 @@ object FingerprintStore {
   def fold(spark: SparkSession, path: String, shardId: String,
       batch: DataFrame, partCols: Seq[(String, org.apache.spark.sql.Column)],
       cols: Seq[org.apache.spark.sql.Column]): Boolean = {
-    if (foldedShards(spark, path).contains(shardId)) return false
+    // ONE store read serves the guard, the shard set, and the fp relation
+    // (each AtomicStore.read is a recovery check + listing; and reading
+    // the guard twice would be a TOCTOU seam if the single-writer
+    // discipline were ever violated)
+    val stored = graft.core.AtomicStore.read(spark, path)
+    val hasKind = stored.exists(_.columns.contains(Kind))
+    val prevShards: Set[String] = stored match {
+      case Some(df) if hasKind =>
+        df.filter(col(Kind) === "shard").select(ShardId)
+          .collect().map(_.getString(0)).toSet
+      case _ => Set.empty
+    }
+    if (prevShards.contains(shardId)) return false
     val keyNames = partCols.map(_._1)
     val delta = Fingerprint.byPartition(batch, partCols, cols)
-    val merged = read(spark, path) match {
-      case Some(stored) => Fingerprint.mergeDelta(stored, delta, keyNames)
+    val merged = stored match {
+      case Some(df) =>
+        val fp = if (hasKind) df.filter(col(Kind) === "fp").drop(Kind, ShardId) else df
+        Fingerprint.mergeDelta(fp, delta, keyNames)
       case None => delta
     }
-    val shardIds = foldedShards(spark, path) + shardId
+    val shardIds = prevShards + shardId
     val fpRows = merged.withColumn(Kind, lit("fp")).withColumn(ShardId, lit(null).cast("string"))
     val shardRows = spark.createDataFrame(
         spark.sparkContext.parallelize(shardIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),

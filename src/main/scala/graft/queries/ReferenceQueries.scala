@@ -245,7 +245,10 @@ object ReferenceQueries {
       // catalog-parity query (SHOW PARTITIONS ⨝ per-partition counts), not a
       // partitioned rewrite. The table stays registered for the process
       // lifetime; a shutdown hook removes the temp warehouse.
-      val tbl = q87Table.getOrElseUpdate(dir, {
+      // cache validated against the CURRENT session's catalog: a session
+      // restart in the same JVM drops the registered table, and blindly
+      // reusing the stale name would poison q87 for the process lifetime
+      val tbl = q87Table.get(dir).filter(s.catalog.tableExists).getOrElse {
         val name = s"graft_parts_${java.util.UUID.randomUUID.toString.take(8)}"
         val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
         sys.addShutdownHook(graft.core.Fs.deleteRecursively(wh))
@@ -256,8 +259,9 @@ object ReferenceQueries {
             .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
             .withColumn("part", date_format(col("l_shipdate"), "yyyyMM")),
           name, s"$wh/$name", "part")
+        q87Table(dir) = name
         name
-      })
+      }
       val parts = s.sql(s"SHOW PARTITIONS $tbl")
         .select(regexp_extract(col("partition"), "^part=(.*)$", 1).as("part"))
       val counts = s.table(tbl).groupBy("part").agg(count(lit(1)).as("n_rows"))

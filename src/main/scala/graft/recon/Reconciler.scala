@@ -151,18 +151,9 @@ object Reconciler {
     val append = if (conf.skipDelete && !conf.skipReimport) recopyParts else Nil
     val deleteOnly = if (!conf.skipDelete && conf.skipReimport) recopyParts else Nil
 
-    // isin() is null-blind; a null partition key needs an explicit isNull
-    // arm. (Note: partitionBy writes null keys to the Hive default
-    // partition directory — callers with nullable keys should coalesce
-    // the key expression to a sentinel for clean round-trips.)
-    def keyPred(parts: Seq[Any]): Column = {
-      val (nullKeys, realKeys) = parts.partition(_ == null)
-      ((if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
-        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)).reduce(_ || _)
-    }
     def write(parts: Seq[Any], mode: String): Unit = if (parts.nonEmpty) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      srcWithKey.filter(keyPred(parts))
+      srcWithKey.filter(keyPred(partKeyAlias, parts))
         .write.partitionBy(partKeyAlias).mode(mode).parquet(dstPath)
     }
     def partDirName(v: Any): String = {
@@ -237,12 +228,20 @@ object Reconciler {
 
     deletes.foreach(v =>
       graft.sources.ClickHouseJdbc.deletePartition(dst, partKeyAlias, v))
-    if (inserts.nonEmpty) {
-      val (nullKeys, realKeys) = inserts.partition(_ == null)
-      val pred = ((if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
-        (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)).reduce(_ || _)
-      graft.sources.ClickHouseJdbc.append(srcWithKey.filter(pred), dst)
-    }
+    if (inserts.nonEmpty)
+      graft.sources.ClickHouseJdbc.append(
+        srcWithKey.filter(keyPred(partKeyAlias, inserts)), dst)
     (deletes ++ inserts).distinct
+  }
+
+  /** Null-aware partition-membership predicate: isin() is null-blind, so a
+    * null partition key needs an explicit isNull arm. (Note: partitionBy
+    * writes null keys to the Hive default partition directory — callers
+    * with nullable keys should coalesce the key expression to a sentinel
+    * for clean round-trips.) Shared by the file-backed and JDBC repairs. */
+  private def keyPred(partKeyAlias: String, parts: Seq[Any]): Column = {
+    val (nullKeys, realKeys) = parts.partition(_ == null)
+    ((if (realKeys.nonEmpty) Some(col(partKeyAlias).isin(realKeys: _*)) else None) ++
+      (if (nullKeys.nonEmpty) Some(col(partKeyAlias).isNull) else None)).reduce(_ || _)
   }
 }

@@ -151,6 +151,13 @@ object ClickHouseJdbc {
     * PreparedStatement parameter — partition values come from data, never
     * spliced into SQL text. */
   def deletePartition(conn: Conn, column: String, value: Any): Unit = {
+    // DriverManager's ServiceLoader scan runs before user-supplied jars
+    // (--jars) reach the classloader, so a driver that read()/append()
+    // can use via the Spark option would be invisible here — register it
+    // explicitly, tolerating absence (DriverManager then still tries
+    // drivers already registered, e.g. classpath-autoloaded Derby).
+    try Class.forName(conn.driver)
+    catch { case _: ClassNotFoundException => () }
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
     try {
       val st =

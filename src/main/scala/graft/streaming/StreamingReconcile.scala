@@ -210,26 +210,21 @@ object StreamingReconcile {
     * the [[BatchCol]] column OF the store itself (a store+marker file pair
     * can crash between the two writes, after which the replayed batch
     * re-merges and corrupts the store — round-2 advice), and the store is
-    * replaced by write-to-temp + delete + rename, with a recovery step for
-    * a crash between the delete and the rename. Filesystem ops go through
-    * the path's Hadoop filesystem — `java.io.File` would see only the
-    * driver's local disk and treat an object-store store as absent. */
+    * replaced through [[graft.core.AtomicStore]] (write-to-temp + delete +
+    * rename, with completed-tmp adoption / partial-tmp deletion on
+    * recovery — one shared implementation with the batch stores).
+    * Filesystem ops go through the path's Hadoop filesystem —
+    * `java.io.File` would see only the driver's local disk and treat an
+    * object-store store as absent. */
   def mergeFingerprintBatch(spark: SparkSession, storePath: String,
       batch: DataFrame, partKeys: Seq[(String, org.apache.spark.sql.Column)],
       cols: Seq[org.apache.spark.sql.Column], batchId: Long = 0L): Unit = {
     val store = new org.apache.hadoop.fs.Path(storePath)
-    val tmp = new org.apache.hadoop.fs.Path(storePath + "_tmp")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: death between delete(store) and rename(tmp → store)
-    // leaves a completed tmp and no store — the tmp IS the store. But only
-    // a COMPLETED tmp (_SUCCESS present): a crash mid-write of the
-    // first-ever store also matches "no store + tmp exists", and adopting
-    // that partial parquet dir would poison every later read — delete it
-    // and let the replayed batch rebuild from scratch instead.
-    if (!fs.exists(store) && fs.exists(tmp)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, store)
-      else fs.delete(tmp, true)
-    }
+    // crash recovery + read through the shared AtomicStore discipline
+    // (completed tmp adopted, partial tmp deleted — one implementation,
+    // not a drifting copy of it)
+    val stored = graft.core.AtomicStore.read(spark, storePath)
     // Replay guard. Read errors must PROPAGATE (failing the stream), not
     // silently disable the guard — a guard-less replay re-merges and
     // XOR-cancels the store, the exact corruption it exists to prevent.
@@ -238,38 +233,33 @@ object StreamingReconcile {
     // (unparseable marker = absent-but-warn; the marker is deleted after
     // the first new-style write so it cannot go stale).
     val legacyMarker = new org.apache.hadoop.fs.Path(storePath + "_last_batch")
-    def lastBatch: Option[Long] =
-      if (!fs.exists(store)) None
+    def lastBatch: Option[Long] = stored.flatMap { df =>
+      if (df.columns.contains(BatchCol))
+        Option(df.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long])
+      else if (!fs.exists(legacyMarker)) None
       else {
-        val df = spark.read.parquet(storePath)
-        if (df.columns.contains(BatchCol))
-          Option(df.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long])
-        else if (!fs.exists(legacyMarker)) None
-        else {
-          val in = fs.open(legacyMarker)
-          val txt = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-          val parsed = scala.util.Try(txt.toLong).toOption
-          if (parsed.isEmpty) System.err.println(
-            s"[graft] unparseable legacy batch marker at $legacyMarker ('$txt') — treating as absent")
-          parsed
-        }
+        val in = fs.open(legacyMarker)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+        val parsed = scala.util.Try(txt.toLong).toOption
+        if (parsed.isEmpty) System.err.println(
+          s"[graft] unparseable legacy batch marker at $legacyMarker ('$txt') — treating as absent")
+        parsed
       }
+    }
     if (lastBatch.exists(_ >= batchId)) return // at-least-once replay
     val delta = graft.fp.Fingerprint.byPartition(batch, partKeys, cols)
     val keyNames = partKeys.map(_._1)
-    val merged =
-      if (fs.exists(store))
-        graft.fp.Fingerprint.mergeDelta(
-          readFingerprintStore(spark, storePath), delta, keyNames)
-      else delta
+    val merged = stored match {
+      case Some(df) =>
+        graft.fp.Fingerprint.mergeDelta(df.drop(BatchCol), delta, keyNames)
+      case None => delta
+    }
     val snapshot = merged.collect().toSeq // bounded: one row per partition
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(snapshot, 1), merged.schema)
-      .withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(store, true)
-    fs.rename(tmp, store)
+    graft.core.AtomicStore.replace(spark, storePath,
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(snapshot, 1), merged.schema)
+        .withColumn(BatchCol, lit(batchId)))
     fs.delete(legacyMarker, false) // superseded by the in-store batch id
   }
 

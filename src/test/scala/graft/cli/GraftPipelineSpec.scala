@@ -199,6 +199,14 @@ class GraftPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(10L))
     // store now holds all four distinct content hashes
     assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4)
+    // REPLAY of a committed shard: the run must short-circuit — without
+    // the guard, dedup_seen would drop every shard-1 row (all hashes are
+    // now "seen") and overwrite the committed output with an empty
+    // relation
+    val (in1b, out1b) = GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    assert((in1b, out1b) == ((3L, 3L)))
+    assert(spark.read.parquet(s"$out/shard1").count() == 3) // output intact
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4) // store unchanged
     // fromKv refuses the step without seen_store.path
     assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> "dedup_seen")).swap.toOption.get.contains("seen_store.path"))

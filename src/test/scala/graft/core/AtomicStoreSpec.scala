@@ -49,6 +49,28 @@ class AtomicStoreSpec extends SparkSpec {
     assert(readBack(p).contains(Set(5L)))
   }
 
+  test("replace guarantees the _SUCCESS marker even when the committer is configured not to") {
+    // object-store tunings disable marksuccessfuljobs; without the
+    // explicit marker, a crash between delete and rename would make
+    // read() discard the COMPLETE tmp and erase the accumulated store
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hc.get(key)
+    hc.set(key, "false")
+    try {
+      val p = tmpDir("astore") + "/store"
+      write(p, Seq(7L))
+      // simulate the crash window: move the store back to tmp state
+      val store = java.nio.file.Paths.get(p)
+      val tmp = java.nio.file.Paths.get(p + "_tmp")
+      java.nio.file.Files.move(store, tmp)
+      assert(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")))
+      assert(readBack(p).contains(Set(7L))) // adopted, not discarded
+    } finally {
+      if (prev == null) hc.unset(key) else hc.set(key, prev)
+    }
+  }
+
   test("replace may lazily read the store it replaces (incremental merge shape)") {
     val p = tmpDir("astore") + "/store"
     write(p, Seq(1L, 2L))
