@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   * the survivors downstream, then [[update]] with the survivors + shard
   * id. A crash before [[update]] replays with the store unchanged, so the
   * re-run recomputes the identical output; after [[update]], the replay
-  * short-circuits at the guard. */
+  * short-circuits at the guard.
+  *
+  * Scale note: [[update]] rewrites the store (union + distinct — an
+  * O(store) shuffle of 8-byte keys per shard). At 10B documents that is
+  * an ~80 GB key shuffle per ingest — acceptable next to the shard scan
+  * itself, but a pipeline at that scale should hash-bucket the store
+  * directory and rewrite only the buckets the shard's hashes land in
+  * (same keys, 1/N of the rewrite); the anti-join read side is already
+  * O(shard + store) either way. */
 object SeenStore {
 
   private val Kind = "__kind"

@@ -142,14 +142,13 @@ object ClickHouseJdbc {
     }.mode("append").save()
 
   /** A19 partition delete against a remote destination — the reference's
-    * `DeletePartition` (`/root/reference/database/database.go:434-456`,
-    * one `ALTER TABLE … DROP PARTITION` per partition): a single
-    * driver-issued statement per partition value, no data movement. The
-    * generic-SQL form is a predicate DELETE (ClickHouse's own dialect
-    * would use ALTER ... DROP PARTITION; either way the driver sends one
-    * statement and the server does the work). Value binding is a
-    * PreparedStatement parameter — partition values come from data, never
-    * spliced into SQL text. */
+    * `DeletePartition` (`/root/reference/database/database.go:463-472`):
+    * one driver-issued `ALTER TABLE db.t DELETE <where>` — a predicate
+    * delete scoped by the partition's WHERE clause, no data movement
+    * through the client. Same shape here as a standard-SQL DELETE; value
+    * binding is a PreparedStatement parameter rather than the reference's
+    * string-formatted WHERE — partition values come from data and must
+    * never splice into SQL text. */
   def deletePartition(conn: Conn, column: String, value: Any): Unit = {
     // DriverManager's ServiceLoader scan runs before user-supplied jars
     // (--jars) reach the classloader, so a driver that read()/append()
