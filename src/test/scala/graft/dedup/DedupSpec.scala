@@ -72,6 +72,26 @@ class DedupSpec extends SparkSpec {
     assert(est > 0.6, s"est_jaccard=$est for a 1-token-appended copy")
   }
 
+  test("verifiedNearDupPairs: exact copy verified at jaccard 1.0; short docs never pair") {
+    import spark.implicits._
+    val pairs = Dedup.verifiedNearDupPairs(withDups, "text", "doc_id", minJaccard = 0.9)
+      .collect()
+    // the planted exact copy (0, 200000) must be recovered with exact J=1
+    val exactPair = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 200000L)
+    assert(exactPair.isDefined, s"exact copy not recovered: ${pairs.mkString(";")}")
+    assert(exactPair.get.getAs[Double]("jaccard") == 1.0)
+    // every emitted pair carries a verified exact score >= the floor
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.9))
+
+    // docs with < 3 tokens have EMPTY shingle sets → identical all-MaxValue
+    // minhash signatures → est_jaccard 1.0 candidates; the n_union > 0
+    // guard must keep these degenerate pairs out
+    val tiny = Seq((1L, "one two"), (2L, "three four"), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val tinyPairs = Dedup.verifiedNearDupPairs(tiny, "text", "doc_id", 0.0).collect()
+    assert(tinyPairs.isEmpty, s"degenerate empty-shingle pair emitted: ${tinyPairs.mkString(";")}")
+  }
+
   test("simhash: near-dups close in hamming distance, unrelated docs far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val sigs = withDups.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))

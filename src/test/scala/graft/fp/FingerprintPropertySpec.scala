@@ -48,4 +48,28 @@ class FingerprintPropertySpec extends SparkSpec {
       assert(fp1 != fp2)
     }
   }
+
+  test("fused native portable hash ≡ builtin chain on generated rows (doubles incl. edge magnitudes)") {
+    import org.apache.spark.sql.functions.col
+    // the double arm is the subtlest canonicalization (BigDecimal.valueOf
+    // shortest-string semantics, HALF_UP to scale 6, precision-38
+    // overflow → null sentinel) — fuzz it across magnitudes the fixture
+    // tables never reach, plus arbitrary unicode strings
+    val genRow: Gen[(Long, String, Double)] = Gen.zip(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(Gen.alphaStr, Gen.listOf(Gen.choose(32, 0x2FFF)).map(_.map(_.toChar).mkString)),
+      Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.chooseNum(-1e-7, 1e-7),
+        Gen.oneOf(0.0, -0.0, 1e31, -1e31, 1e33, 123456789.4999995, Double.MinPositiveValue)))
+    val rows = (1 to 30).flatMap(i =>
+      Gen.listOfN(20, genRow).apply(Gen.Parameters.default, Seed(1000L + i))).flatten
+    val df = rows.toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val builtin = df.select(Fingerprint.portableRowHash(
+      Fingerprint.portableCanonicalCols(df, cols)).as("h")).as[Long].collect()
+    val native = df.select(Fingerprint.portableRowHashNative(
+      cols.map(col)).as("h")).as[Long].collect()
+    assert(builtin.toSeq == native.toSeq)
+  }
 }

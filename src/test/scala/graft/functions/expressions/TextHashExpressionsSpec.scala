@@ -108,6 +108,30 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(ca.size >= base.length / 64 && ca.size <= base.length / 16 + 1)
   }
 
+  test("RollingChunkTexts: byte-exact reconstruction incl. multi-byte UTF-8 split mid-codepoint") {
+    import spark.implicits._
+    // boundaries are BYTE offsets, so a chunk edge can land inside a
+    // multi-byte codepoint; UTF8String concat is byte-level, so the
+    // ordered concat must still restore the document exactly — the q69
+    // reconstructs_ok contract, exercised here on non-ASCII text the
+    // (ASCII) fixture corpus never covers
+    val rng = new scala.util.Random(7)
+    val pool = "αβγδεζ漢字ensemble日本語 текст mixé ασκήσεις 🚀"
+    val texts = (1 to 20).map(_ =>
+      (1 to 400).map(_ => pool(rng.nextInt(pool.length))).mkString) :+
+      "" :+ "ascii only words here"
+    val df = texts.toDF("text").select(col("text"),
+      TextHashExpressions.rollingChunkTexts(col("text")).as("cts"),
+      TextHashExpressions.rollingChunks(col("text")).as("chs"))
+    val bad = df.filter(
+      coalesce(concat_ws("", col("cts")), lit("")) =!= coalesce(col("text"), lit("")))
+    assert(bad.count() == 0, "chunk concat failed to reconstruct a document")
+    // hash emission == xxhash64 of the emitted texts, element-wise
+    val mismatch = df.filter(!(size(col("chs")) === size(col("cts")) &&
+      forall(zip_with(col("chs"), col("cts"), (h, t) => h === xxhash64(t)), x => x)))
+    assert(mismatch.count() == 0, "chunk hash / text divergence")
+  }
+
   test("WordShingles native expression == HOF formulation + edge cases") {
     import spark.implicits._
     val edge = Seq("", " ", "one", "a b", "a b c", "a  b\t c d", "hello\n x y z")
