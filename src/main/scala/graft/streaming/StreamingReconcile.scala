@@ -65,17 +65,30 @@ object StreamingReconcile {
     * overwrite (each re-emits the full result, last batch wins), append-
     * mode batches append. The caller must MATERIALISE (localCheckpoint)
     * anything it wants to outlive `cleanup()` of the sink directory. */
+  /** Scratch root for the gate streams' EPHEMERAL dirs (checkpoint +
+    * sink, deleted after each run): prefer tmpfs when the host has one —
+    * the per-micro-batch checkpoint/state/commit files are pure scratch
+    * I/O here, and a PRODUCTION caller supplies its own durable
+    * checkpointLocation instead of going through this harness. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   private def runToParquetSink(df: DataFrame, name: String,
       mode: OutputMode): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = df.sparkSession
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_sink_$name")
+    val dir = scratchDir(s"graft_sink_$name")
     val sink = s"$dir/out"
     val complete = mode == OutputMode.Complete()
     val cleanup = () => graft.core.Fs.deleteRecursively(dir)
     try {
       val q = df.writeStream.queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode(if (complete) "overwrite" else "append").parquet(sink)
         }
