@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.BoundedTopK
-import graft.functions.expressions.TextHashExpressions.{MinHashSignature, PortableSimHash48, SimHash64}
+import graft.functions.expressions.{BoundedTopK, PortableRowHash60, VectorSumAgg}
+import graft.functions.expressions.TextHashExpressions.{MinHashShingled, MinHashSignature, PortableSimHash48, RollingChunkTexts, RollingChunks, SimHash64, WordShingles}
 import graft.functions.expressions.VectorExpressions.{CosineSimilarity, RandomHyperplaneSignature}
 
 /** Session-extension registration: exposes graft's native expressions to
@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bounded_top_k(struct(score, id...), k) - k-bounded partial top-k aggregate"),
       (children: Seq[Expression]) => BoundedTopK(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    GraftExtensions.roundFourFunctions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
     // BETWEEN-join → bucketed equi-join (gated on spark.graft.rangeJoin.binSize)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
@@ -75,6 +78,46 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(usage)
     }
   }
+
+  /** Analyzer-time integer-literal argument with a usage message instead
+    * of an NPE/ClassCastException from a blind eval cast. */
+  private def intLit(e: Expression, usage: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(usage)
+    e.eval() match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  /** The text-pipeline expression surface (name, usage, builder) shared by
+    * the extension and the already-running-session registration paths. */
+  private[plans] val roundFourFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("word_shingles",
+      "word_shingles(text[, n]) - n-token (default 3) shingle strings",
+      children => children match {
+        case Seq(c) => WordShingles(c, 3)
+        case Seq(c, n) => WordShingles(c, intLit(n, "word_shingles: n must be an integer literal"))
+      }),
+    ("minhash_shingled",
+      "minhash_shingled(text[, n, k]) - fused shingle+minhash signature (defaults n=3, k=32)",
+      children => children match {
+        case Seq(c) => MinHashShingled(c, 3, 32)
+        case Seq(c, n, k) => MinHashShingled(c,
+          intLit(n, "minhash_shingled: n must be an integer literal"),
+          intLit(k, "minhash_shingled: k must be an integer literal"))
+      }),
+    ("rolling_chunks",
+      "rolling_chunks(text) - content-defined-chunk xxhash64 fingerprints (Buzhash boundaries)",
+      children => RollingChunks(children.head)),
+    ("rolling_chunk_texts",
+      "rolling_chunk_texts(text) - the chunk TEXTS for the same boundaries (audit companion)",
+      children => RollingChunkTexts(children.head)),
+    ("portable_row_hash60",
+      "portable_row_hash60(cols...) - fused oracle-portable 60-bit md5-prefix row hash",
+      children => PortableRowHash60(children)),
+    ("vector_sum",
+      "vector_sum(bigint_array) - exact element-wise vector sum aggregate",
+      children => VectorSumAgg(children.head)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -97,6 +140,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => BoundedTopK(children(0),
         children(1).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    roundFourFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite

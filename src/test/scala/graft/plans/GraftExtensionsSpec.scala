@@ -46,6 +46,50 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(topk.map(_.getLong(1)) == top3)
   }
 
+  test("text-pipeline and hash expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet").createOrReplaceTempView("docs_ext2")
+
+    // word_shingles / minhash_shingled ≡ the Column API
+    val sh = spark.sql(
+      "SELECT doc_id, word_shingles(text) AS s, minhash_shingled(text) AS m FROM docs_ext2 ORDER BY doc_id LIMIT 10")
+    val shCol = spark.table("docs_ext2")
+      .select(col("doc_id"), graft.dedup.Dedup.wordShingles(col("text")).as("s"),
+        graft.functions.expressions.TextHashExpressions.minhashShingled(col("text"), 3, 32).as("m"))
+      .orderBy("doc_id").limit(10)
+    assert(sh.collect().toSeq == shCol.collect().toSeq)
+
+    // rolling_chunk_texts reconstruct through SQL, hashes match
+    val rc = spark.sql(
+      """SELECT count(*) AS bad FROM docs_ext2
+         WHERE concat_ws('', rolling_chunk_texts(text)) <> text
+            OR size(rolling_chunks(text)) <> size(rolling_chunk_texts(text))""")
+    assert(rc.head().getLong(0) == 0)
+
+    // portable_row_hash60 ≡ the builtin md5-prefix chain
+    val ph = spark.sql(
+      "SELECT doc_id, portable_row_hash60(doc_id, text) AS h FROM docs_ext2 ORDER BY doc_id LIMIT 10")
+    val phCol = spark.table("docs_ext2")
+      .select(col("doc_id"), graft.fp.Fingerprint.portableRowHash(
+        graft.fp.Fingerprint.portableCanonicalCols(
+          spark.table("docs_ext2"), Seq("doc_id", "text"))).as("h"))
+      .orderBy("doc_id").limit(10)
+    assert(ph.collect().toSeq == phCol.collect().toSeq)
+
+    // vector_sum as a SQL aggregate over quantized embeddings
+    spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_ext2")
+    val vs = spark.sql(
+      """SELECT label, vector_sum(transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS s
+         FROM emb_ext2 GROUP BY label ORDER BY label""")
+    val vsCol = spark.table("emb_ext2")
+      .select(col("label"), org.apache.spark.sql.functions.transform(col("embedding"),
+        x => org.apache.spark.sql.functions.round(x * 1000).cast("long")).as("q"))
+      .groupBy("label")
+      .agg(graft.functions.expressions.VectorAggregates.vectorSum(col("q")).as("s"))
+      .orderBy("label")
+    assert(vs.collect().toSeq == vsCol.collect().toSeq)
+  }
+
   test("virtual-column per-file predicate (use_virtual_column / _part mode)") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_orderkey"), col("_metadata.file_path").as("fp"))
