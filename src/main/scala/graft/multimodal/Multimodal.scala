@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (north-star extension): images/audio/video as
   * opaque `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step is STUBBED (no image/audio libraries in this
-  * environment): [[MediaFeatures]] fields below `nBytes`/`headByte` are a
-  * deterministic fake derived from the bytes. Everything around the stub —
-  * schema, Dataset encoders, per-partition batch shape, partition sizing —
-  * is the real production plumbing: swap `decodeStub` for a JNI/javacv call
-  * and nothing else changes.
+  * Decode coverage: IMAGE pixel decode is REAL for the formats the JDK
+  * itself reads ([[decodeImage]]/[[imageFeatures]] — PNG/JPEG/GIF/BMP via
+  * javax.imageio: decode → 8×8 area resize → perceptual average-hash).
+  * Container HEADERS are parsed for PNG/GIF/JPEG/WAV/MP4 ([[MediaHeader]]).
+  * Audio/video SAMPLE decode stays stubbed — the JDK ships no codecs and
+  * this environment has no media libraries; [[decodeStub]]'s fields below
+  * `nBytes`/`headByte` are a deterministic fake for those. Everything
+  * around the stub — schema, Dataset encoders, per-partition batch shape,
+  * partition sizing — is the real production plumbing: swap `decodeStub`
+  * for a JNI/javacv call and nothing else changes.
   *
   * Scale notes: media blobs make row sizes KB-MB, so balanced decode
   * parallelism comes from `repartition(n)` before [[decodeFeatures]] (or
@@ -80,6 +84,53 @@ object Multimodal {
       // per-partition decoder init would go here (amortised across batch)
       rows.map(decodeStub)
     }
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, mean_luma: Double, ahash: Long)
+
+  /** REAL pixel decode for the image containers the JDK itself can read
+    * (PNG/JPEG/GIF/BMP via `javax.imageio` — part of Java SE, no external
+    * libraries): decode the pixels, area-resize to an 8×8 grayscale patch
+    * (the resize step), and emit mean luminance plus the 64-bit
+    * average-hash perceptual fingerprint (bit i set iff patch luma i is
+    * above the patch mean) — the standard near-duplicate-image key, which
+    * slots into [[graft.dedup.Dedup.duplicateClusters]] exactly like
+    * SimHash does for text. Returns None for bytes no installed reader
+    * accepts (audio/video stay stub-only: the JDK ships no codecs).
+    * Headless-safe: BufferedImage drawing needs no display. */
+  def decodeImage(m: MediaRow): Option[ImageFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
+      catch { case _: Exception => None }
+    img.map { bi =>
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(bi, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val lumas = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val rgb = small.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      }
+      val mean = lumas.sum / 64.0
+      val ahash = lumas.zipWithIndex.foldLeft(0L) {
+        case (acc, (l, i)) => if (l > mean) acc | (1L << i) else acc
+      }
+      ImageFeatures(m.doc_id, bi.getWidth, bi.getHeight, mean, ahash)
+    }
+  }
+
+  /** Distributed image decode: one ImageIO pass per partition; undecodable
+    * blobs drop out (flatMap), mirroring a production pipeline's
+    * quarantine-on-decode-failure. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.flatMap(decodeImage))
   }
 
   /** End-to-end fixture pipeline: documents → media → features DataFrame

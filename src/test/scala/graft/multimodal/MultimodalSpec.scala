@@ -134,6 +134,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).width == "just text".getBytes.length % 640) // stub fallback
   }
 
+  test("REAL pixel decode: dims, resize-stable perceptual hash, lossy JPEG, corrupt bytes") {
+    import spark.implicits._
+    // real encoded images, not crafted headers: BufferedImage → ImageIO
+    def imageBytes(w: Int, h: Int, fmt: String)(f: (Int, Int) => Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    def gradient(w: Int)(x: Int, y: Int): Int = { val v = (x * 255) / w; (v << 16) | (v << 8) | v }
+    def checker(x: Int, y: Int): Int = if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, imageBytes(64, 64, "png")(gradient(64)), "png"),
+      Multimodal.MediaRow(2L, imageBytes(128, 128, "png")(gradient(128)), "png"),
+      Multimodal.MediaRow(3L, imageBytes(64, 64, "png")(checker), "png"),
+      Multimodal.MediaRow(4L, imageBytes(64, 48, "jpg")(gradient(64)), "jpg"),
+      Multimodal.MediaRow(5L, Array[Byte](1, 2, 3, 4), "png") // undecodable
+    ).toDS()
+    val feats = Multimodal.imageFeatures(media).collect().map(f => f.doc_id -> f).toMap
+
+    assert(feats(1L).width == 64 && feats(1L).height == 64)   // real decode
+    assert(feats(4L).width == 64 && feats(4L).height == 48)   // lossy JPEG decodes too
+    assert(!feats.contains(5L))                               // corrupt blob quarantined
+    // perceptual hash is resize-stable: same gradient at 2x resolution
+    assert(hamming(feats(1L).ahash, feats(2L).ahash) <= 8,
+      s"resize moved ahash ${hamming(feats(1L).ahash, feats(2L).ahash)} bits")
+    // and pattern-sensitive: gradient vs checkerboard far apart
+    assert(hamming(feats(1L).ahash, feats(3L).ahash) >= 16)
+    // jpeg of the same gradient lands near the png of it
+    assert(hamming(feats(1L).ahash, feats(4L).ahash) <= 12)
+  }
+
   test("format gate: text content that LOOKS like a GIF header stays on the stub path") {
     import spark.implicits._
     val trap = "GIF89a document about image formats"
