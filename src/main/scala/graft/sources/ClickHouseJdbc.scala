@@ -106,10 +106,12 @@ object ClickHouseJdbc {
       user = e.user, password = e.password, secure = e.secure,
       skipVerify = e.skipVerify, keyFilename = e.keyFilename)
 
-  private def reader(spark: SparkSession, conn: Conn): DataFrameReader =
+  private def reader(spark: SparkSession, conn: Conn): DataFrameReader = {
+    ClickHouseDialect.register() // idempotent; resolves for jdbc:clickhouse: URLs
     conn.options.foldLeft(spark.read.format("jdbc")) {
       case (r, (k, v)) => r.option(k, v)
     }
+  }
 
   /** Plain scan; Catalyst pushes filters/projection into the remote query. */
   def read(spark: SparkSession, conn: Conn): DataFrame = reader(spark, conn).load()
@@ -126,6 +128,7 @@ object ClickHouseJdbc {
   /** One executor query per predicate — the per-partition scoping of the
     * reference (`WHERE` from `GenerateWhere`), distributed. */
   def readPartitioned(spark: SparkSession, conn: Conn, predicates: Seq[String]): DataFrame = {
+    ClickHouseDialect.register()
     val props = new java.util.Properties()
     props.setProperty("user", conn.user)
     props.setProperty("password", conn.password)
@@ -136,19 +139,23 @@ object ClickHouseJdbc {
   /** A3 insert sink over JDBC (`INSERT INTO … SELECT castedExprs`,
     * `/root/reference/database/database.go:486-495`): executors write
     * batches in parallel. */
-  def append(df: DataFrame, conn: Conn): Unit =
+  def append(df: DataFrame, conn: Conn): Unit = {
+    ClickHouseDialect.register()
     conn.options.foldLeft(df.write.format("jdbc")) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("append").save()
+  }
 
   /** A19 partition delete against a remote destination — the reference's
     * `DeletePartition` (`/root/reference/database/database.go:463-472`):
     * one driver-issued `ALTER TABLE db.t DELETE <where>` — a predicate
     * delete scoped by the partition's WHERE clause, no data movement
-    * through the client. Same shape here as a standard-SQL DELETE; value
-    * binding is a PreparedStatement parameter rather than the reference's
-    * string-formatted WHERE — partition values come from data and must
-    * never splice into SQL text. */
+    * through the client. For ClickHouse URLs this emits the mutation form
+    * the reference actually issues (ALTER TABLE … DELETE WHERE, with the
+    * value compiled to an escaped literal — mutations don't take bind
+    * parameters); for every other engine (the live Derby spec) it stays an
+    * ANSI DELETE with PreparedStatement binding, because partition values
+    * come from data and must never splice into SQL text unescaped. */
   def deletePartition(conn: Conn, column: String, value: Any): Unit = {
     // DriverManager's ServiceLoader scan runs before user-supplied jars
     // (--jars) reach the classloader, so a driver that read()/append()
@@ -158,16 +165,22 @@ object ClickHouseJdbc {
     try Class.forName(conn.driver)
     catch { case _: ClassNotFoundException => () }
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
-    try {
-      val st =
-        if (value == null) {
-          c.prepareStatement(s"DELETE FROM ${conn.dbtable} WHERE $column IS NULL")
-        } else {
-          val s = c.prepareStatement(s"DELETE FROM ${conn.dbtable} WHERE $column = ?")
-          s.setObject(1, value)
-          s
-        }
-      try st.executeUpdate() finally st.close()
-    } finally c.close()
+    try executeDelete(c, conn, column, value) finally c.close()
+  }
+
+  /** Statement choice + execution, factored out so the live spec can drive
+    * it against its own connection and the dialect spec can assert the
+    * generated SQL without a server. */
+  private[sources] def deleteStatementSql(conn: Conn, column: String, value: Any): String =
+    if (ClickHouseDialect.canHandle(conn.url))
+      ClickHouseDialect.deleteWhereStatement(conn.dbtable, column, value)
+    else if (value == null) s"DELETE FROM ${conn.dbtable} WHERE $column IS NULL"
+    else s"DELETE FROM ${conn.dbtable} WHERE $column = ?"
+
+  private def executeDelete(c: java.sql.Connection, conn: Conn, column: String, value: Any): Unit = {
+    val sql = deleteStatementSql(conn, column, value)
+    val st = c.prepareStatement(sql)
+    if (sql.endsWith("?")) st.setObject(1, value)
+    try st.executeUpdate() finally st.close()
   }
 }
