@@ -226,11 +226,28 @@ object Similarity {
     topKRank(scored, k)
   }
 
-  /** Nearest `topN` centroids per row, computed entirely map-side: score
-    * every centroid in the broadcast one-row array relation, sort (sim
-    * DESC, id ASC), slice, explode. The input never shuffles — the join is
-    * a BroadcastNestedLoopJoin against a single row. */
-  private def assignProbes(
+  /** Nearest `topN` centroids per row, computed entirely map-side against
+    * the broadcast one-row centroid-array relation: the
+    * [[graft.functions.expressions.NearestCentroids]] native expression
+    * does one fused C × dim pass with a topN-bounded selection per row —
+    * no per-centroid struct allocation, no O(C log C) sort (the HOF
+    * `transform`+`array_sort` form it replaced is kept below as the parity
+    * oracle). The input never shuffles — the join is a
+    * BroadcastNestedLoopJoin against a single row. */
+  private[sim] def assignProbes(
+      df: DataFrame, centArr: DataFrame, vec: String, topN: Int): DataFrame =
+    df.crossJoin(broadcast(centArr)) // 1-row build side: map-side append
+      .select(df.columns.map(col) :+
+        explode(graft.functions.expressions.NearestCentroids(
+          col(vec), col("cents"), topN)).as("__probe"): _*)
+      .withColumn("centroid_id", col("__probe.centroid_id"))
+      .drop("__probe")
+
+  /** HOF reference formulation of [[assignProbes]] (spec oracle; also the
+    * pre-round-5 production form): score every centroid into a struct,
+    * full-sort with an interpreted comparator, slice. O(C log C) + C struct
+    * allocations per row — correct, but the wrong shape for large C. */
+  private[sim] def assignProbesSortHof(
       df: DataFrame, centArr: DataFrame, vec: String, topN: Int): DataFrame = {
     val scoredArr = transform(col("cents"), c =>
       struct(cosine(col(vec), c("centroid_vec")).as("sim"),
@@ -239,7 +256,7 @@ object Similarity {
       when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
         .otherwise(when(l("centroid_id") < r("centroid_id"), -1)
           .when(l("centroid_id") > r("centroid_id"), 1).otherwise(0)))
-    df.crossJoin(broadcast(centArr)) // 1-row build side: map-side append
+    df.crossJoin(broadcast(centArr))
       .select(df.columns.map(col) :+
         explode(slice(ordered, 1, topN)).as("__probe"): _*)
       .withColumn("centroid_id", col("__probe.centroid_id"))
