@@ -3,7 +3,8 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,35 +33,48 @@ object TextHashExpressions {
   private[expressions] def tokenize(s: UTF8String): Array[String] =
     s.trim().toString.split("\\s+", -1)
 
+  /** The [[SimHash64]] kernel, callable from generated code (top-level
+    * objects get Java static forwarders, so codegen emits one static
+    * call and the whole projection stays inside whole-stage codegen). */
+  def simhashCompute(input: UTF8String): Long = {
+    val toks = tokenize(input)
+    val counts = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(toks(ti)), StringType, Seed)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      ti += 1
+    }
+    val n = toks.length
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash, identical to Dedup's HOF formulation: per token
     * h = xxhash64(token); bit i of the result set iff the majority of
-    * token-hashes have bit i set. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    * token-hashes have bit i set. Codegen'd (round-4 verdict #3): the
+    * generated code is one static call into [[simhashCompute]] — the
+    * per-row cost is the hash loop either way, but the expression no
+    * longer breaks the whole-stage-codegen span it sits in. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String])
-      val counts = new Array[Int](64)
-      var ti = 0
-      while (ti < toks.length) {
-        val h = XxHash64Function.hash(UTF8String.fromString(toks(ti)), StringType, Seed)
-        var b = 0
-        while (b < 64) {
-          counts(b) += ((h >>> b) & 1L).toInt
-          b += 1
-        }
-        ti += 1
-      }
-      val n = toks.length
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) * 2 > n) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashCompute(input.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.expressions.TextHashExpressions.simhashCompute($c)")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
@@ -321,7 +335,7 @@ object TextHashExpressions {
     * allocation machinery first).
     */
   case class MinHashShingled(child: Expression, n: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
     override def prettyName: String = "minhash_shingled"
@@ -329,38 +343,54 @@ object TextHashExpressions {
     private lazy val slotSeeds: Array[Long] =
       Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, Seed))
 
-    override def eval(input: InternalRow): Any = {
-      val v = child.eval(input)
-      if (v == null) new GenericArrayData(Array.fill[Any](k)(Long.MaxValue))
-      else nullSafeEval(v)
-    }
-
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String])
+    /** Null-tolerant kernel (null text ≡ the HOF empty-shingle arm → the
+      * all-MaxValue signature); public so generated code can call it via
+      * a reference object — codegen'd per round-4 verdict #3. */
+    def computeSig(input: UTF8String): ArrayData = {
       val sig = Array.fill(k)(Long.MaxValue)
-      if (toks.length >= n) {
-        val sb = new java.lang.StringBuilder
-        var start = 0
-        val last = toks.length - n
-        while (start <= last) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(start + j))
-            j += 1
+      if (input != null) {
+        val toks = tokenize(input)
+        if (toks.length >= n) {
+          val sb = new java.lang.StringBuilder
+          var start = 0
+          val last = toks.length - n
+          while (start <= last) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(start + j))
+              j += 1
+            }
+            val s = UTF8String.fromString(sb.toString)
+            var i = 0
+            while (i < k) {
+              val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+            start += 1
           }
-          val s = UTF8String.fromString(sb.toString)
-          var i = 0
-          while (i < k) {
-            val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
-            if (h < sig(i)) sig(i) = h
-            i += 1
-          }
-          start += 1
         }
       }
       new GenericArrayData(sig)
+    }
+
+    override def eval(input: InternalRow): Any =
+      computeSig(child.eval(input).asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashShingled", this, classOf[MinHashShingled].getName)
+      val childGen = child.genCode(ctx)
+      val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .javaType(dataType)
+      ev.copy(
+        code = code"""
+          ${childGen.code}
+          $javaType ${ev.value} = $ref.computeSig(
+            ${childGen.isNull} ? null : ${childGen.value});
+        """,
+        isNull = FalseLiteral)
     }
 
     override protected def withNewChildInternal(c: Expression): MinHashShingled = copy(child = c)

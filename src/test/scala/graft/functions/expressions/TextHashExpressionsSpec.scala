@@ -164,4 +164,26 @@ class TextHashExpressionsSpec extends SparkSpec {
       .select(Dedup.simhash(col("text"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("SimHash64 and MinHashShingled are real codegen, not CodegenFallback (r4 verdict #3)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenFallback, GenerateMutableProjection}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val sim = TextHashExpressions.SimHash64(BoundReference(0, StringType, nullable = true))
+    val mh = TextHashExpressions.MinHashShingled(BoundReference(0, StringType, nullable = true), 3, 4)
+    assert(!sim.isInstanceOf[CodegenFallback] && !mh.isInstanceOf[CodegenFallback])
+    // force the doGenCode path directly (no interpreted-fallback safety net)
+    // and cross-check it against eval on a real row and a null row
+    val proj = GenerateMutableProjection.generate(Seq(sim, mh), useSubexprElimination = false)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f"))
+    val nullRow = org.apache.spark.sql.catalyst.InternalRow(null)
+    val out = proj(row).copy()
+    assert(out.getLong(0) == sim.eval(row).asInstanceOf[Long])
+    assert(out.getArray(1).toLongArray().toSeq ==
+      mh.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
+    val outNull = proj(nullRow).copy()
+    assert(outNull.isNullAt(0)) // simhash propagates null
+    assert(outNull.getArray(1).toLongArray().forall(_ == Long.MaxValue)) // HOF empty arm
+  }
 }
