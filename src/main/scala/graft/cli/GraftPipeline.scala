@@ -52,6 +52,11 @@ import graft.text.TextAnalysis
   *    (`web:0.25,news:1.0`) for training-mixture reweighting
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
+  *  - `ann_index` — post-write build of a persisted IVF ANN index at
+  *    `ann_index.path` over the written relation's `ann.vec_column`
+  *  - `ann_query` — probe a persisted IVF index: the input relation is the
+  *    query set, the output is (query_id, neighbor_id, cos, rank); must be
+  *    the final step
   *
   * At 100 TB each step keeps the scale shape its catalog query proved
   * (map-only, hash-grouped, or bounded-candidate); the final write is
@@ -71,25 +76,49 @@ object GraftPipeline {
       mixRates: Map[String, Double] = Map.empty,
       seenStorePath: String = "",
       fingerprintStorePath: String = "",
-      shardIdOverride: String = "") {
+      shardIdOverride: String = "",
+      annIndexPath: String = "",
+      annIdCol: String = "vec_id", annVecCol: String = "embedding",
+      annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4) {
     /** Replay-guard key for the fingerprint store: one fold per shard. */
     def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
   }
 
+  /** Steps that rewrite the `text` column. The seen store hashes the FINAL
+    * written text ([[run]] updates it from the output relation), while the
+    * `dedup_seen` filter hashes text as of its position in the chain — so a
+    * text-mutating step AFTER dedup_seen would make stored hashes never
+    * match any future shard's filter-time hashes, silently disabling
+    * incremental dedup. Rejected at config time. */
+  private val TextMutatingSteps = Set("strip_html", "normalize", "redact")
+
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val unknown = steps.filterNot(Steps.contains)
+    val mutatorsAfterSeen =
+      if (!steps.contains("dedup_seen")) Seq.empty
+      else steps.drop(steps.indexOf("dedup_seen") + 1).filter(TextMutatingSteps)
     if (kv.getOrElse("input.path", "").isEmpty) Left("input.path is required")
     else if (kv.getOrElse("output.path", "").isEmpty) Left("output.path is required")
     else if (steps.isEmpty) Left("steps is required (comma-separated)")
     else if (unknown.nonEmpty)
       Left(s"unknown steps: ${unknown.mkString(", ")} (known: ${Steps.keys.toSeq.sorted.mkString(", ")})")
+    else if (mutatorsAfterSeen.nonEmpty)
+      Left(s"text-mutating steps after dedup_seen (${mutatorsAfterSeen.mkString(", ")}) " +
+        "would store hashes of rewritten text that can never match a future " +
+        "shard's filter-time hashes — move them before dedup_seen")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
     else if (steps.contains("dedup_seen") && kv.getOrElse("seen_store.path", "").isEmpty)
       Left("dedup_seen requires seen_store.path")
     else if (steps.contains("fingerprint_store") && kv.getOrElse("fingerprint_store.path", "").isEmpty)
       Left("fingerprint_store requires fingerprint_store.path")
+    else if ((steps.contains("ann_index") || steps.contains("ann_query")) &&
+        kv.getOrElse("ann_index.path", "").isEmpty)
+      Left("ann_index / ann_query require ann_index.path")
+    else if (steps.contains("ann_query") && steps.last != "ann_query")
+      Left("ann_query replaces the relation with (query_id, neighbor_id, cos, rank) " +
+        "and must be the final step")
     else parseRates(kv.getOrElse("mix_rates", "")) match {
       case Left(err) => Left(err)
       case Right(rates) if steps.contains("mix") && rates.isEmpty =>
@@ -115,7 +144,13 @@ object GraftPipeline {
       mixRates = rates,
       seenStorePath = kv.getOrElse("seen_store.path", ""),
       fingerprintStorePath = kv.getOrElse("fingerprint_store.path", ""),
-      shardIdOverride = kv.getOrElse("shard_id", ""))
+      shardIdOverride = kv.getOrElse("shard_id", ""),
+      annIndexPath = kv.getOrElse("ann_index.path", ""),
+      annIdCol = kv.getOrElse("ann.id_column", "vec_id"),
+      annVecCol = kv.getOrElse("ann.vec_column", "embedding"),
+      annCentroids = kv.get("ann.centroids").flatMap(_.toIntOption).getOrElse(16),
+      annK = kv.get("ann.k").flatMap(_.toIntOption).getOrElse(10),
+      annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -158,6 +193,17 @@ object GraftPipeline {
     // write, giving downstream reconciles an O(delta) per-source (rows, fp)
     // inventory of everything this pipeline has shipped.
     "fingerprint_store" -> ((_, df) => df),
+    // IVF ANN index build: post-write maintenance like fingerprint_store
+    // (no transform at plan time) — run() builds the persisted index at
+    // ann_index.path over the WRITTEN relation's ann.vec_column, so the
+    // index always describes exactly what the pipeline shipped.
+    "ann_index" -> ((_, df) => df),
+    // IVF ANN probe: the input relation IS the query set (ann.id_column +
+    // ann.vec_column); the step replaces it with the top-k result
+    // (query_id, neighbor_id, cos, rank) — config requires it to be last.
+    "ann_query" -> ((c, df) =>
+      graft.sim.Similarity.queryIvfIndex(df.sparkSession, c.annIndexPath,
+        df, c.annIdCol, c.annVecCol, c.annK, c.annProbe)),
     "dedup_minhash" -> ((c, df) => {
       val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
         .select(col("id_b").as("doc_id")).distinct()
@@ -243,6 +289,16 @@ object GraftPipeline {
     if (cfg.steps.contains("dedup_seen") &&
         graft.dedup.SeenStore.processedShards(spark, cfg.seenStorePath)
           .contains(cfg.shardId)) {
+      // the short-circuit reports the COMMITTED output's row count; if the
+      // output was relocated/cleaned (or the caller pointed a replay at a
+      // fresh outputDir), reading it would throw a bare AnalysisException —
+      // fail with a diagnosable message instead
+      if (!graft.core.Fs.exists(spark, cfg.outputDir))
+        throw new IllegalStateException(
+          s"[$Name] shard ${cfg.shardId} is recorded in the seen store at " +
+            s"${cfg.seenStorePath}, but its output ${cfg.outputDir} is missing. " +
+            "Restore the output, point output.path at the committed shard, or " +
+            "pass a new shard_id to reprocess as a fresh shard.")
       System.err.println(s"[$Name] shard ${cfg.shardId} already processed — skipping")
       return (in, spark.read.parquet(cfg.outputDir).count())
     }
@@ -258,6 +314,9 @@ object GraftPipeline {
     }
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)
+    if (cfg.steps.contains("ann_index"))
+      graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
+        cfg.annIndexPath, cfg.annCentroids)
     (in, written.count())
   }
 

@@ -7,6 +7,13 @@ package graft.core
   * StreamingReconcile.mergeFingerprintBatch). */
 object Fs {
 
+  /** Existence probe through Hadoop's FileSystem (resolves the path's own
+    * scheme, so store/output paths on an object store work too). */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Delete a directory tree, deepest-first. Missing path is a no-op.
     * The walk stream is closed eagerly (it holds a directory fd open;
     * relying on GC finalization leaks descriptors in a long-lived driver). */

@@ -92,26 +92,43 @@ object GraftExtensions {
   /** The text-pipeline expression surface (name, usage, builder) shared by
     * the extension and the already-running-session registration paths. */
   private[plans] val roundFourFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    // Every builder ends in an explicit usage-rejection arm: a wrong arity
+    // must surface the usage string, not a scala.MatchError (and the chunk
+    // functions must REJECT extra args, not silently ignore them).
     ("word_shingles",
       "word_shingles(text[, n]) - n-token (default 3) shingle strings",
       children => children match {
         case Seq(c) => WordShingles(c, 3)
         case Seq(c, n) => WordShingles(c, intLit(n, "word_shingles: n must be an integer literal"))
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text[, n]): expected 1 or 2 arguments")
       }),
     ("minhash_shingled",
-      "minhash_shingled(text[, n, k]) - fused shingle+minhash signature (defaults n=3, k=32)",
+      "minhash_shingled(text[, n[, k]]) - fused shingle+minhash signature (defaults n=3, k=32)",
       children => children match {
         case Seq(c) => MinHashShingled(c, 3, 32)
+        case Seq(c, n) => MinHashShingled(c,
+          intLit(n, "minhash_shingled: n must be an integer literal"), 32)
         case Seq(c, n, k) => MinHashShingled(c,
           intLit(n, "minhash_shingled: n must be an integer literal"),
           intLit(k, "minhash_shingled: k must be an integer literal"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_shingled(text[, n[, k]]): expected 1 to 3 arguments")
       }),
     ("rolling_chunks",
       "rolling_chunks(text) - content-defined-chunk xxhash64 fingerprints (Buzhash boundaries)",
-      children => RollingChunks(children.head)),
+      children => children match {
+        case Seq(c) => RollingChunks(c)
+        case _ => throw new IllegalArgumentException(
+          "rolling_chunks(text): expected exactly 1 argument")
+      }),
     ("rolling_chunk_texts",
       "rolling_chunk_texts(text) - the chunk TEXTS for the same boundaries (audit companion)",
-      children => RollingChunkTexts(children.head)),
+      children => children match {
+        case Seq(c) => RollingChunkTexts(c)
+        case _ => throw new IllegalArgumentException(
+          "rolling_chunk_texts(text): expected exactly 1 argument")
+      }),
     ("portable_row_hash60",
       "portable_row_hash60(cols...) - fused oracle-portable 60-bit md5-prefix row hash",
       children => PortableRowHash60(children)),
@@ -128,7 +145,10 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("minhash_signature",
       (children: Seq[Expression]) => children match {
         case Seq(c) => MinHashSignature(c, 32)
-        case Seq(c, k) => MinHashSignature(c, k.eval().asInstanceOf[Number].intValue())
+        case Seq(c, k) => MinHashSignature(c,
+          intLit(k, "minhash_signature: k must be an integer literal"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles[, k]): expected 1 or 2 arguments")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)), "scala_udf")

@@ -92,6 +92,12 @@ object PipelineQueries {
     // Spark-side cost stays candidate-bounded — exact Jaccard runs only on
     // LSH survivors, never all pairs; only the sf-gate-sized oracle is
     // quadratic.
+    // FIXTURE-CALIBRATED GATE (r4 advice): per-pair candidate probability
+    // at J=0.8 with r=4,b=8 is ~0.985 and maxBucket truncation could also
+    // drop candidates — deterministic for the seed-fixed fixtures, but on a
+    // NEW fixture/SF a row-count deficit vs the oracle here means an LSH
+    // recall miss (or maxBucket truncation), not a scoring bug: diagnose by
+    // diffing the oracle's pair set against candidates BEFORE re-scoring.
     "q31_minhash_pairs" -> ((s, dir) =>
       Dedup.verifiedNearDupPairs(Tables.load(s, dir, "documents"),
           "text", "doc_id", minJaccard = 0.8)

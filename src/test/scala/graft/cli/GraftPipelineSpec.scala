@@ -212,6 +212,102 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "dedup_seen")).swap.toOption.get.contains("seen_store.path"))
   }
 
+  test("dedup_seen rejects text-mutating steps after it (hash-drift guard)") {
+    def kv(steps: String) = Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> steps, "seen_store.path" -> "c")
+    // mutator AFTER dedup_seen: the store would hold hashes of rewritten
+    // text that can never match a future shard's filter-time hashes
+    for (bad <- Seq("dedup_seen,normalize", "dedup_seen,redact",
+                    "normalize,dedup_seen,quality_filter,strip_html")) {
+      val err = GraftPipeline.fromKv(kv(bad)).swap.toOption.get
+      assert(err.contains("dedup_seen"), s"steps=$bad should be rejected: $err")
+    }
+    // mutators BEFORE dedup_seen (and non-mutating steps after) are fine
+    for (ok <- Seq("normalize,redact,dedup_seen", "dedup_seen,quality_filter,split",
+                   "strip_html,dedup_seen,dedup_exact,pack"))
+      assert(GraftPipeline.fromKv(kv(ok)).isRight, s"steps=$ok should parse")
+  }
+
+  test("replay of a recorded shard with missing output fails diagnosably") {
+    import spark.implicits._
+    val out = tmpDir("pipe7")
+    val store = s"$out/seen_store"
+    Seq((1L, "solo text", "en", "src")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s1/documents.parquet")
+    def cfg(outputDir: String) = GraftPipeline.PipelineConfig(
+      inputDir = s"$out/s1", table = "documents", outputDir = outputDir,
+      steps = Seq("dedup_seen"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      seenStorePath = store, shardIdOverride = "shard1")
+    GraftPipeline.run(spark, cfg(s"$out/committed"))
+    // same shard id, but the caller points the replay at a fresh outputDir
+    // (or the committed output was cleaned): explicit error, not a bare
+    // AnalysisException from reading a nonexistent path
+    val e = intercept[IllegalStateException] {
+      GraftPipeline.run(spark, cfg(s"$out/elsewhere"))
+    }
+    assert(e.getMessage.contains("shard1") && e.getMessage.contains("missing"))
+    // the real committed output still replays clean
+    assert(GraftPipeline.run(spark, cfg(s"$out/committed")) == ((1L, 1L)))
+  }
+
+  test("ann_index + ann_query: build and probe a persisted IVF index via YAML") {
+    val out = tmpDir("pipe8")
+    // run 1: index the embeddings table (post-write, like fingerprint_store)
+    val buildYaml =
+      s"""input:
+         |  path: $sf001
+         |  table: embeddings
+         |output:
+         |  path: $out/shipped
+         |steps: ann_index
+         |ann_index:
+         |  path: $out/ivf
+         |ann:
+         |  centroids: 8
+         |""".stripMargin
+    val buildCfg = GraftPipeline.fromKv(YamlConfig.parse(buildYaml)).toOption.get
+    assert(buildCfg.annCentroids == 8 && buildCfg.annIndexPath == s"$out/ivf")
+    val (nIn, nOut) = GraftPipeline.run(spark, buildCfg)
+    assert(nIn == nOut && nOut > 0)
+    assert(spark.read.parquet(s"$out/ivf/centroids").count() == 8)
+    assert(spark.read.parquet(s"$out/ivf/assigned").count() == nOut)
+
+    // run 2: probe it — input relation IS the query set, output the top-k
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") < 6)
+      .write.mode("overwrite").parquet(s"$out/q/embeddings.parquet")
+    val queryYaml =
+      s"""input:
+         |  path: $out/q
+         |  table: embeddings
+         |output:
+         |  path: $out/knn
+         |steps: ann_query
+         |ann_index:
+         |  path: $out/ivf
+         |ann:
+         |  k: 5
+         |  n_probe: 4
+         |""".stripMargin
+    val queryCfg = GraftPipeline.fromKv(YamlConfig.parse(queryYaml)).toOption.get
+    GraftPipeline.run(spark, queryCfg)
+    val got = spark.read.parquet(s"$out/knn")
+      .select("query_id", "neighbor_id", "cos", "rank")
+    val want = graft.sim.Similarity.queryIvfIndex(spark, s"$out/ivf",
+      spark.read.parquet(s"$out/q/embeddings.parquet"), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+
+    // config guards: path required; ann_query must be last
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "ann_index")).swap.toOption.get.contains("ann_index.path"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "ann_query,split", "ann_index.path" -> "c"))
+      .swap.toOption.get.contains("final step"))
+  }
+
   test("fingerprint_store accumulates per-source (rows, fp) across shard runs") {
     import spark.implicits._
     val out = tmpDir("pipe6")

@@ -90,6 +90,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(vs.collect().toSeq == vsCol.collect().toSeq)
   }
 
+  test("SQL builders reject wrong arity with the usage message, never a MatchError") {
+    GraftExtensions.register(spark)
+    spark.range(1).selectExpr("'a b c d' AS text").createOrReplaceTempView("arity_t")
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // 2-arg minhash_shingled is now a SUPPORTED form (n with default k)
+    assert(spark.sql("SELECT minhash_shingled(text, 2) FROM arity_t").collect().nonEmpty)
+    // wrong arities surface the usage string
+    assert(err("SELECT minhash_shingled(text, 2, 3, 4) FROM arity_t")
+      .contains("minhash_shingled"))
+    assert(err("SELECT word_shingles(text, 2, 9) FROM arity_t").contains("word_shingles"))
+    assert(err("SELECT word_shingles() FROM arity_t").contains("word_shingles"))
+    // chunk functions REJECT extra args instead of silently ignoring them
+    assert(err("SELECT rolling_chunks(text, 99) FROM arity_t").contains("rolling_chunks"))
+    assert(err("SELECT rolling_chunk_texts(text, 99) FROM arity_t")
+      .contains("rolling_chunk_texts"))
+    assert(err("SELECT minhash_signature(array('a'), 8, 9) FROM arity_t")
+      .contains("minhash_signature"))
+  }
+
   test("virtual-column per-file predicate (use_virtual_column / _part mode)") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_orderkey"), col("_metadata.file_path").as("fp"))
