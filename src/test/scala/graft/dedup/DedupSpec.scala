@@ -146,6 +146,53 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver(33L) == 30L && viaDriver(3L) == 1L && viaDriver(11L) == 10L)
   }
 
+  test("duplicateClusters property: ER/path/star graphs match driver union-find, cap forced to the distributed path") {
+    // reference labelling: min node id per component, computed by a plain
+    // driver union-find the test owns (independent of the production code)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], name: String): Unit = {
+      val want = unionFind(edges.filter(e => e._1 != e._2))
+      val df = edges.toDF("id_a", "id_b")
+      // driverEdgeCap=0 forces the labelPropagate (pointer-jumping) path
+      // for phase 2 — the VERDICT-prescribed cap-exceeded exercise
+      for (cap <- Seq(0L, 5000000L)) {
+        val got = Dedup.duplicateClusters(df, driverEdgeCap = cap).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"$name (cap=$cap): clusters diverge from union-find")
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    // Erdős–Rényi G(150, 0.015): many small components, some mid-sized,
+    // plus reversed duplicates and self-loops to exercise normalisation
+    val er = (for {
+      a <- 0L until 150L; b <- (a + 1) until 150L
+      if rnd.nextDouble() < 0.015
+    } yield (a, b)) ++ Seq((3L, 3L), (10L, 5L), (5L, 10L))
+    check(er, "erdos-renyi")
+    // 120-node path: worst diameter; pointer jumping must converge in
+    // O(log d) rounds within the default maxIter
+    check((0L until 119L).map(i => (i, i + 1)), "path")
+    // star: max-degree hub labelled by the min leaf's component min (0)
+    check((1L to 80L).map(i => (0L, i)), "star")
+    // two cliques bridged by one edge
+    val cliques = (for { a <- 0L to 9L; b <- (a + 1) to 9L } yield (a, b)) ++
+      (for { a <- 100L to 109L; b <- (a + 1) to 109L } yield (a, b)) :+ ((9L, 100L))
+    check(cliques, "bridged-cliques")
+  }
+
   test("chunk overlap: planted shared paragraph raises shared_ratio, unique docs stay 0") {
     // two long synthetic docs sharing one long paragraph, one unrelated doc
     val para = (1 to 60).map(i => s"shared$i").mkString(" ")

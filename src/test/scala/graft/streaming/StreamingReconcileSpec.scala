@@ -114,6 +114,106 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("checkpoint resume: killed dedup stream restarts exactly-once (q65 shape)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = tmpDir("ckpt_resume")
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/$name")
+    // crash switch lives on the driver (foreachBatch runs driver-side)
+    @volatile var crashAtBatch = -1L
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+        .dropDuplicates("user_id")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == crashAtBatch) {
+            crashAtBatch = -1L
+            throw new RuntimeException("injected crash")
+          }
+          b.write.mode("append").parquet(sink)
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: one file, completes batch 0; user 1 and 2 enter the state store
+    writeFile("f1", Seq((1L, "a"), (2L, "a")))
+    runStream()
+    // two more files land; the restarted stream is KILLED between them
+    writeFile("f2", Seq((2L, "a"), (3L, "a"))) // 2 = dup across restart
+    writeFile("f3", Seq((3L, "a"), (4L, "a"), (1L, "a")))
+    crashAtBatch = 2L // batch ids continue from the checkpoint: 1, then 2
+    val e = intercept[Exception](runStream())
+    assert(e.getMessage != null) // stream died mid-run (one file unprocessed)
+    // resume from the same checkpoint: processes ONLY the remaining file,
+    // with the dedup state of every previous run intact
+    runStream()
+    val out = spark.read.parquet(sink).select("user_id")
+      .collect().map(_.getLong(0)).toSeq
+    // exactly-once: each user appears once, across three runs and a crash —
+    // a lost state store would re-emit users 1/2/3, a replayed batch would
+    // duplicate rows
+    assert(out.sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("checkpoint resume: stream-stream join state survives restart (q79 shape)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = tmpDir("join_resume")
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("kind", StringType)))
+    def writeFile(side: String, name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("user_id", "ts", "kind")
+        .select(col("user_id"), col("ts").cast("timestamp"), col("kind"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$side/$name")
+    def stream(side: String) = spark.readStream.schema(schema)
+      .parquet(s"$root/$side/*").withWatermark("ts", "2 hours")
+    def runStream(): Unit = {
+      val clicks = stream("left")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val signups = stream("right")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val joined = clicks.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") >= col("c_ts") &&
+          col("s_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      val q = joined.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink)
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: only the click arrives; the join buffers it in the state store
+    writeFile("left", "f1", Seq((7L, "2024-01-01 10:00:00", "click")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/right"))
+    runStream()
+    // batch 0 commits (possibly an empty sink write) but no pair matched yet
+    def sinkCount(): Long =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+        spark.read.parquet(sink).count()
+      else 0L
+    assert(sinkCount() == 0L)
+    // restart (fresh query object, same checkpoint): the matching signup
+    // arrives — the pair can ONLY be emitted if the buffered click was
+    // restored from the checkpointed state store
+    writeFile("right", "f2", Seq((7L, "2024-01-01 10:20:00", "signup")))
+    runStream()
+    val out = spark.read.parquet(sink)
+      .select("user_id", "c_ts", "s_ts").collect().toSeq
+    assert(out.size == 1 && out.head.getLong(0) == 7L)
+    // idempotent replay: running again with nothing new emits nothing
+    runStream()
+    assert(spark.read.parquet(sink).count() == 1)
+  }
+
   test("mapGroupsWithState sessionization matches the batch window form") {
     val events = graft.core.Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
