@@ -47,6 +47,14 @@ object Bench {
     val wanted = args.toSeq
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
+    // pass 0 (round-4 verdict #4): one UNTIMED full-catalog pass, so the
+    // three timed passes all run against warm per-query codegen/JIT — the
+    // entry-query warm-up above covers session setup but not each query's
+    // own generated code (r4: q74 pass-1 9.5 s vs 1.1 s warm). Discarded.
+    catalog.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // timed passes record the failure
+    }
     // Three interleaved passes over the whole catalog (see scaladoc): a
     // sustained VM stall poisons at most one pass of each query, never all
     // three repetitions of the same query.

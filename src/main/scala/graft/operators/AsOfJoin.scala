@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.expressions.AsOfExpressions
+
 /** As-of join — for each left row, the most recent right row at or before
   * its timestamp, matched within partition keys. An operator vanilla Spark
   * lacks; per the preference order we COMPOSE built-ins rather than write a
@@ -72,10 +74,17 @@ object AsOfJoin {
   /** Zero-left-shuffle as-of for DIMENSION-sized right sides (exchange
     * rates, config history, slowly-changing reference tables): the right
     * side collapses to one sorted array per key and broadcasts, each left
-    * row picks its match with an array filter + last-element — a map-only
-    * pass over the left table, where [[backward]] pays a full window
-    * shuffle of left ∪ right. Use [[backward]] when the right side is
-    * fact-sized.
+    * row binary-searches its match — a map-only pass over the left table,
+    * where [[backward]] pays a full window shuffle of left ∪ right. Use
+    * [[backward]] when the right side is fact-sized.
+    *
+    * The per-row pick is the native O(log history)
+    * [[graft.functions.expressions.AsOfExpressions.SortedAsOfPick]] — the
+    * obvious `filter(arr, e -> e.ts <= lt)` + `element_at(..., size(...))`
+    * composition is a measured scale trap (x10 corpus: 55x runtime for 10x
+    * data): the higher-order filter materialises a fresh candidate array
+    * per LEFT row and re-evaluates per field reference, so per-row cost
+    * grows linearly with each key's history length.
     *
     * Same semantics as [[backward]] (at-or-before inclusive, tolerance as
     * max staleness, null when nothing qualifies), with a DETERMINISTIC
@@ -90,13 +99,15 @@ object AsOfJoin {
     val arr = right.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(rStruct)).as("__arr"))
     val lt = col(leftTs)
-    val cands = tolerance match {
-      case Some(secs) => filter(col("__arr"), e =>
-        e("__ts") <= lt &&
-          unix_timestamp(lt) - unix_timestamp(e("__ts")) <= secs)
-      case None => filter(col("__arr"), e => e("__ts") <= lt)
+    val pick = AsOfExpressions.sortedAsOfPick(col("__arr"), lt)
+    // the last element at-or-before lt is the LEAST stale candidate: if it
+    // violates the tolerance, every earlier one does too — so tolerance is
+    // a post-check on the picked element, not a search predicate
+    val hit = tolerance match {
+      case Some(secs) => when(
+        unix_timestamp(lt) - unix_timestamp(pick.getField("__ts")) <= secs, pick)
+      case None => pick
     }
-    val hit = when(size(cands) > 0, element_at(cands, size(cands)))
     left.join(broadcast(arr), keys, "left")
       .select(left.columns.toSeq.map(col) ++
         payload.map(p => hit.getField(p).as(p)) :+

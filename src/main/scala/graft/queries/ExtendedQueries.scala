@@ -186,27 +186,31 @@ object ExtendedQueries {
     // the SAME point-in-interval join as q50 written as a PLAIN BETWEEN
     // join — the RangeJoinRewrite optimizer rule (conf-gated) replans it
     // as the bucketed equi-join; the DuckDB oracle proves the rewrite
-    // end-to-end. localCheckpoint materialises under the conf so the
-    // setting can be restored before other queries run.
+    // end-to-end. Conf isolation via a CLONED session (shared context,
+    // private SQLConf + optimizer rules): the bin-size conf lives only on
+    // the clone, so nothing needs restoring and — unlike the previous
+    // localCheckpoint-under-the-conf trick — the query never materialises
+    // the O(|join output|) result (x10 scale shakeout: that checkpoint was
+    // a 1.8 GiB single-RDD cache thrash; this form is pure streaming
+    // execution at any scale).
     "q70_range_join_rule" -> ((s, dir) => {
-      graft.plans.GraftExtensions.register(s)
-      val ev = Tables.load(s, dir, "events")
+      val s2 = graft.core.GraftSession.tune(s.newSession())
+      graft.plans.GraftExtensions.register(s2)
+      s2.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "3600")
+      val ev = Tables.load(s2, dir, "events")
       val points = ev.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
       val intervals = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"),
           unix_timestamp(col("ts")).as("lo"),
           (unix_timestamp(col("ts")) + 3600L).as("hi"))
-      s.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "3600")
-      try {
-        val joined = points
-          .join(intervals, col("pt") >= col("lo") && col("pt") <= col("hi"))
-          .select("event_id", "signup_id")
-          .localCheckpoint(true)
-        val plan = joined.queryExecution.executedPlan.toString
-        require(!plan.contains("BroadcastNestedLoopJoin"),
-          "RangeJoinRewrite did not fire") // the query must prove the rule ran
-        joined.orderBy("event_id", "signup_id")
-      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
+      val joined = points
+        .join(intervals, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("event_id", "signup_id")
+        .orderBy("event_id", "signup_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        "RangeJoinRewrite did not fire") // the query must prove the rule ran
+      joined
     }),
 
     // pivot: counts + decimal revenue per returnflag, linestatus as columns

@@ -349,15 +349,26 @@ object Similarity {
     * caught), while far-apart members of an over-merged cluster are pruned.
     * ON by default; pass 0 to disable.
     *
+    * `nCentroids <= 0` selects AUTO cluster count: ~corpus/1024, clamped to
+    * [16, 65536]. Fixed cluster COUNT makes the within-cluster pair stage
+    * quadratic in corpus size (10x data → 10x fatter clusters → 100x
+    * pairs); the SemDeDup recipe holds cluster SIZE roughly constant as the
+    * corpus grows, keeping pair work linear. Costs one count() pass, so
+    * callers that know their corpus (or need a deterministic clustering for
+    * an oracle) should pin the count explicitly.
+    *
     * Returns every corpus row: (id, centroid_id, is_kept). */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, threshold: Double = 0.9,
       lloydIters: Int = 0, lloydSamplePct: Int = 100,
       maxCluster: Int = 100000, guardPlanes: Int = 8): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.min(65536L, math.max(16L, corpus.count() / 1024L)).toInt
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nCentroids)
+      .limit(k)
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))

@@ -66,6 +66,42 @@ class OperatorsSpec extends SparkSpec {
       s"left side must not shuffle or sort:\n$plan")
   }
 
+  test("sortedAsOfPick equals the filter/element_at formulation (randomized + edges)") {
+    import graft.functions.expressions.AsOfExpressions
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(8) // includes empty histories
+      val arr = Seq.fill(n)((new Timestamp(rnd.nextInt(100) * 1000L),
+        rnd.nextInt(5).toDouble)) // duplicate ts values force the tiebreak
+      val probe = new Timestamp(rnd.nextInt(110) * 1000L) // before/inside/after
+      (i.toLong, arr, probe)
+    }
+    val df = rows.toDF("id", "arr0", "p")
+      .select(col("id"), col("p"),
+        sort_array(transform(col("arr0"),
+          e => struct(e("_1").as("__ts"), e("_2").as("v")))).as("__arr"))
+    val oldForm = {
+      val cands = filter(col("__arr"), e => e("__ts") <= col("p"))
+      when(size(cands) > 0, element_at(cands, size(cands)))
+    }
+    def run(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = (
+      df.select(col("id"), AsOfExpressions.sortedAsOfPick(col("__arr"), col("p"))
+        .as("hit")).orderBy("id").collect().toSeq,
+      df.select(col("id"), oldForm.as("hit")).orderBy("id").collect().toSeq)
+    // CODEGEN_ONLY: a generated-code compile error must FAIL the test, not
+    // silently fall back to the interpreted path (which round-5 shakeout
+    // showed can mask a broken doGenCode indefinitely)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val (got, want) =
+      try run()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(got == want)
+    // interpreted eval path (codegen disabled) must agree bit-for-bit
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try { val (gi, wi) = run(); assert(gi == wi && gi == got) }
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val supp = spark.read.parquet(s"$sf001/supplier.parquet")

@@ -144,6 +144,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows == offRows)
   }
 
+  test("semanticDedup auto cluster count: verdict for every row, duplicate still dropped") {
+    // nCentroids=0 -> auto ~count/1024 clamped to >=16: on this small
+    // fixture that resolves to the 16 floor; the semantics contract
+    // (full coverage + exact-duplicate drop) must hold unchanged
+    val planted = emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(880000L))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      nCentroids = 0, threshold = 0.999999, lloydIters = 1)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(rows.size == corpus.count())
+    assert(!rows(880000L) && rows(5L))
+    // auto mode used the 16-cluster floor -> at most 16 distinct centroids
+    assert(out.select("centroid_id").distinct().count() <= 16)
+  }
+
   test("bounded top-k reproduces row_number window semantics exactly") {
     import org.apache.spark.sql.expressions.Window
     val q = emb.filter(col("vec_id") < 8)
