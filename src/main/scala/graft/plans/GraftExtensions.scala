@@ -134,7 +134,14 @@ object GraftExtensions {
       children => PortableRowHash60(children)),
     ("vector_sum",
       "vector_sum(bigint_array) - exact element-wise vector sum aggregate",
-      children => VectorSumAgg(children.head)))
+      children => VectorSumAgg(children.head)),
+    ("sorted_asof_pick",
+      "sorted_asof_pick(arr, ts) - last element of a first-field-ascending struct array at-or-before ts (binary search)",
+      children => children match {
+        case Seq(a, t) => graft.functions.expressions.AsOfExpressions.SortedAsOfPick(a, t)
+        case _ => throw new IllegalArgumentException(
+          "sorted_asof_pick(arr, ts): expected exactly 2 arguments")
+      }))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry

@@ -88,6 +88,28 @@ class GraftExtensionsSpec extends SparkSpec {
       .agg(graft.functions.expressions.VectorAggregates.vectorSum(col("q")).as("s"))
       .orderBy("label")
     assert(vs.collect().toSeq == vsCol.collect().toSeq)
+
+    // sorted_asof_pick ≡ the filter/element_at composition, through SQL
+    spark.read.parquet(s"$sf001/events.parquet").createOrReplaceTempView("ev_ext2")
+    val ap = spark.sql(
+      """WITH hist AS (
+           SELECT user_id, sort_array(collect_list(struct(ts AS __ts, value))) AS arr
+           FROM ev_ext2 WHERE event_type = 'signup' GROUP BY user_id)
+         SELECT e.event_id, sorted_asof_pick(h.arr, e.ts).value AS v
+         FROM ev_ext2 e JOIN hist h ON e.user_id = h.user_id
+         ORDER BY e.event_id LIMIT 50""")
+    val apOld = spark.sql(
+      """WITH hist AS (
+           SELECT user_id, sort_array(collect_list(struct(ts AS __ts, value))) AS arr
+           FROM ev_ext2 WHERE event_type = 'signup' GROUP BY user_id)
+         SELECT e.event_id,
+           CASE WHEN size(filter(h.arr, x -> x.__ts <= e.ts)) > 0
+                THEN element_at(filter(h.arr, x -> x.__ts <= e.ts),
+                                size(filter(h.arr, x -> x.__ts <= e.ts))).value
+           END AS v
+         FROM ev_ext2 e JOIN hist h ON e.user_id = h.user_id
+         ORDER BY e.event_id LIMIT 50""")
+    assert(ap.collect().toSeq == apOld.collect().toSeq)
   }
 
   test("SQL builders reject wrong arity with the usage message, never a MatchError") {
