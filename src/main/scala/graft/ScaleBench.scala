@@ -93,10 +93,14 @@ object ScaleBench {
     val sumScaled = results.map(_._3).sum
     val line =
       f"""{"metric":"scale_trend","factor":$factor,"sum_base":$sumBase%.2f,"sum_scaled":$sumScaled%.2f,"sum_ratio":${sumScaled / sumBase}%.2f,"queries":$qs,"base_sf":"$baseDir"}"""
-    // full runs only: an isolation run must not overwrite the round's record
+    // full runs only: an isolation run must not overwrite the round's record.
+    // bench_sf1.json is the prescribed x10 artifact; every factor also gets
+    // its own file so multi-point trends (x10 + x30) coexist.
     if (wanted.isEmpty) try {
       Files.createDirectories(Paths.get("tmp"))
-      Files.writeString(Paths.get("tmp/bench_sf1.json"), line + "\n")
+      Files.writeString(Paths.get(s"tmp/bench_scale_x$factor.json"), line + "\n")
+      if (factor == 10)
+        Files.writeString(Paths.get("tmp/bench_sf1.json"), line + "\n")
     } catch { case e: Throwable => System.err.println(s"[scale] file write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
