@@ -69,17 +69,27 @@ object MediaHeader {
   /** WAV (RIFF) header: walk the chunk list for `fmt ` (channels, sample
     * rate, bit depth) and `data` (payload size → duration). Total on
     * malformed input. */
-  def parseWav(b: Array[Byte]): Option[AudioHeader] = {
+  def parseWav(b: Array[Byte]): Option[AudioHeader] =
+    parseWavPcm(b).map(_.header)
+
+  /** The header plus what SAMPLE decode needs: the fmt chunk's audio-format
+    * tag (1 = integer PCM — decodable with no codec) and the data payload's
+    * byte offset/length within the blob. */
+  final case class WavPcm(header: AudioHeader, audioFormat: Int,
+      dataOffset: Int, dataLen: Int)
+
+  def parseWavPcm(b: Array[Byte]): Option[WavPcm] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
     var i = 12
-    var fmt: Option[(Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, ch, rate, bits)
     var dataBytes = -1L
+    var dataOffset = -1
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(b, i)
       val size = le32(b, i + 4) // 0..2^32-1 as Long — never negative
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
-        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
-      else if (id == "data") dataBytes = size
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
+      else if (id == "data") { dataBytes = size; dataOffset = i + 8 }
       // advance in LONG arithmetic: a crafted 32-bit size would overflow an
       // Int index negative and re-enter the loop out of bounds. Chunks are
       // word-aligned (odd sizes carry a pad byte); a size running past the
@@ -88,8 +98,11 @@ object MediaHeader {
       val next = i.toLong + 8L + size + (size & 1L)
       i = if (next > b.length) b.length else next.toInt
     }
-    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
-      AudioHeader("wav", ch, rate, bits, dataBytes)
+    fmt.collect { case (af, ch, rate, bits) if dataBytes >= 0 =>
+      // payload may be torn mid-chunk (truncated download): clamp the
+      // decodable length to the bytes actually present
+      val avail = math.max(0L, math.min(dataBytes, (b.length - dataOffset).toLong))
+      WavPcm(AudioHeader("wav", ch, rate, bits, dataBytes), af, dataOffset, avail.toInt)
     }
   }
 

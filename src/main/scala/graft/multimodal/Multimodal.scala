@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * Decode coverage: IMAGE pixel decode is REAL for the formats the JDK
   * itself reads ([[decodeImage]]/[[imageFeatures]] — PNG/JPEG/GIF/BMP via
   * javax.imageio: decode → 8×8 area resize → perceptual average-hash).
-  * Container HEADERS are parsed for PNG/GIF/JPEG/WAV/MP4 ([[MediaHeader]]).
-  * Audio/video SAMPLE decode stays stubbed — the JDK ships no codecs and
-  * this environment has no media libraries; [[decodeStub]]'s fields below
+  * AUDIO sample decode is REAL for WAV integer PCM
+  * ([[decodeWavSamples]]/[[audioFeatures]] — PCM needs no codec, only the
+  * RIFF chunk walk [[MediaHeader.parseWavPcm]] already does: 8/16-bit
+  * samples → RMS loudness, peak, silence ratio). Container HEADERS are
+  * parsed for PNG/GIF/JPEG/WAV/MP4 ([[MediaHeader]]). Only COMPRESSED
+  * audio (MP3/AAC) and video sample decode stay stubbed — those genuinely
+  * need codecs the JDK/environment lacks; [[decodeStub]]'s fields below
   * `nBytes`/`headByte` are a deterministic fake for those. Everything
   * around the stub — schema, Dataset encoders, per-partition batch shape,
   * partition sizing — is the real production plumbing: swap `decodeStub`
@@ -97,7 +101,8 @@ object Multimodal {
     * above the patch mean) — the standard near-duplicate-image key, which
     * slots into [[graft.dedup.Dedup.duplicateClusters]] exactly like
     * SimHash does for text. Returns None for bytes no installed reader
-    * accepts (audio/video stay stub-only: the JDK ships no codecs).
+    * accepts (WAV PCM audio has its own real decoder,
+    * [[decodeWavSamples]]; compressed audio/video stay stub-only).
     * Headless-safe: BufferedImage drawing needs no display. */
   def decodeImage(m: MediaRow): Option[ImageFeatures] = {
     val img =
@@ -131,6 +136,59 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(rows => rows.flatMap(decodeImage))
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long, channels: Int, sample_rate: Int, n_frames: Long,
+      rms: Double, peak: Double, silence_ratio: Double)
+
+  /** REAL sample decode for WAV integer PCM — uncompressed PCM needs no
+    * codec, just the RIFF layout [[MediaHeader.parseWavPcm]] parses: 16-bit
+    * signed / 8-bit unsigned samples normalised to [-1, 1], folded in one
+    * pass into the features an audio-curation pipeline filters on (RMS
+    * loudness, peak amplitude, silence ratio at |x| < 0.01). A torn data
+    * chunk decodes the bytes that are present (quarantining torn blobs is
+    * the caller's policy call, the decoder stays total). Returns None for
+    * compressed/float formats (format tag != 1) or exotic bit depths —
+    * THOSE are the codec-requiring cases that stay with [[decodeStub]]. */
+  def decodeWavSamples(m: MediaRow): Option[AudioFeatures] =
+    MediaHeader.parseWavPcm(m.media).flatMap { w =>
+      val bits = w.header.bitsPerSample
+      if (w.audioFormat != 1 || (bits != 8 && bits != 16) || w.header.channels <= 0)
+        None
+      else {
+        val bytesPer = bits / 8
+        val nSamples = w.dataLen / bytesPer
+        var i = 0
+        var sumSq = 0.0
+        var peak = 0.0
+        var quiet = 0L
+        while (i < nSamples) {
+          val off = w.dataOffset + i * bytesPer
+          val x =
+            if (bits == 16)
+              (((m.media(off) & 0xff) | ((m.media(off + 1) & 0xff) << 8)).toShort) / 32768.0
+            else ((m.media(off) & 0xff) - 128) / 128.0
+          val ax = math.abs(x)
+          sumSq += x * x
+          if (ax > peak) peak = ax
+          if (ax < 0.01) quiet += 1
+          i += 1
+        }
+        Some(AudioFeatures(m.doc_id, w.header.channels, w.header.sampleRateHz,
+          (nSamples / w.header.channels).toLong,
+          if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+          peak,
+          if (nSamples == 0) 1.0 else quiet.toDouble / nSamples))
+      }
+    }
+
+  /** Distributed audio decode: same flatMap-quarantine shape as
+    * [[imageFeatures]] — undecodable blobs drop out. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.flatMap(decodeWavSamples))
   }
 
   /** End-to-end fixture pipeline: documents → media → features DataFrame

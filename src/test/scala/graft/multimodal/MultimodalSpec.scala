@@ -100,6 +100,70 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parseWav(torn).exists(_.sampleRateHz == 8000))
   }
 
+  test("REAL WAV PCM sample decode: rms/peak/silence from hand-built samples") {
+    def wav16(ch: Int, rate: Int, samples: Seq[Int], fmtTag: Int = 1): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16)
+        .putShort(fmtTag.toShort).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      out.put("data".getBytes).putInt(dataLen)
+      samples.foreach(s => out.putShort(s.toShort))
+      out.array()
+    }
+    def row(b: Array[Byte]) = Multimodal.MediaRow(1L, b, "wav")
+
+    // 16-bit mono: 0, +0.5, -0.5, ~+1.0 — every expected value exact in doubles
+    val f = Multimodal.decodeWavSamples(
+      row(wav16(1, 8000, Seq(0, 16384, -16384, 32767)))).get
+    assert(f.channels == 1 && f.sample_rate == 8000 && f.n_frames == 4)
+    val xs = Seq(0.0, 0.5, -0.5, 32767 / 32768.0)
+    assert(math.abs(f.rms - math.sqrt(xs.map(x => x * x).sum / 4)) < 1e-12)
+    assert(f.peak == 32767 / 32768.0)
+    assert(f.silence_ratio == 0.25) // only the 0 sample is under 0.01
+
+    // 8-bit unsigned: 128 -> 0.0, 255 -> max positive, 0 -> -1.0
+    def wav8(samples: Seq[Int]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(36 + samples.length).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      out.put("data".getBytes).putInt(samples.length)
+      samples.foreach(s => out.put(s.toByte))
+      out.array()
+    }
+    val f8 = Multimodal.decodeWavSamples(row(wav8(Seq(128, 255, 0, 128)))).get
+    assert(f8.peak == 1.0)                 // the 0 byte is -1.0 exactly
+    assert(f8.silence_ratio == 0.5)        // the two 128 bytes are 0.0
+    assert(f8.n_frames == 4)
+
+    // stereo: frames = samples / channels
+    val st = Multimodal.decodeWavSamples(row(wav16(2, 44100, Seq(0, 0, 100, -100)))).get
+    assert(st.channels == 2 && st.n_frames == 2)
+
+    // torn data chunk decodes the present bytes only (total, no throw)
+    val torn = wav16(1, 8000, Seq(0, 16384, -16384, 32767)).dropRight(4)
+    val ft = Multimodal.decodeWavSamples(row(torn)).get
+    assert(ft.n_frames == 2 && ft.peak == 0.5)
+
+    // float WAV (format 3) and compressed tags need a codec -> None
+    assert(Multimodal.decodeWavSamples(row(wav16(1, 8000, Seq(0), fmtTag = 3))).isEmpty)
+    assert(Multimodal.decodeWavSamples(row(wav16(1, 8000, Seq(0), fmtTag = 85))).isEmpty)
+    assert(Multimodal.decodeWavSamples(row("not a wav".getBytes)).isEmpty)
+
+    // distributed shape: undecodable blobs drop out, decodable survive
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaRow(1L, wav16(1, 8000, Seq(0, 16384)), "wav"),
+      Multimodal.MediaRow(2L, "garbage".getBytes, "wav"),
+      Multimodal.MediaRow(3L, wav8(Seq(128, 0)), "wav")).toDS()
+    val out = Multimodal.audioFeatures(ds).collect().map(_.doc_id).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("MP4 header: moov/mvhd walked for timescale+duration, garbage -> None") {
     def mp4Bytes(timescale: Int, duration: Int): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(16 + 40) // big-endian default
