@@ -191,6 +191,24 @@ object Multimodal {
     media.mapPartitions(rows => rows.flatMap(decodeWavSamples))
   }
 
+  /** Minimal RIFF/WAVE writer for 16-bit integer PCM (values are truncated
+    * to Short) — the encode half of the round trip [[decodeWavSamples]]
+    * closes; the q89 gate verifies encode → decode → features against an
+    * oracle that never sees the WAV bytes. */
+  def encodeWavPcm16(samples: Seq[Int], channels: Int, rateHz: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rateHz)
+      .putInt(rateHz * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(x => out.putShort(x.toShort))
+    out.array()
+  }
+
   /** End-to-end fixture pipeline: documents → media → features DataFrame
     * (frame_hashes dropped for the oracle-checked projection). */
   def features(spark: SparkSession, docs: DataFrame, partitions: Int = 0): DataFrame = {

@@ -218,6 +218,31 @@ object PipelineQueries {
         .select("doc_id", "n_bytes", "head_cp", "width", "height")
         .orderBy("doc_id")),
 
+    // REAL WAV PCM round trip under the external gate: each doc gets 64
+    // deterministic 16-bit samples (pure integer formula on doc_id),
+    // ENCODED into genuine RIFF/WAVE bytes, then DECODED back through the
+    // real PCM sample decoder — container writing, chunk walking and
+    // sample math all land on the oracle, which recomputes the features
+    // straight from the formula with no WAV involvement. Hash-stability:
+    // every intermediate is a dyadic rational (s/2^15, s²/2^30, partial
+    // sums integers/2^30 < 2^53), so both engines hold EXACT doubles and
+    // sqrt/floor round identically regardless of summation order.
+    "q89_audio_pcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val samples = (0 until 64)
+            .map(i => ((id * 31 + i * 17) % 65536L - 32768L).toInt)
+          Multimodal.MediaRow(id, Multimodal.encodeWavPcm16(samples, 1, 8000), "wav")
+        }
+      Multimodal.audioFeatures(media).toDF()
+        .select(col("doc_id"), col("n_frames"),
+          floor(col("rms") * 1e6).cast("long").as("rms_u"),
+          floor(col("peak") * 1e6).cast("long").as("peak_u"),
+          floor(col("silence_ratio") * 1e6).cast("long").as("silence_u"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate clusters: connected components (min-label propagation) over
     // exact-Jaccard near-dup edges — the transitive-closure step after
     // candidate scoring; oracle = DuckDB recursive CTE
@@ -437,6 +462,17 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, ascii(substr(text, 1, 1)) AS head_cp, " +
         "CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width, CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id"),
+    // recomputes the q89 features from the SAME integer formula, never
+    // touching WAV bytes — an independent check of the encode+decode path
+    "q89_audio_pcm" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "list_transform(range(0, 64), i -> ((doc_id*31 + i*17) % 65536 - 32768) / 32768.0) AS xs " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(64 AS BIGINT) AS n_frames, " +
+        "CAST(floor(1e6 * sqrt(list_sum(list_transform(xs, x -> x*x)) / 64)) AS BIGINT) AS rms_u, " +
+        "CAST(floor(1e6 * list_max(list_transform(xs, x -> abs(x)))) AS BIGINT) AS peak_u, " +
+        "CAST(floor(1e6 * (len(list_filter(xs, x -> abs(x) < 0.01)) / 64.0)) AS BIGINT) AS silence_u " +
+        "FROM s ORDER BY doc_id"),
     "q56_dup_clusters" ->
       (s"WITH RECURSIVE toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents), " +
         "edges0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a " +
