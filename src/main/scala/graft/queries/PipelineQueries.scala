@@ -319,6 +319,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // statistical-LM quality scoring (CCNet-shaped, model-free): per-doc
+    // bigram coherence vs the corpus's own bigram table — one sequence-
+    // modeling step past q64's unigram corpus frequency. Exact integer
+    // sums + a quantised ratio keep the external hash gate bit-stable.
+    "q90_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramStats(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // streaming exact dedup: first occurrence per (user_id, event_type) via
     // dropDuplicates state over an ACTUAL stream of the events files, then
     // a batch rollup of the deduped memory-sink rows. Stream ≡ batch
@@ -515,6 +523,20 @@ object PipelineQueries {
         "FROM dt JOIN tf USING (tok) GROUP BY doc_id ORDER BY doc_id"),
     "q65_streaming_dedup" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    // parallel unnests of equal-length lists zip in DuckDB, recovering the
+    // (bigram, left-token) pair stream the Spark side builds with zip_with
+    "q90_bigram_lm" ->
+      (s"WITH t AS (SELECT doc_id, $Toks AS ts FROM documents), " +
+        "bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg, " +
+        "unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS la FROM t), " +
+        "bf AS (SELECT bg, count(*) AS cab FROM bgl GROUP BY bg), " +
+        "tf AS (SELECT tok, count(*) AS cf FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY tok), " +
+        "inst AS (SELECT doc_id, bg, la, count(*) AS c FROM bgl GROUP BY doc_id, bg, la) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(c*cab) AS BIGINT) AS sum_cab, CAST(sum(c*cf) AS BIGINT) AS sum_ca, " +
+        "CAST(floor(1e6 * sum(c*cab) / CAST(sum(c*cf) AS DOUBLE)) AS BIGINT) AS score_u " +
+        "FROM inst JOIN bf USING (bg) JOIN tf ON tf.tok = inst.la " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "q46_sessionize" ->
       ("WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +

@@ -119,6 +119,42 @@ object TextAnalysis {
   def unigramLogMass(tokCount: Column, corpusFreq: Column): Column =
     tokCount * log10(corpusFreq)
 
+  /** Per-doc bigram coherence against the corpus's OWN bigram statistics —
+    * the model-free core of a CCNet-style statistical-LM quality filter:
+    * how predictable is each next token under the corpus bigram table.
+    * score ≈ mean over doc bigrams of C(a,b)/C(a), emitted as the exact
+    * integer sums (Σ C(a,b), Σ C(a)) plus the 1e-6-quantised ratio, so the
+    * external gate hash-checks it (ratio of exact integers → one IEEE
+    * division, deterministic across engines).
+    *
+    * Scale shape (identical to unigram corpus frequency, q64): per-doc
+    * bigram instances pre-aggregate map-side to (doc, bigram, count); the
+    * corpus bigram/unigram tables are vocabulary-sized shuffles; the join
+    * back is instance-bounded. No all-pairs, no per-row HOF beyond the
+    * doc-length-bounded token zip. Docs with < 2 tokens have no bigrams
+    * and drop out (inner join) — the caller treats absence as unscorable. */
+  def bigramStats(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val n1 = greatest(size(col("__ts")) - 1, lit(0)) // 0 for empty/1-token
+    val pairs = t.select(col(idCol), explode(zip_with(
+        slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
+        (a, b) => struct(concat_ws(" ", a, b).as("bg"), a.as("la")))).as("p"))
+      .select(col(idCol), col("p.bg").as("bg"), col("p.la").as("la"))
+    val bf = pairs.groupBy("bg").agg(count(lit(1)).as("cab"))
+    val tf = t.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    pairs.groupBy(col(idCol), col("bg"), col("la")).agg(count(lit(1)).as("c"))
+      .join(bf, "bg")
+      .join(tf, col("la") === col("tok"))
+      .groupBy(idCol)
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        sum(col("c") * col("cab")).cast("long").as("sum_cab"),
+        sum(col("c") * col("cf")).cast("long").as("sum_ca"))
+      .withColumn("score_u",
+        floor(lit(1e6) * col("sum_cab") / col("sum_ca")).cast("long"))
+  }
+
   /** Predicted language code (heuristic). First language in [[LangMarkers]]
     * order with the maximal nonzero score; "und" when no marker hits. */
   def langId(c: Column): Column = {

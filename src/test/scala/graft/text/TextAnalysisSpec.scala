@@ -74,6 +74,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](T.stripHtml(col("text")), "&amp;lt;b&amp;gt;") == "&lt;b&gt;")
   }
 
+  test("bigramStats: closed-form corpus, short docs drop, ratio quantised") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = T.bigramStats(docs, "text", "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // corpus bigrams: "a b"x2 (doc1), "b a"x1 (doc1), "x y"x1 (doc2)
+    // unigrams: a:3 (doc1 twice + doc3), b:2, x:1, y:1
+    // doc1: n=3, sum_cab = 2*2 + 1*1 = 5, sum_ca = 2*3 + 1*2 = 8
+    // doc2: n=1, sum_cab = 1, sum_ca = cf(x) = 1
+    assert(out.toSeq == Seq(
+      (1L, 3L, 5L, 8L, math.floor(1e6 * 5 / 8).toLong),
+      (2L, 1L, 1L, 1L, 1000000L)))
+    // docs 3 (one token) and 4 (no tokens) have no bigrams -> absent
+  }
+
   test("quality score bands") {
     val good = ("word " * 40).trim + " the and of it is" // >100 chars, no punct, stopwords
     assert(one[Double](T.qualityScore(col("text")), good) == 1.0)
