@@ -44,6 +44,9 @@ import graft.text.TextAnalysis
   *  - `dedup_minhash` — MinHash-LSH near-dup candidates above the
   *    threshold; every pair's larger id is dropped (anti-join)
   *  - `quality_filter` — drop docs under `quality_min`
+  *  - `bigram_filter` — statistical-LM coherence: drop docs whose mean
+  *    corpus-bigram probability (q90's score) falls under `bigram_min`;
+  *    unscorable docs (< 2 tokens) also drop
   *  - `dedup_chunks` — drop docs whose CDC-chunk shared fraction exceeds
   *    `chunk_overlap_max` (boilerplate dominance)
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
@@ -71,6 +74,7 @@ object GraftPipeline {
       steps: Seq[String],
       qualityMin: Double, minhashThreshold: Double,
       packBudget: Int, testPct: Int,
+      bigramMin: Double = 0.0,
       chunkOverlapMax: Double = 0.5,
       benchmarkDir: String = "", benchmarkTable: String = "documents",
       mixRates: Map[String, Double] = Map.empty,
@@ -135,6 +139,7 @@ object GraftPipeline {
       outputDir = kv("output.path"),
       steps = steps,
       qualityMin = kv.get("quality_min").flatMap(_.toDoubleOption).getOrElse(0.3),
+      bigramMin = kv.get("bigram_min").flatMap(_.toDoubleOption).getOrElse(0.0),
       minhashThreshold = kv.get("minhash_threshold").flatMap(_.toDoubleOption).getOrElse(0.7),
       packBudget = kv.get("pack_budget").flatMap(_.toIntOption).getOrElse(512),
       testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1),
@@ -211,6 +216,18 @@ object GraftPipeline {
     }),
     "quality_filter" -> ((c, df) =>
       df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),
+    // statistical-LM coherence filter (q90's score as a step): keep docs
+    // whose mean corpus-bigram probability reaches bigram_min — the
+    // integer-sum comparison sum_cab >= min*sum_ca avoids the quantised
+    // ratio. Unscorable docs (< 2 tokens, no bigrams) DROP: a sequence
+    // filter has nothing to vouch for them (run an explicit length filter
+    // first if empty/one-token docs should survive).
+    "bigram_filter" -> ((c, df) => {
+      val keep = TextAnalysis.bigramStats(df, "text", "doc_id")
+        .filter(col("sum_cab") >= lit(c.bigramMin) * col("sum_ca"))
+        .select("doc_id")
+      df.join(keep, Seq("doc_id"), "left_semi")
+    }),
     // boilerplate-dominance filter (q80's score as a step): drop every doc
     // whose CDC-chunk shared fraction exceeds chunk_overlap_max. NOTE this
     // is a dominance filter (both members of a full-copy pair score ~1 and

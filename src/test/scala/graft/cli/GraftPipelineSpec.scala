@@ -92,6 +92,39 @@ class GraftPipelineSpec extends SparkSpec {
     assert(kept.contains(3L) && !kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("bigram_filter keeps coherent docs, drops scrambled and unscorable ones") {
+    import spark.implicits._
+    val out = tmpDir("pipe6")
+    // five coherent docs share a sentence, so the corpus bigram table
+    // vouches for every one of their bigrams (C(a,b)≈5 against C(a)≤12 →
+    // score ≈ 0.6). The scrambled doc reuses the SAME tokens in an order
+    // seen nowhere else: every bigram has C(a,b)=1 over common unigrams →
+    // score ≈ 0.14. The one-token doc has no bigrams → unscorable → drops.
+    val coherent = (1L to 5L).map(i => (i, "the cat sat on the mat", "en", "src"))
+    val docs = coherent ++ Seq(
+      (10L, "mat the on sat cat the", "en", "src"),
+      (20L, "solo", "en", "src"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("bigram_filter"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      bigramMin = 0.3)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L))
+    // bigram_min wired from kv: default 0.0 keeps every scorable doc
+    val cfg0 = GraftPipeline.fromKv(Map("input.path" -> out, "output.path" -> s"$out/shards0",
+      "steps" -> "bigram_filter")).toOption.get
+    assert(cfg0.bigramMin == 0.0)
+    GraftPipeline.run(spark, cfg0)
+    val kept0 = spark.read.parquet(s"$out/shards0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept0 == Set(1L, 2L, 3L, 4L, 5L, 10L)) // only the unscorable doc drops
+  }
+
   test("mix keeps named sources at their rates, others fully; config requires rates") {
     val out = tmpDir("pipe5")
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
