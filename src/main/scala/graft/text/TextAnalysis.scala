@@ -141,10 +141,33 @@ object TextAnalysis {
         slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
         (a, b) => struct(concat_ws(" ", a, b).as("bg"), a.as("la")))).as("p"))
       .select(col(idCol), col("p.bg").as("bg"), col("p.la").as("la"))
-    val bf = pairs.groupBy("bg").agg(count(lit(1)).as("cab"))
-    val tf = t.select(explode(col("__ts")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cf"))
-    pairs.groupBy(col(idCol), col("bg"), col("la")).agg(count(lit(1)).as("c"))
+      // semantically a no-op (concat_ws / split never emit nulls) — stated
+      // HERE so the inner joins below don't infer per-branch isnotnull
+      // filters, which would make the three consumers' subtrees differ and
+      // defeat ReuseExchange (plan-guarded in PlanSpec)
+      .filter(col("bg").isNotNull && col("la").isNotNull)
+    // ONE tokenize+explode pass: per-(doc, bigram, left-token) counts.
+    // Both corpus tables below derive from this aggregate, so its shuffle
+    // is the shared subplan — ReuseExchange serves the extra consumers
+    // from shuffle files instead of re-exploding the raw text (measured
+    // 3 full explode passes -> 1 on the gate corpus).
+    val inst = pairs.groupBy(col(idCol), col("bg"), col("la"))
+      .agg(count(lit(1)).as("c"))
+    val bf = inst.groupBy("bg").agg(sum("c").as("cab"))
+    // corpus unigram counts without a third explode: every token occurrence
+    // is either the LEFT token of some bigram (positions 1..n-1, already
+    // counted in `inst`) or its doc's final token (one row per doc via
+    // element_at). A full-outer merge keeps tokens seen only in one role
+    // (a doc's unique last word; 1-token docs whose only word never leads
+    // a bigram).
+    val laTok = inst.groupBy(col("la").as("tok")).agg(sum("c").as("af"))
+    val lastTok = t.filter(size(col("__ts")) > 0)
+      .select(element_at(col("__ts"), -1).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("lf"))
+    val tf = laTok.join(lastTok, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("af"), lit(0L)) + coalesce(col("lf"), lit(0L))).as("cf"))
+    inst
       .join(bf, "bg")
       .join(tf, col("la") === col("tok"))
       .groupBy(idCol)

@@ -54,6 +54,27 @@ class PlanSpec extends SparkSpec {
       "fused hash leaked into the aggregate expression:\n" + p.take(1500))
   }
 
+  test("q90: corpus tables reuse the per-doc bigram aggregate's exchange") {
+    // bigramStats derives the corpus bigram table AND the unigram table
+    // from the single per-(doc, bigram, left-token) aggregate — the plan
+    // must serve those consumers as ReusedExchange reads of its shuffle,
+    // and tokenize+explode the raw text exactly ONCE (was 3 passes). At
+    // gate SF the explodes are cheap; at corpus scale they are the cost.
+    // AQE performs exchange reuse at RUNTIME (stage reuse) — the initial
+    // adaptive plan shows three identical subtrees; only the final plan
+    // after execution proves a single one materialised
+    val df = graft.SparkEntry.queries("q90_bigram_lm")(spark, sf001)
+    df.collect()
+    // drop the "== Initial Plan ==" tail — only the final section shows
+    // what actually materialised (nested stage printouts repeat subtrees,
+    // so count DISTINCT explode generators by output exprId, not lines)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val reuses = "ReusedExchange".r.findAllIn(p).size
+    assert(reuses == 2, s"both corpus-table branches must reuse the shuffle, got $reuses:\n" + p.take(3000))
+    val gens = "Generate explode[^\\n]*\\[p#(\\d+)\\]".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(gens.size == 1, s"expected 1 distinct explode pass over the corpus, got $gens:\n" + p.take(3000))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
