@@ -110,6 +110,7 @@ object ScaleBench {
     * keep the fixture's physical shape, e.g. events.ts as int64 nanos). */
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC") // NTZ↔micros conversions below
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -163,14 +164,25 @@ object ScaleBench {
     // span makes every time-window join quadratic in the factor (x10
     // shakeout: q70's point-in-interval output grew 100x and its runtime
     // 400x), which is a corpus artifact, not a real workload shape.
-    // ts is raw INT64 epoch-nanos here (nanosAsLong read, no conversion).
+    // ts arrives either as raw INT64 epoch-nanos (legacy fixture shape,
+    // nanosAsLong read) or as parquet timestamp[us] (current fixture);
+    // shift in the column's own type so the written file keeps the
+    // fixture's physical shape bit-for-bit.
     val events = raw(spark, baseDir, "events")
     val eventOff = events.agg(max("event_id")).head().getLong(0) + 1
-    val tsRow = events.agg(min("ts"), max("ts")).head()
-    val spanNanos = tsRow.getLong(1) - tsRow.getLong(0) + 3600L * 1000000000L
+    val tsIsLongNanos = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsMicros =
+      if (tsIsLongNanos) expr("ts div 1000")
+      else unix_micros(col("ts").cast("timestamp")) // NTZ→LTZ exact under UTC session
+    val tsRow = events.agg(min(tsMicros), max(tsMicros)).head()
+    val spanMicros = tsRow.getLong(1) - tsRow.getLong(0) + 3600L * 1000000L
+    val shiftedTs =
+      if (tsIsLongNanos) col("ts") + col("__k").cast("long") * (spanMicros * 1000L)
+      else expr(s"timestampadd(MICROSECOND, __k * ${spanMicros}L, ts)")
     writeSingle(copies(events)
       .withColumn("event_id", col("event_id") + col("__k") * eventOff)
-      .withColumn("ts", col("ts") + col("__k").cast("long") * spanNanos)
+      .withColumn("ts", shiftedTs)
       .drop("__k"), outDir, "events")
 
     // documents: per-copy token suffix -> disjoint token/shingle/chunk space

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Catalog access over the parquet fixture layout (one `<name>.parquet` per
   * table under a scale-factor dir), mirroring the reference's introspection
@@ -39,13 +39,24 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        // ts arrives as Long nanoseconds (nanosAsLong); convert with INTEGER
-        // division — double division would lose precision (ns epoch values
-        // exceed 2^53) and land ±1us off.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
+
+  /** Normalize `events.ts` to session-zone TimestampType regardless of the
+    * fixture's physical encoding. The fixture generator has shipped two
+    * shapes across rounds: INT64 epoch-NANOS (reads as Long under
+    * `nanosAsLong`) and parquet timestamp[us] with isAdjustedToUTC=false
+    * (reads as TIMESTAMP_NTZ). Every downstream query works on one
+    * canonical TimestampType, so both shapes must land there. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    // INTEGER division — double division would lose precision (ns epoch
+    // values exceed 2^53) and land ±1us off.
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // NTZ→LTZ is wall-clock-preserving under the UTC session zone pinned
+    // two lines above (GraftSession pins it too).
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 
   /** A1/A2 table scan with projection applied at the source: the Spark
     * analogue of the reference embedding the column list in its generated

@@ -26,22 +26,29 @@ import org.apache.spark.sql.types._
   */
 object StreamingReconcile {
 
-  /** events.parquet schema as stored (ts = INT64 nanos; file sources need
-    * an explicit schema for streams). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events.parquet schema with `ts` at the given physical type (file
+    * sources need an explicit schema for streams). The fixture generator
+    * has shipped ts as INT64 nanos (Long under `nanosAsLong`) and as
+    * parquet timestamp[us] (TIMESTAMP_NTZ) across rounds. */
+  def eventsSchema(tsType: DataType = TimestampNTZType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Stream of events from a directory of parquet files (fixture: the
-    * scale-factor dir, filtered to events.parquet). */
+    * scale-factor dir, filtered to events.parquet). A one-file batch probe
+    * (footer only, no data scan) picks the ts physical type, so the stream
+    * schema matches whichever fixture shape is on disk; ts is then
+    * normalized to session-zone TimestampType exactly as the batch loader
+    * does ([[graft.core.Tables.normalizeEventTs]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    graft.core.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventsSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling-window (rows, fingerprint) per event_type with watermark —

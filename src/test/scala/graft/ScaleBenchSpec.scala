@@ -24,25 +24,36 @@ class ScaleBenchSpec extends SparkSpec {
       assert(l.join(o, Seq("k"), "left_anti").count() == 0)
 
       // events: copy 1 shifted FORWARD past copy 0's span (constant
-      // density — the whole point of the round-5 corpus fix), ids offset
-      val base = raw(sf001, "events")
-      val scaled = raw(out, "events")
+      // density — the whole point of the round-5 corpus fix), ids offset.
+      // All time math in epoch-MICROS so the spec is agnostic to the
+      // fixture's ts encoding (INT64 nanos vs timestamp[us]).
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val tsIsLongNanos = raw(sf001, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      def withMicros(df: org.apache.spark.sql.DataFrame) = df.withColumn("tsu",
+        if (tsIsLongNanos) expr("ts div 1000") // integer div: ns epoch > 2^53
+        else unix_micros(col("ts").cast("timestamp")))
+      val base = withMicros(raw(sf001, "events"))
+      val scaled = withMicros(raw(out, "events"))
+      // physical shape preserved: the scaled file streams through the same
+      // pathGlobFilter source, so ts must keep the fixture's type
+      assert(scaled.schema("ts").dataType == base.schema("ts").dataType)
       assert(scaled.count() == 2 * base.count())
-      val Array(bMin, bMax) = base.agg(min("ts"), max("ts")).head()
+      val Array(bMin, bMax) = base.agg(min("tsu"), max("tsu")).head()
         .toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = bMax - bMin + 3600L * 1000000000L
+      val span = bMax - bMin + 3600L * 1000000L
       // copy 0 bit-identical range; copy 1 exactly one span later
-      val tsSet = scaled.select("ts").distinct()
-      assert(tsSet.filter(col("ts") > bMax && col("ts") < bMin + span).count() == 0)
-      assert(scaled.agg(max("ts")).head().getLong(0) == bMax + span)
+      val tsSet = scaled.select("tsu").distinct()
+      assert(tsSet.filter(col("tsu") > bMax && col("tsu") < bMin + span).count() == 0)
+      assert(scaled.agg(max("tsu")).head().getLong(0) == bMax + span)
       assert(scaled.select("event_id").distinct().count() == scaled.count())
 
       // the time-window join's output is exactly factor x base — the
       // cardinality law SCALING.md leans on
       def joinOut(df: org.apache.spark.sql.DataFrame): Long = {
-        val p = df.select(col("ts").as("pt"))
+        val p = df.select(col("tsu").as("pt"))
         val i = df.filter(col("event_type") === "signup")
-          .select(col("ts").as("lo"), (col("ts") + 3600L * 1000000000L).as("hi"))
+          .select(col("tsu").as("lo"), (col("tsu") + 3600L * 1000000L).as("hi"))
         p.join(i, col("pt") >= col("lo") && col("pt") <= col("hi")).count()
       }
       assert(joinOut(scaled) == 2 * joinOut(base))
