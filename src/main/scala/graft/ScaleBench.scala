@@ -115,25 +115,26 @@ object ScaleBench {
   }
 
   /** Write as ONE parquet FILE named `<name>.parquet`, exactly the fixture
-    * layout: the streaming source globs on that file name
-    * (`pathGlobFilter("events.parquet")`), so a directory table would be
-    * invisible to every stream query (factor-2 shakeout: q79 ran on an
-    * empty stream). Single parquet files are still row-group-splittable,
-    * so scan parallelism survives. */
-  private def writeSingle(df: DataFrame, outDir: String, name: String): Unit = {
-    val tmp = s"$outDir/_tmp_$name"
+    * layout. Single parquet files are still row-group-splittable, so scan
+    * parallelism survives. */
+  private def writeSingle(df: DataFrame, outDir: String, name: String): Unit =
+    writeFileAs(df, s"$outDir/$name.parquet")
+
+  /** Write `df` as exactly one parquet file at the full path `target`. */
+  private def writeFileAs(df: DataFrame, target: String): Unit = {
+    val tmp = target + ".__tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator()
     var moved = false
     while (part.hasNext && !moved) {
       val p = part.next()
       if (p.getFileName.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(s"$outDir/$name.parquet"),
+        Files.move(p, Paths.get(target),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         moved = true
       }
     }
-    require(moved, s"no parquet part written for $name")
+    require(moved, s"no parquet part written for $target")
     graft.core.Fs.deleteRecursively(Paths.get(tmp))
   }
 
@@ -180,10 +181,22 @@ object ScaleBench {
     val shiftedTs =
       if (tsIsLongNanos) col("ts") + col("__k").cast("long") * (spanMicros * 1000L)
       else expr(s"timestampadd(MICROSECOND, __k * ${spanMicros}L, ts)")
-    writeSingle(copies(events)
+    val scaledEvents = copies(events)
       .withColumn("event_id", col("event_id") + col("__k") * eventOff)
       .withColumn("ts", shiftedTs)
-      .drop("__k"), outDir, "events")
+    // events.parquet becomes a DIRECTORY: one part file per time-shifted
+    // copy, written sequentially in copy (= time) order. The streaming
+    // source admits files oldest-modification-first with
+    // maxFilesPerTrigger=1, so each copy is its own micro-batch and
+    // event time rises monotonically across batches — stream-stream join
+    // state stays bounded at one copy (+watermark overlap) instead of the
+    // whole corpus, and the watermark never late-drops a row. Batch
+    // readers (Spark, DuckDB glob) see the same relation either way.
+    Files.createDirectories(Paths.get(s"$outDir/events.parquet"))
+    (0 until factor).foreach { k =>
+      writeFileAs(scaledEvents.filter(col("__k") === k).drop("__k"),
+        f"$outDir/events.parquet/copy-$k%03d.parquet")
+    }
 
     // documents: per-copy token suffix -> disjoint token/shingle/chunk space
     val docs = raw(spark, baseDir, "documents")

@@ -214,6 +214,84 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 1)
   }
 
+  test("chunked events dir: q79/q55/q65 streams equal batch over multiple micro-batches") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    // stage: fixture events split into 3 ts-ordered single-file chunks
+    // under <dir>/events.parquet/ — the scaled-corpus layout ScaleBench
+    // writes, where each chunk becomes its own micro-batch
+    val root = tmpDir("chunked_ev")
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+    val n = ev.count()
+    val evDir = s"$root/events.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("__chunk", (col("__rn") * 3 / n).cast("int")).drop("__rn")
+    (0 until 3).foreach { k =>
+      val tmp = s"$root/__tmp"
+      chunked.filter(col("__chunk") === k).drop("__chunk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$evDir/chunk-$k%03d.parquet"))
+    }
+
+    // count DATA micro-batches of the q79 stream via listener (async)
+    val joinBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "q79_stream_join" && e.progress.numInputRows > 0)
+          joinBatches.incrementAndGet()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val evB = graft.core.Tables.load(spark, root, "events")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("event_type").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+      // q79: watermarked stream-stream join — the state-bounding case
+      val gotJoin = canon(StreamingReconcile.attributionJoinStream(spark, root))
+      val s = evB.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val a = evB.filter(col("event_type") =!= "signup")
+        .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
+          col("ts").as("a_ts"))
+      val expJoin = canon(a.join(s,
+          col("a_user") === col("s_user") &&
+            col("a_ts") >= col("s_ts") &&
+            col("a_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("a_type").as("event_type"))
+        .agg(count(lit(1)).as("n_attributed")))
+      assert(gotJoin.nonEmpty && gotJoin == expJoin)
+
+      // q55: complete-mode windowed aggregate across batches
+      val gotAgg = StreamingReconcile.hourlyAggStream(spark, root)
+        .orderBy("hour", "event_type").collect().toSeq
+      val expAgg = evB
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").as("sum_value"))
+        .orderBy("hour", "event_type").collect().toSeq
+      assert(gotAgg.nonEmpty && gotAgg == expAgg)
+
+      // q65: dropDuplicates state carries across batches (first-sight emit)
+      val gotDedup = canon(StreamingReconcile.dedupStream(spark, root))
+      val expDedup = canon(evB.select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users")))
+      assert(gotDedup.nonEmpty && gotDedup == expDedup)
+
+      // the join really ran file-per-trigger: 3 chunks → >= 3 data batches
+      var waited = 0
+      while (joinBatches.get < 3 && waited < 100) { Thread.sleep(50); waited += 1 }
+      assert(joinBatches.get >= 3,
+        s"expected >= 3 data micro-batches for the chunked source, saw ${joinBatches.get}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("mapGroupsWithState sessionization matches the batch window form") {
     val events = graft.core.Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
