@@ -343,6 +343,56 @@ object Dedup {
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** Fixed-width duplicate-SPAN statistics (Lee et al. 2022,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language Models
+    * Better"): slide a `w`-token window over each document (stride 1) and
+    * count, per doc, how many windows also occur elsewhere. The suffix-
+    * array substring dedup of the paper re-expressed relationally: every
+    * duplicated substring of >= w tokens is covered by at least one
+    * duplicated window, so window counts are the (conservative) span
+    * signal. Complements [[chunkSharedCounts]]: CDC chunks are
+    * content-defined and coarse (avg 64 bytes, gaps at chunk boundaries);
+    * stride-1 windows are exact and boundary-free, at w× the explode
+    * fan-out — the classic recall/cost trade, so both are first-class.
+    *
+    * Counters per doc:
+    *  - `n_windows`     — total w-token windows (len - w + 1, 0 if short)
+    *  - `n_dup_windows` — windows whose hash occurs >= 2 times CORPUS-WIDE
+    *    (within-doc repetition counts: self-repetition is exactly what the
+    *    repetition-filtering path wants to see)
+    *  - `n_xdoc_windows`— windows shared with at least one OTHER doc
+    *    (distinct-doc counting — the cross-doc contamination signal)
+    *  - `dup_frac_u`    — floor(1e6 · n_dup_windows / n_windows)
+    *
+    * Scale shape: one explode pass (w-token strings die inside the
+    * projection that hashes them — only 8-byte hashes reach the exchange),
+    * then two aggregates and a join-back, all keyed on the 8-byte window
+    * hash / doc id. Hash is the oracle-portable md5 family so the DuckDB
+    * gate recomputes every counter bit-for-bit (q92). */
+  def duplicateSpanStats(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    val wins = df.select(col(idCol).as("doc_id"),
+      explode(wordShingles(col(textCol), w)).as("win"))
+      .select(col("doc_id"), portableHash(col("win")).as("h"))
+    val perDoc = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val hstats = perDoc.groupBy("h")
+      .agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
+    val agg = perDoc.join(hstats, "h")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("n_occ") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_xdoc_windows"))
+    // every corpus row appears in the output; short/NULL docs carry zeros
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_xdoc_windows"), lit(0L)).as("n_xdoc_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          floor(lit(1e6) * col("n_dup_windows") / col("n_windows")).cast("long"))
+          .otherwise(lit(0L)).as("dup_frac_u"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after
     * candidate scoring (a~b and b~c must collapse to ONE keeper even when

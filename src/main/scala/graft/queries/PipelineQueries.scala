@@ -388,8 +388,41 @@ object PipelineQueries {
         .groupBy("user_id")
         .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
-    })
+    }),
+
+    // BM25 ranked retrieval (inverted-index plan, broadcast query terms,
+    // k-bounded rank). Scores are the quantised odds-idf form — every
+    // arithmetic op IEEE-exact and spelled identically in the oracle SQL,
+    // so score_u and hence ranks match bit-for-bit (see Retrieval's
+    // Scaladoc for why libm ln is banned from the gate path). The fixed
+    // query set spans the fixture's df spectrum: 'dup' is rare (df≈5% of
+    // docs), the rest saturate — so ranking exercises both the idf and the
+    // tf/length factors.
+    "q91_bm25" -> ((s, dir) =>
+      graft.text.Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
+          bm25QueryDf(s), "text", "doc_id", k = 5)
+        .orderBy("query_id", "rank")),
+
+    // duplicate-SPAN statistics (Lee et al. 2022 substring dedup, stride-1
+    // 8-token windows, portable window hashes). Distinguishes within-doc
+    // repetition (n_dup_windows) from cross-doc contamination
+    // (n_xdoc_windows); the fixture's planted near-dup pairs and
+    // repetition docs light up exactly these counters.
+    "q92_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", w = 8)
+        .orderBy("doc_id"))
   )
+
+  /** The q91 fixed query set — (query_id, term), mirrored verbatim by the
+    * oracle's VALUES list. Terms must stay single whitespace-free tokens. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "merge",
+    2L -> "vector", 2L -> "query", 2L -> "fast",
+    3L -> "stream", 3L -> "filter")
+
+  private def bm25QueryDf(s: SparkSession) =
+    s.createDataFrame(Bm25Queries).toDF("query_id", "term")
 
   private val Toks = "string_split_regex(trim(text), '\\s+')"
   private def listCount(list: String, markers: String) =
@@ -541,6 +574,52 @@ object PipelineQueries {
       ("WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s " +
         "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
-        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id")
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+    // the score expression is SPELLED IDENTICALLY to Retrieval.scoreU —
+    // every op is IEEE-exact (+ - * / floor; no libm), so the quantised
+    // per-term scores, their integer sums, and the ranks match bit-for-bit
+    "q91_bm25" ->
+      (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
+        s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), " +
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t " +
+        "WHERE tok IN (SELECT term FROM q) GROUP BY tok), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t " +
+        "WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok), " +
+        "sc AS (SELECT query_id, doc_id, CAST(floor(" +
+        "1e6 * ((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))" +
+        ") AS BIGINT) AS s " +
+        "FROM tf JOIN q ON tf.tok = q.term JOIN dl USING (doc_id) " +
+        "JOIN dfq ON dfq.tok = tf.tok CROSS JOIN st), " +
+        "agg AS (SELECT query_id, doc_id, sum(s) AS score_u, count(*) AS n_hit_terms " +
+        "FROM sc GROUP BY query_id, doc_id), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score_u DESC, doc_id) AS rank FROM agg) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
+        "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
+        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"),
+    // stride-1 8-token windows; slice bounds are INCLUSIVE in DuckDB, so
+    // tk[i:i+7] is the 8-token window starting at i (1-based)
+    "q92_dup_spans" ->
+      (s"WITH t AS (SELECT doc_id, $Toks AS tk FROM documents), " +
+        "w AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8 THEN " +
+        "list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) " +
+        "ELSE [] END) AS win FROM t), " +
+        s"h AS (SELECT doc_id, ${PortableSql.hex15("md5(win)")} AS h FROM w), " +
+        "pd AS (SELECT doc_id, h, count(*) AS c FROM h GROUP BY doc_id, h), " +
+        "hs AS (SELECT h, sum(c) AS n_occ, count(*) AS n_docs FROM pd GROUP BY h), " +
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows, " +
+        "CAST(sum(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
+        "CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_xdoc_windows " +
+        "FROM pd JOIN hs USING (h) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, " +
+        "coalesce(n_dup_windows, 0) AS n_dup_windows, " +
+        "coalesce(n_xdoc_windows, 0) AS n_xdoc_windows, " +
+        "CASE WHEN coalesce(n_windows, 0) > 0 THEN " +
+        "CAST(floor(1e6 * n_dup_windows / n_windows) AS BIGINT) ELSE 0 END AS dup_frac_u " +
+        "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id")
   )
 }

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.TopKAggregate
+
+/** BM25 ranked retrieval over the documents corpus (north-star extension;
+  * keyword search is the retrieval counterpart of the embedding ANN in
+  * [[graft.sim.Similarity]] — a training-data pipeline uses it for targeted
+  * corpus probes, contamination triage, and boolean-ish filtering where no
+  * embedding model is in the loop).
+  *
+  * Scale shape (the inverted-index plan, expressed relationally):
+  *
+  *  1. one explode pass over `text` builds the postings relation
+  *     (doc_id, tok); per-doc term frequencies and doc lengths are
+  *     map-side partial aggregates on it
+  *  2. the query relation is tiny by construction (a handful of terms) and
+  *     is BROADCAST to the postings — the corpus never shuffles on anything
+  *     wider than its own (doc_id, tok) aggregate keys
+  *  3. document frequencies are computed only for query terms (semi-join
+  *     first, then aggregate): the df relation entering the score join is
+  *     ≤ |query terms| rows, broadcast
+  *  4. per-(query, doc) scores sum ≤ |query terms| values; the final top-k
+  *     uses the k-bounded [[TopKAggregate]] partial aggregate, so the rank
+  *     shuffle carries O(tasks × k) rows, independent of corpus size
+  *
+  * Cross-engine determinism: the standard BM25 idf is `ln((N-df+0.5)/
+  * (df+0.5))`, but `ln` is a libm call with no cross-engine rounding
+  * guarantee, while `+ - * /` and comparisons on doubles are IEEE-exact —
+  * bit-identical wherever evaluated in the same order. The gate-portable
+  * score therefore uses the raw Robertson–Spärck-Jones odds `(N-df+0.5)/
+  * (df+0.5)` (the log's argument) as the idf factor, PER-TERM-quantised to
+  * `floor(1e6·s)` before the (order-free, exact) integer sum across terms.
+  * The DuckDB oracle spells the identical expression tree, so scores and
+  * hence ranks match bit-for-bit. The log-idf variant ranks per-term hits
+  * identically (log is monotone); it is kept as [[bm25LogIdf]] for callers
+  * that want textbook weights and is spec-compared for per-term rank
+  * agreement.
+  */
+object Retrieval {
+
+  /** Per-term quantised BM25 partial score — see the object doc for why
+    * the idf is the raw odds ratio and the result is a quantised long.
+    * All inputs are exact integers in double space; every op is IEEE-exact
+    * and ordered left-to-right, mirroring the oracle SQL text. */
+  private def scoreU(
+      tf: Column, df: Column, dl: Column, nDocs: Column, avgdl: Column,
+      k1: Double, b: Double): Column = {
+    val idf = (nDocs - df + lit(0.5)) / (df + lit(0.5))
+    val num = tf * lit(k1 + 1)
+    val den = tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl)
+    floor(lit(1e6) * idf * num / den).cast("long")
+  }
+
+  /** Textbook BM25 per-term score (log idf, double) — NOT oracle-portable
+    * (libm ln); spec'd against [[scoreU]] for per-term rank agreement. */
+  def bm25LogIdf(
+      tf: Column, df: Column, dl: Column, nDocs: Column, avgdl: Column,
+      k1: Double = 1.2, b: Double = 0.75): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    idf * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+  }
+
+  /** Top-`k` documents per query by quantised-BM25 score.
+    *
+    * @param docs       corpus with `idCol` and `textCol`
+    * @param queryTerms (query_id, term) relation — small, broadcast
+    * @return (query_id, doc_id, rank, score_u, n_hit_terms), rank 1..k by
+    *         score DESC then doc_id ASC
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus stats as a 1-row broadcast relation (no driver-side action):
+    // N counts every corpus row; avgdl averages over docs that tokenize
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+    val q = queryTerms.select(col("query_id"), col("term"))
+    // df only for query terms: semi-join shrinks the aggregate input, and
+    // the resulting relation is ≤ |terms| rows -> broadcast into the score
+    val dfq = toks.join(broadcast(q.select("term").distinct()),
+        toks("tok") === col("term"), "left_semi")
+      .select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(q), tf("tok") === q("term"))
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),
+          k1, b).as("s"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
+    // k-bounded rank; score_u is far below 2^53, exact as the double key
+    agg.groupBy("query_id")
+      .agg(TopKAggregate.topK(
+        struct(col("score_u").cast("double").as("sd"), col("doc_id"),
+          col("score_u"), col("n_hit_terms")), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("hit.score_u").as("score_u"), col("hit.n_hit_terms").as("n_hit_terms"))
+  }
+}

@@ -209,6 +209,42 @@ class DedupSpec extends SparkSpec {
     assert(ratios(3L) == 0.0, s"doc 3 shared_ratio ${ratios(3L)}")
   }
 
+  test("duplicate spans: cross-doc shared span vs within-doc repetition vs short docs") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ") // 12 tokens -> 5 dup windows at w=8
+    val d = Seq(
+      (1L, s"${(1 to 20).map(i => s"a$i").mkString(" ")} $span"),
+      (2L, s"$span ${(1 to 20).map(i => s"b$i").mkString(" ")}"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")), // all unique
+      (4L, ("rep rep rep rep " * 5).trim), // within-doc repetition only
+      (5L, "too few tokens") // < w -> zero windows
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpanStats(d, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // docs 1 and 2: the 12-token planted span yields exactly 5 shared windows
+    assert(rows(1L)._3 == 5, s"doc1 xdoc ${rows(1L)}")
+    assert(rows(2L)._3 == 5, s"doc2 xdoc ${rows(2L)}")
+    assert(rows(1L)._1 == 25) // 32 tokens -> 25 windows
+    // unique doc: nothing duplicated anywhere
+    assert(rows(3L) == ((23L, 0L, 0L, 0L)))
+    // within-doc repetition: all 13 windows ("rep"×8) collide with each
+    // other (n_dup) but appear in no other doc (n_xdoc = 0)
+    assert(rows(4L)._1 == 13 && rows(4L)._2 == 13 && rows(4L)._3 == 0, s"doc4 ${rows(4L)}")
+    assert(rows(4L)._4 == 1000000L) // dup_frac_u saturates at 1e6
+    // short doc present with zeros
+    assert(rows(5L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("duplicate spans: sf0.001 planted near-dups light up n_xdoc_windows") {
+    val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", w = 8)
+    assert(stats.count() == docs.count()) // every corpus row present
+    val contaminated = stats.filter(col("n_xdoc_windows") > 0).count()
+    assert(contaminated >= 2, s"expected planted near-dup docs to share spans, got $contaminated")
+    // counters are consistent: dups >= xdocs, windows >= dups
+    assert(stats.filter(col("n_dup_windows") < col("n_xdoc_windows")).count() == 0)
+    assert(stats.filter(col("n_windows") < col("n_dup_windows")).count() == 0)
+  }
+
   test("shingles slide over tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("s"))

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(pairs: (Long, String)*) = pairs.toDF("query_id", "term")
+
+  test("bm25: tf raises score at equal length; rank is score desc then doc asc") {
+    // equal-length docs, increasing tf of the query term
+    val docs = Seq(
+      (1L, "x f1 f2 f3 f4 f5 f6 f7"),
+      (2L, "x x f1 f2 f3 f4 f5 f6"),
+      (3L, "x x x f1 f2 f3 f4 f5"),
+      (4L, "f1 f2 f3 f4 f5 f6 f7 f8")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, q(1L -> "x"), "text", "doc_id", k = 10)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L)) // doc 4 has no hit
+    val scores = r.map(_.getAs[Long]("score_u"))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+  }
+
+  test("bm25: longer doc scores below shorter at equal tf (length normalization)") {
+    val docs = Seq(
+      (1L, "x " + (1 to 7).map(i => s"f$i").mkString(" ")),
+      (2L, "x " + (1 to 40).map(i => s"g$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, q(1L -> "x"), "text", "doc_id")
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25: rare term dominates common term (idf), multi-term sums hits") {
+    // 'rare' in 1 doc, 'common' in all 4
+    val docs = Seq(
+      (1L, "rare common f1 f2 f3 f4 f5 f6"),
+      (2L, "common g1 g2 g3 g4 g5 g6 g7"),
+      (3L, "common h1 h2 h3 h4 h5 h6 h7"),
+      (4L, "common i1 i2 i3 i4 i5 i6 i7")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, q(1L -> "rare", 1L -> "common"), "text", "doc_id")
+      .orderBy("rank").collect()
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    assert(r.head.getAs[Long]("n_hit_terms") == 2L)
+    assert(r.tail.forall(_.getAs[Long]("n_hit_terms") == 1L))
+    // the rare-term winner's margin is large (idf odds 3.5/1.5 vs 0.5/4.5)
+    assert(r.head.getAs[Long]("score_u") > 3 * r(1).getAs[Long]("score_u"))
+  }
+
+  test("bm25: score invariant under repartitioning (order-free integer sum)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 2L -> "query")
+    val a = Retrieval.bm25TopK(docs, terms, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val b = Retrieval.bm25TopK(docs.repartition(13, col("doc_id")), terms, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("bm25: per-term ranking agrees with the textbook log-idf weights") {
+    // single-term queries: quantised odds-idf and log-idf are monotone
+    // transforms of the same (tf, dl) ordering -> identical rankings
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+    val tf = toks.filter(col("tok") === "dup")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = toks.filter(col("tok") === "dup")
+      .select("doc_id", "tok").distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id").join(dfq, "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        Retrieval.bm25LogIdf(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("avgdl")).as("log_s"))
+      .orderBy(desc("log_s"), col("doc_id"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val quantised = Retrieval.bm25TopK(docs, q(9L -> "dup"), "text", "doc_id", k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(scored == quantised)
+  }
+}
