@@ -374,6 +374,13 @@ object Dedup {
     val wins = df.select(col(idCol).as("doc_id"),
       explode(wordShingles(col(textCol), w)).as("win"))
       .select(col("doc_id"), portableHash(col("win")).as("h"))
+      // semantically no-ops on a key-columned corpus (md5-derived hashes
+      // are never null; rows without an id are excluded from the report by
+      // contract, matching the oracle's WHERE) — stated HERE so the joins
+      // below don't infer per-branch isnotnull filters, which would make
+      // the two perDoc consumers' subtrees differ and defeat ReuseExchange
+      // (the bigramStats trick; plan-guarded in PlanSpec)
+      .filter(col("h").isNotNull && col("doc_id").isNotNull)
     val perDoc = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val hstats = perDoc.groupBy("h")
       .agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
@@ -382,8 +389,12 @@ object Dedup {
       .agg(sum("c").as("n_windows"),
         sum(when(col("n_occ") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
         sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_xdoc_windows"))
-    // every corpus row appears in the output; short/NULL docs carry zeros
-    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+    // every id-carrying corpus row appears in the output; short/NULL-text
+    // docs carry zeros (NULL-id rows are outside the report's contract —
+    // stats are keyed by id, and the filter keeps both aggregate branches
+    // plan-identical, see above)
+    df.select(col(idCol).as("doc_id")).filter(col("doc_id").isNotNull)
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),

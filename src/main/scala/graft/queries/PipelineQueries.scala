@@ -604,7 +604,7 @@ object PipelineQueries {
     // stride-1 8-token windows; slice bounds are INCLUSIVE in DuckDB, so
     // tk[i:i+7] is the 8-token window starting at i (1-based)
     "q92_dup_spans" ->
-      (s"WITH t AS (SELECT doc_id, $Toks AS tk FROM documents), " +
+      (s"WITH t AS (SELECT doc_id, $Toks AS tk FROM documents WHERE doc_id IS NOT NULL), " +
         "w AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8 THEN " +
         "list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) " +
         "ELSE [] END) AS win FROM t), " +
@@ -620,6 +620,7 @@ object PipelineQueries {
         "coalesce(n_xdoc_windows, 0) AS n_xdoc_windows, " +
         "CASE WHEN coalesce(n_windows, 0) > 0 THEN " +
         "CAST(floor(1e6 * n_dup_windows / n_windows) AS BIGINT) ELSE 0 END AS dup_frac_u " +
-        "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id")
+        "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d " +
+        "LEFT JOIN agg USING (doc_id) ORDER BY doc_id")
   )
 }

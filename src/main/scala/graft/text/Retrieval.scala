@@ -13,15 +13,16 @@ import graft.functions.expressions.TopKAggregate
   *
   * Scale shape (the inverted-index plan, expressed relationally):
   *
-  *  1. one explode pass over `text` builds the postings relation
-  *     (doc_id, tok); per-doc term frequencies and doc lengths are
-  *     map-side partial aggregates on it
+  *  1. one explode pass over `text` builds the postings stream
+  *     (doc_id, dl, tok), with the doc length computed MAP-SIDE as the
+  *     token-array size — no corpus-wide doc-length aggregate or join
   *  2. the query relation is tiny by construction (a handful of terms) and
-  *     is BROADCAST to the postings — the corpus never shuffles on anything
-  *     wider than its own (doc_id, tok) aggregate keys
-  *  3. document frequencies are computed only for query terms (semi-join
-  *     first, then aggregate): the df relation entering the score join is
-  *     ≤ |query terms| rows, broadcast
+  *     is BROADCAST into that stream BEFORE any aggregation: the only rows
+  *     that ever reach an exchange are the postings of the query terms
+  *     themselves — the classic inverted-index access-path cost — never
+  *     the full vocabulary
+  *  3. document frequencies derive from the term-restricted tf relation
+  *     (distinct doc–term pairs), ≤ |query terms| rows, broadcast back
   *  4. per-(query, doc) scores sum ≤ |query terms| values; the final top-k
   *     uses the k-bounded [[TopKAggregate]] partial aggregate, so the rank
   *     shuffle carries O(tasks × k) rows, independent of corpus size
@@ -73,24 +74,34 @@ object Retrieval {
   def bm25TopK(
       docs: DataFrame, queryTerms: DataFrame, textCol: String, idCol: String,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // corpus stats as a 1-row broadcast relation (no driver-side action):
-    // N counts every corpus row; avgdl averages over docs that tokenize
-    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
-      dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
     val q = queryTerms.select(col("query_id"), col("term"))
-    // df only for query terms: semi-join shrinks the aggregate input, and
-    // the resulting relation is ≤ |terms| rows -> broadcast into the score
-    val dfq = toks.join(broadcast(q.select("term").distinct()),
-        toks("tok") === col("term"), "left_semi")
-      .select("doc_id", "tok").distinct()
+    // doc length rides along MAP-SIDE (size of the token array) — never a
+    // corpus-wide (doc, tok) aggregate or a doc-length join: the only rows
+    // that ever shuffle are the postings of the query terms themselves
+    // (the inverted-index access-path cost), everything else is broadcast
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val matched = toks.join(broadcast(q), toks("tok") === q("term"))
+    // tf per (query, doc, term); dl is functional on doc_id so grouping by
+    // it adds no cardinality
+    val tf = matched.groupBy("query_id", "doc_id", "tok", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // df over ALL docs containing the term, derived from the already
+    // term-restricted postings (distinct collapses multi-query terms);
+    // <= |terms| rows -> broadcast
+    val dfq = tf.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // corpus stats as a 1-row broadcast relation (no driver-side action):
+    // N counts every corpus row; avgdl averages over docs that tokenize —
+    // one column-pruned pass, map-side partial aggregate
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      docs.filter(col(textCol).isNotNull)
+        .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
+        .agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
     val scored = tf
-      .join(broadcast(q), tf("tok") === q("term"))
-      .join(dl, "doc_id")
       .join(broadcast(dfq), "tok")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

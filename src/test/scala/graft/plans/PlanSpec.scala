@@ -75,6 +75,22 @@ class PlanSpec extends SparkSpec {
     assert(gens.size == 1, s"expected 1 distinct explode pass over the corpus, got $gens:\n" + p.take(3000))
   }
 
+  test("q92: corpus-wide window stats reuse the per-doc window aggregate's exchange") {
+    // duplicateSpanStats derives the corpus hash-occurrence table from the
+    // same per-(doc, window-hash) aggregate that feeds the join-back — the
+    // executed plan must serve it as a ReusedExchange read and explode the
+    // corpus exactly ONCE (window explode + md5 per window is the dominant
+    // cost at corpus scale; the stated no-op isnotnull filters exist to
+    // keep both consumers' subtrees canonically identical)
+    val df = graft.SparkEntry.queries("q92_dup_spans")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val reuses = "ReusedExchange".r.findAllIn(p).size
+    assert(reuses == 1, s"corpus-stats branch must reuse the perDoc shuffle, got $reuses:\n" + p.take(3000))
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens == 1, s"expected 1 explode pass over the corpus, got $gens:\n" + p.take(3000))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
