@@ -49,6 +49,10 @@ import graft.text.TextAnalysis
   *    unscorable docs (< 2 tokens) also drop
   *  - `dedup_chunks` — drop docs whose CDC-chunk shared fraction exceeds
   *    `chunk_overlap_max` (boilerplate dominance)
+  *  - `dedup_spans` — drop docs whose cross-doc duplicate-SPAN fraction
+  *    (stride-1 8-token windows shared with another doc, q92's counters)
+  *    exceeds `span_overlap_max`; exact and boundary-free where CDC
+  *    chunks are coarse — same dominance caveat as `dedup_chunks`
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
@@ -76,6 +80,7 @@ object GraftPipeline {
       packBudget: Int, testPct: Int,
       bigramMin: Double = 0.0,
       chunkOverlapMax: Double = 0.5,
+      spanOverlapMax: Double = 0.5,
       benchmarkDir: String = "", benchmarkTable: String = "documents",
       mixRates: Map[String, Double] = Map.empty,
       seenStorePath: String = "",
@@ -144,6 +149,7 @@ object GraftPipeline {
       packBudget = kv.get("pack_budget").flatMap(_.toIntOption).getOrElse(512),
       testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1),
       chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
+      spanOverlapMax = kv.get("span_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
       benchmarkDir = kv.getOrElse("benchmark.path", ""),
       benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
       mixRates = rates,
@@ -238,6 +244,17 @@ object GraftPipeline {
         .select("doc_id")
       df.join(dominated, Seq("doc_id"), "left_anti")
     }),
+    // duplicate-SPAN dominance filter (q92's counters as a step): drop
+    // every doc whose cross-doc shared-window fraction exceeds
+    // span_overlap_max. Same dominance caveat as dedup_chunks (both
+    // members of a full-copy pair drop) — pair dedup first if needed.
+    "dedup_spans" -> ((c, df) => {
+      val dominated = Dedup.duplicateSpanStats(df, "doc_id", "text")
+        .filter(col("n_xdoc_windows") > lit(c.spanOverlapMax) * col("n_windows"))
+        .select("doc_id")
+      df.join(dominated, Seq("doc_id"), "left_anti")
+    }),
+
     // drop docs sharing any 3-gram shingle with the held-out benchmark set
     // (q60's check as a filter; the benchmark side is tiny -> broadcast)
     "contamination_filter" -> ((c, df) => {

@@ -92,6 +92,27 @@ class GraftPipelineSpec extends SparkSpec {
     assert(kept.contains(3L) && !kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("dedup_spans drops span-dominated docs, keeps unique and lightly-overlapping ones") {
+    import spark.implicits._
+    val out = tmpDir("pipe7")
+    val span = (1 to 40).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, span, "en", "src"),                                               // 100% shared windows
+      (2L, s"$span ${(1 to 60).map(i => s"b$i").mkString(" ")}", "en", "src"), // ~33% shared -> kept at 0.5
+      (3L, (1 to 100).map(i => s"uniq$i").mkString(" "), "en", "src")        // unique
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("dedup_spans"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      spanOverlapMax = 0.5)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+  }
+
   test("bigram_filter keeps coherent docs, drops scrambled and unscorable ones") {
     import spark.implicits._
     val out = tmpDir("pipe6")
