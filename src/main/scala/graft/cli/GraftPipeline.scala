@@ -53,6 +53,10 @@ import graft.text.TextAnalysis
   *    (stride-1 8-token windows shared with another doc, q92's counters)
   *    exceeds `span_overlap_max`; exact and boundary-free where CDC
   *    chunks are coarse — same dominance caveat as `dedup_chunks`
+  *  - `strip_dup_spans` — REMOVE corpus-duplicated 8-token spans from the
+  *    text instead of dropping whole docs (Lee et al. 2022 applied; q93).
+  *    Text-MUTATING: ordering guard vs `dedup_seen` applies; output text
+  *    is whitespace-normalised by construction
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
@@ -99,7 +103,8 @@ object GraftPipeline {
     * text-mutating step AFTER dedup_seen would make stored hashes never
     * match any future shard's filter-time hashes, silently disabling
     * incremental dedup. Rejected at config time. */
-  private val TextMutatingSteps = Set("strip_html", "normalize", "redact")
+  private val TextMutatingSteps =
+    Set("strip_html", "normalize", "redact", "strip_dup_spans")
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -244,6 +249,17 @@ object GraftPipeline {
         .select("doc_id")
       df.join(dominated, Seq("doc_id"), "left_anti")
     }),
+    // duplicate-span REMOVAL (q93's transform as a step): replace text
+    // with its span-stripped form; docs whose text empties out entirely
+    // survive (a later quality/length filter is the right dropper — the
+    // paper's own recipe)
+    "strip_dup_spans" -> ((c, df) => {
+      val cleaned = Dedup.removeDuplicateSpans(df, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"))
+      df.drop("text").join(cleaned, Seq("doc_id"), "left")
+        .withColumnRenamed("clean_text", "text")
+    }),
+
     // duplicate-SPAN dominance filter (q92's counters as a step): drop
     // every doc whose cross-doc shared-window fraction exceeds
     // span_overlap_max. Same dominance caveat as dedup_chunks (both

@@ -404,6 +404,69 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_frac_u"))
   }
 
+  /** Duplicate-span REMOVAL — the transform half of [[duplicateSpanStats]]
+    * (Lee et al. 2022 apply this to C4/RealNews and show models memorise
+    * less and train faster): every token covered by a `w`-token window
+    * whose hash occurs >= 2 times corpus-wide is cut, and the survivors are
+    * rejoined with single spaces. The output text is therefore
+    * whitespace-NORMALISED by construction (both engines rebuild from the
+    * token stream, so the oracle matches bit-for-bit).
+    *
+    * Relational shape, one window-explode pass:
+    *
+    *  1. (doc, start, hash) per window; global occurrence counts come from
+    *     a count-over-`hash`-partition window function on the SAME pass —
+    *     one shuffle keyed by the 8-byte hash, no second explode and no
+    *     aggregate-vs-probe exchange mismatch
+    *  2. duplicated starts expand to covered token positions
+    *     (`sequence(start, start+w-1)`, deduped on (doc, pos))
+    *  3. the token stream anti-joins covered positions and reassembles per
+    *     doc (sort by position inside a single-doc group — group state is
+    *     bounded by the doc itself)
+    *
+    * Returns every id-carrying row: (doc_id, clean_text, n_tokens,
+    * n_tokens_removed); NULL text stays NULL with zero counts.
+    *
+    * A doc whose every window is duplicated collapses to the empty string —
+    * pair this with a min-length filter downstream, exactly as the paper
+    * does. */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(wordShingles(col("__text"), w)).as(Seq("start", "win")))
+      .select(col("doc_id"), col("start"), portableHash(col("win")).as("h"))
+    val dupStarts = wins
+      .withColumn("__n_occ",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("__n_occ") >= 2)
+      .select(col("doc_id"), col("start"))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("__text"))).as(Seq("pos", "tok")))
+    val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as("clean_text"))
+    base.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("__text"))).as("__n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__n_tokens").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        coalesce(col("__n_tokens"), lit(0)).cast("long").as("n_tokens"),
+        (coalesce(col("__n_tokens"), lit(0)) -
+          coalesce(col("__n_kept"), lit(0L))).cast("long").as("n_tokens_removed"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after
     * candidate scoring (a~b and b~c must collapse to ONE keeper even when

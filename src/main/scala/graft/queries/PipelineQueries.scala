@@ -411,6 +411,16 @@ object PipelineQueries {
     "q92_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpanStats(Tables.load(s, dir, "documents"),
           "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+
+    // duplicate-span REMOVAL (the transform half of q92 — Lee et al. 2022
+    // applied, not just measured): tokens covered by a corpus-duplicated
+    // 8-token window are cut and the survivors rejoined. The cleaned TEXT
+    // itself is the emission, so the DuckDB gate verifies the actual
+    // transform output string-for-string, not a summary of it.
+    "q93_strip_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", w = 8)
         .orderBy("doc_id"))
   )
 
@@ -621,6 +631,28 @@ object PipelineQueries {
         "CASE WHEN coalesce(n_windows, 0) > 0 THEN " +
         "CAST(floor(1e6 * n_dup_windows / n_windows) AS BIGINT) ELSE 0 END AS dup_frac_u " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d " +
-        "LEFT JOIN agg USING (doc_id) ORDER BY doc_id")
+        "LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
+    // parallel unnests zip (q90 trick): window text and its 1-based start
+    // come from the same two equal-length lists; DISTINCT applies AFTER
+    // the unnest expansion, mirroring Spark's explode->distinct
+    "q93_strip_dup_spans" ->
+      (s"WITH d0 AS (SELECT doc_id, text, $Toks AS tk FROM documents WHERE doc_id IS NOT NULL), " +
+        "w AS (SELECT doc_id, " +
+        "unnest(CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) ELSE [] END) AS win, " +
+        "unnest(CASE WHEN len(tk) >= 8 THEN range(1, len(tk) - 6) ELSE [] END) AS i FROM d0), " +
+        s"h AS (SELECT doc_id, i, ${PortableSql.hex15("md5(win)")} AS h FROM w), " +
+        "hs AS (SELECT h, count(*) AS n_occ FROM h GROUP BY h), " +
+        "dup AS (SELECT doc_id, i FROM h JOIN hs USING (h) WHERE n_occ >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS pos FROM dup), " +
+        "tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM d0), " +
+        "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)), " +
+        "clean AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) " +
+        "SELECT d0.doc_id, " +
+        "CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(clean_text, '') END AS clean_text, " +
+        "CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed " +
+        "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id")
   )
 }

@@ -113,6 +113,29 @@ class GraftPipelineSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), s"kept $kept")
   }
 
+  test("strip_dup_spans rewrites text in place, then a length filter can drop the husks") {
+    import spark.implicits._
+    val out = tmpDir("pipe8")
+    val span = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val uniq = (1 to 60).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, span, "en", "src"),              // all windows dup'd vs doc 2's prefix
+      (2L, s"$span $uniq", "en", "src"),    // span stripped, unique tail survives
+      (3L, (1 to 50).map(i => s"v$i").mkString(" "), "en", "src")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("strip_dup_spans"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    GraftPipeline.run(spark, cfg)
+    val byId = spark.read.parquet(s"$out/shards").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "")          // rewritten, not dropped
+    assert(byId(2L) == uniq, s"doc2: ${byId(2L).take(80)}")
+    assert(byId(3L) == (1 to 50).map(i => s"v$i").mkString(" "))
+  }
+
   test("bigram_filter keeps coherent docs, drops scrambled and unscorable ones") {
     import spark.implicits._
     val out = tmpDir("pipe6")
@@ -272,6 +295,7 @@ class GraftPipelineSpec extends SparkSpec {
     // mutator AFTER dedup_seen: the store would hold hashes of rewritten
     // text that can never match a future shard's filter-time hashes
     for (bad <- Seq("dedup_seen,normalize", "dedup_seen,redact",
+                    "dedup_seen,strip_dup_spans",
                     "normalize,dedup_seen,quality_filter,strip_html")) {
       val err = GraftPipeline.fromKv(kv(bad)).swap.toOption.get
       assert(err.contains("dedup_seen"), s"steps=$bad should be rejected: $err")

@@ -245,6 +245,38 @@ class DedupSpec extends SparkSpec {
     assert(stats.filter(col("n_windows") < col("n_dup_windows")).count() == 0)
   }
 
+  test("removeDuplicateSpans: shared spans cut from both docs, unique text intact, full-dup doc empties") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val uniq1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val uniq2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$uniq1 $span"),
+      (2L, s"$span $uniq2"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (4L, s"$uniq1 $span"), // exact copy of doc 1 -> all windows dup'd -> empties
+      (5L, "too few tokens"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 3 untouched (already single-spaced, so rebuild is identity)
+    assert(rows(3L)._1 == (1 to 30).map(i => s"u$i").mkString(" "))
+    assert(rows(3L)._3 == 0)
+    // docs 1/4 are exact copies: every window dup'd, all text removed
+    assert(rows(1L)._1 == "" && rows(1L)._3 == 32, s"doc1 ${rows(1L)}")
+    assert(rows(4L)._1 == "" && rows(4L)._3 == 32)
+    // doc 2 shares only the 12-token span with 1/4: dup windows are the 5
+    // fully-inside-span starts, covering span positions 0..11 -> the 12
+    // span tokens go, the 20 unique tokens stay
+    assert(rows(2L)._1 == uniq2, s"doc2 ${rows(2L)}")
+    assert(rows(2L)._3 == 12)
+    // short doc: no windows, nothing removed
+    assert(rows(5L) == (("too few tokens", 3L, 0L)))
+    // null text: stays null, zero counts
+    assert(rows(6L)._1 == null && rows(6L)._2 == 0 && rows(6L)._3 == 0)
+  }
+
   test("shingles slide over tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("s"))
