@@ -29,12 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** The 10 most expensive catalog queries by BENCH_r04 median. */
+  /** The most expensive catalog queries by BENCH_r04 median, plus the
+    * round-5 duplicate-span pair (top-4 by r5 median — corpus-wide window
+    * hashing is exactly the kind of pass whose trend matters). */
   val Heavy: Seq[String] = Seq(
     "q79_stream_join", "q83_ivf_index", "q70_range_join_rule",
     "q82_asof_broadcast", "q66_semantic_dedup", "q50_range_join",
     "q22_fingerprint_by_partition", "q80_chunk_overlap", "q54_knn_ivf",
-    "q16_join_agg")
+    "q16_join_agg", "q92_dup_spans", "q93_strip_dup_spans")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact
