@@ -223,6 +223,81 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** All document pairs within `maxHamming` bits on a SimHash signature —
+    * the web-crawl near-dup classic (Manku, Jarmin, Sarma, WWW 2007,
+    * "Detecting Near-Duplicates for Web Crawling"), made EXACT by
+    * pigeonhole banding: split the signature into `maxHamming + 1` blocks;
+    * any pair differing in ≤ maxHamming bits must agree on at least one
+    * whole block, so an equi-join on (block_index, block_value) generates
+    * a candidate superset with 100% recall BY CONSTRUCTION (not
+    * probabilistic like MinHash banding), and the exact popcount filter
+    * cuts it back to precisely the ≤ maxHamming set.
+    *
+    * Scale shape: only (id, sig, 2×8-byte block key) rows shuffle —
+    * `maxHamming + 1` of them per doc — and the exact check is
+    * `bit_count(xor)` on the already-joined 8-byte signatures; the text
+    * never moves. `maxBucket > 0` drops signature-degenerate buckets
+    * (e.g. thousands of empty docs sharing block value 0) at a DOCUMENTED
+    * recall cost — 0 (default) keeps the output exact, which is what the
+    * gate query verifies against an all-pairs DuckDB recomputation.
+    *
+    * @param sigs  (id, sig) relation; null signatures never pair
+    * @param bits  signature width (64 for [[simhash]], 48 for
+    *              [[portableSimhash]])
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
+    */
+  def simhashPairsOf(
+      sigs: DataFrame, bits: Int, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = (bits + nBlocks - 1) / nBlocks
+    val blockStructs = (0 until nBlocks).map { j =>
+      struct(lit(j).as("blk"),
+        shiftright(col("sig"), j * width)
+          .bitwiseAND(lit((1L << math.min(width, 62)) - 1)).as("v"))
+    }
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(blockStructs: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
+    val guarded =
+      if (maxBucket <= 0) banded
+      else {
+        val sizes = banded.groupBy("blk", "v").count()
+        banded.join(sizes, Seq("blk", "v"))
+          .filter(col("count") <= maxBucket).drop("count")
+      }
+    val a = guarded.select(col("blk"), col("v"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = guarded.select(col("blk"), col("v"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk", "v")).filter(col("id_b") > col("id_a"))
+      // a pair can agree on several blocks -> dedup before the popcount
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairsOf]] over the production 64-bit xxhash SimHash. */
+  def simhashPairs(
+      df: DataFrame, contentCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("id"), simhash(col(contentCol)).as("sig")),
+      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** [[simhashPairsOf]] over the oracle-portable 48-bit SimHash — the
+    * externally verifiable form (q94): DuckDB recomputes the signatures
+    * from raw text and the full all-pairs ≤ maxHamming ground truth. */
+  def portableSimhashPairs(
+      df: DataFrame, contentCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("id"), portableSimhash(col(contentCol)).as("sig")),
+      bits = PortableSimhashBits, maxHamming = maxHamming, maxBucket = maxBucket)
+
   /** Exact token-set Jaccard for bounded candidate pairs: docs whose ids
     * are within `window` of each other (a stand-in candidate generator; in
     * production pairs come from [[minhashPairs]]).

@@ -413,6 +413,18 @@ object PipelineQueries {
           "doc_id", "text", w = 8)
         .orderBy("doc_id")),
 
+    // SimHash near-dup pairs via pigeonhole banding (Manku et al. 2007):
+    // 4 blocks of the 48-bit portable signature, candidates = pairs
+    // agreeing on >= 1 block (100% recall for hamming <= 3 BY
+    // CONSTRUCTION, not probabilistically), exact popcount filter. The
+    // oracle recomputes signatures from raw text and the FULL all-pairs
+    // ground truth — quadratic only at gate SF; the Spark side stays
+    // banded-candidate-bounded.
+    "q94_simhash_pairs" -> ((s, dir) =>
+      Dedup.portableSimhashPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // duplicate-span REMOVAL (the transform half of q92 — Lee et al. 2022
     // applied, not just measured): tokens covered by a corpus-duplicated
     // 8-token window are cut and the survivors rejoined. The cleaned TEXT
@@ -632,6 +644,15 @@ object PipelineQueries {
         "CAST(floor(1e6 * n_dup_windows / n_windows) AS BIGINT) ELSE 0 END AS dup_frac_u " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d " +
         "LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
+    // all-pairs hamming ground truth over DuckDB-recomputed signatures;
+    // the banded Spark candidates are a provable superset (pigeonhole)
+    "q94_simhash_pairs" ->
+      (s"WITH sh AS (${PortableSql.simhashOracle()}) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash_p, b.simhash_p)) AS INT) AS hamming " +
+        "FROM sh a JOIN sh b ON b.doc_id > a.doc_id " +
+        "WHERE bit_count(xor(a.simhash_p, b.simhash_p)) <= 3 " +
+        "ORDER BY id_a, id_b"),
     // parallel unnests zip (q90 trick): window text and its 1-based start
     // come from the same two equal-length lists; DISTINCT applies AFTER
     // the unnest expansion, mirroring Spark's explode->distinct

@@ -245,6 +245,47 @@ class DedupSpec extends SparkSpec {
     assert(stats.filter(col("n_windows") < col("n_dup_windows")).count() == 0)
   }
 
+  test("simhashPairs: banded output equals brute-force hamming <= k (pigeonhole exactness)") {
+    // signatures engineered around the 4x12-bit block layout (bits=48, k=3):
+    // pairs differing in <= 3 bits MUST be found even when the flipped bits
+    // hit 3 DIFFERENT blocks; pairs differing in 4 spread bits must not
+    val s0 = 0x0000FFFFFFFFL
+    val sigs = Seq(
+      1L -> s0,
+      2L -> (s0 ^ (1L << 0)),                                // 1 bit, block 0
+      3L -> (s0 ^ (1L << 0) ^ (1L << 12) ^ (1L << 24)),      // 3 bits, 3 blocks
+      4L -> (s0 ^ (1L << 0) ^ (1L << 12) ^ (1L << 24) ^ (1L << 36)), // 4 bits, 4 blocks
+      5L -> 0x123456789ABCL                                  // far away
+    ).toDF("id", "sig")
+    val got = Dedup.simhashPairsOf(sigs, bits = 48, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same signatures
+    val all = Seq(1L -> s0, 2L -> (s0 ^ 1L), 3L -> (s0 ^ 1L ^ (1L << 12) ^ (1L << 24)),
+      4L -> (s0 ^ 1L ^ (1L << 12) ^ (1L << 24) ^ (1L << 36)), 5L -> 0x123456789ABCL)
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ib > ia
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // the 4-spread-bit pair is excluded even though it shares... no block:
+    // sanity that (1,4) and (3,4) are absent, (1,3) present at hamming 3
+    assert(got.contains((1L, 3L, 3)) && !got.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("simhashPairs: corpus near-dups pair, maxBucket guard only prunes, null text never pairs") {
+    val pairs = Dedup.portableSimhashPairs(withDups, "text", "doc_id", maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact copy (0, 200000) is at hamming 0; the one-token perturbed
+    // near-copies (i, i+100000) flip few majority votes
+    assert(got.contains((0L, 200000L)), s"exact copy missing: $got")
+    assert(got.exists(p => p._2 >= 100000L && p._2 < 200000L), s"no near-copy pair: $got")
+    // guard is prune-only: guarded output is a subset of exact output
+    val guarded = Dedup.portableSimhashPairs(withDups, "text", "doc_id",
+        maxHamming = 3, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(got), s"guard invented pairs: ${guarded.diff(got)}")
+  }
+
   test("removeDuplicateSpans: shared spans cut from both docs, unique text intact, full-dup doc empties") {
     val span = (1 to 12).map(i => s"s$i").mkString(" ")
     val uniq1 = (1 to 20).map(i => s"a$i").mkString(" ")
