@@ -413,6 +413,23 @@ object PipelineQueries {
           "doc_id", "text", w = 8)
         .orderBy("doc_id")),
 
+    // q91 routed through the PERSISTED inverted index (build → probe →
+    // drop, the q83 pattern): the emission must reproduce the direct
+    // bm25TopK ranking value-for-value, so the SAME oracle SQL verifies
+    // the whole index round trip — postings layout, bucket partition
+    // pruning, df/stats relations — externally. Bit-equality holds
+    // because the quantised score algebra is identical on both paths.
+    "q95_bm25_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_index")
+      try {
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
+        graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+
     // SimHash near-dup pairs via pigeonhole banding (Manku et al. 2007):
     // 4 blocks of the 48-bit portable signature, candidates = pairs
     // agreeing on >= 1 block (100% recall for hamming <= 3 BY
@@ -455,6 +472,33 @@ object PipelineQueries {
     "round((CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.4 ELSE 0.0 END) + " +
       "(CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1 THEN 0.3 ELSE 0.0 END) + " +
       s"(CASE WHEN CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) > 0.01 THEN 0.3 ELSE 0.0 END), 1)"
+
+
+  /** Shared q91/q95 oracle: the direct BM25 plan and the persisted-index
+    * probe must land value-identical, so one SQL text gates both. */
+  private def Bm25OracleSql: String =
+    (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
+        s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), " +
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t " +
+        "WHERE tok IN (SELECT term FROM q) GROUP BY tok), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t " +
+        "WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok), " +
+        "sc AS (SELECT query_id, doc_id, CAST(floor(" +
+        "1e6 * ((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))" +
+        ") AS BIGINT) AS s " +
+        "FROM tf JOIN q ON tf.tok = q.term JOIN dl USING (doc_id) " +
+        "JOIN dfq ON dfq.tok = tf.tok CROSS JOIN st), " +
+        "agg AS (SELECT query_id, doc_id, sum(s) AS score_u, count(*) AS n_hit_terms " +
+        "FROM sc GROUP BY query_id, doc_id), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score_u DESC, doc_id) AS rank FROM agg) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
+        "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
+        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank")
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -600,29 +644,10 @@ object PipelineQueries {
     // the score expression is SPELLED IDENTICALLY to Retrieval.scoreU —
     // every op is IEEE-exact (+ - * / floor; no libm), so the quantised
     // per-term scores, their integer sums, and the ranks match bit-for-bit
-    "q91_bm25" ->
-      (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
-        s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}), " +
-        "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), " +
-        "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t " +
-        "WHERE tok IN (SELECT term FROM q) GROUP BY tok), " +
-        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t " +
-        "WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok), " +
-        "sc AS (SELECT query_id, doc_id, CAST(floor(" +
-        "1e6 * ((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))" +
-        ") AS BIGINT) AS s " +
-        "FROM tf JOIN q ON tf.tok = q.term JOIN dl USING (doc_id) " +
-        "JOIN dfq ON dfq.tok = tf.tok CROSS JOIN st), " +
-        "agg AS (SELECT query_id, doc_id, sum(s) AS score_u, count(*) AS n_hit_terms " +
-        "FROM sc GROUP BY query_id, doc_id), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score_u DESC, doc_id) AS rank FROM agg) " +
-        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
-        "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
-        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"),
+    "q91_bm25" -> Bm25OracleSql,
+    // same oracle text: the index probe must land value-identical to q91
+    "q95_bm25_index" -> Bm25OracleSql,
+
     // stride-1 8-token windows; slice bounds are INCLUSIVE in DuckDB, so
     // tk[i:i+7] is the 8-token window starting at i (1-based)
     "q92_dup_spans" ->
@@ -677,3 +702,4 @@ object PipelineQueries {
         "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id")
   )
 }
+

@@ -64,6 +64,87 @@ object Retrieval {
     idf * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
   }
 
+  /** Persisted inverted index: build once, probe many — the retrieval
+    * analogue of [[graft.sim.Similarity.buildIvfIndex]]. At 100 TB the
+    * postings explode is the dominant cost; amortising it across query
+    * batches is the difference between a search index and a rescan.
+    *
+    * Layout under `path`:
+    *  - `postings/` — (tok, doc_id, dl, tf) PARTITIONED BY `bucket` =
+    *    pmod(xxhash64(tok), buckets), so a probe prunes to its terms'
+    *    bucket directories before reading a byte (same partition-pruning
+    *    play as the IVF index's centroid directories)
+    *  - `df/` — per-term document frequencies (vocabulary-sized)
+    *  - `stats/` — one row: corpus size + average doc length
+    */
+  def buildBm25Index(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      buckets: Int = 64): Unit = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val postings = toks.groupBy("doc_id", "tok", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // df from the postings just WRITTEN (not the lazy plan — same
+    // build-once rationale as buildIvfIndex's centroid re-read)
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$path/postings")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        docs.filter(col(textCol).isNotNull)
+          .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
+          .agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a persisted BM25 index: bit-identical to [[bm25TopK]] on the
+    * same corpus (spec'd, and q95 routes the q91 gate query through the
+    * index against the SAME oracle SQL). The query terms are collected
+    * driver-side to build LITERAL bucket/term filters — bounded by the
+    * query's own size (a handful of terms, never corpus data), and the
+    * literal predicate is what lets Spark prune non-probed bucket
+    * directories at the scan. */
+  def queryBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: DataFrame, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64): DataFrame = {
+    val q = queryTerms.select(col("query_id"), col("term"))
+    // bounded driver collect: |terms| rows by construction (the query
+    // itself, never corpus data)
+    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "queryTerms is empty")
+    // bucket predicate from FOLDABLE expressions — pmod(xxhash64(lit(t)))
+    // constant-folds to the same literal the writer computed, so Catalyst
+    // prunes non-probed bucket directories at the scan (plan-guarded).
+    // Partition values round-trip as STRINGS (type inference is off
+    // session-wide), so the comparison is string = string — a cast on the
+    // partition column would defeat pruning. The exact term filter then
+    // lands on the parquet footer.
+    val bucketPred = terms
+      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(buckets)).cast("string"))
+      .reduce(_ || _)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(bucketPred && col("tok").isin(terms: _*))
+    val tf = postings.join(broadcast(q), postings("tok") === q("term"))
+      .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
+    val dfq = broadcast(spark.read.parquet(s"$path/df")
+      .filter(col("tok").isin(terms: _*)))
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    val scored = tf.join(dfq, "tok").crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),
+          k1, b).as("s"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
+    rankTopK(agg, k)
+  }
+
   /** Top-`k` documents per query by quantised-BM25 score.
     *
     * @param docs       corpus with `idCol` and `textCol`
@@ -109,7 +190,12 @@ object Retrieval {
           k1, b).as("s"))
     val agg = scored.groupBy("query_id", "doc_id")
       .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
-    // k-bounded rank; score_u is far below 2^53, exact as the double key
+    rankTopK(agg, k)
+  }
+
+  /** k-bounded rank over (query_id, doc_id, score_u, n_hit_terms);
+    * score_u is far below 2^53, exact as the double sort key. */
+  private def rankTopK(agg: DataFrame, k: Int): DataFrame =
     agg.groupBy("query_id")
       .agg(TopKAggregate.topK(
         struct(col("score_u").cast("double").as("sd"), col("doc_id"),
@@ -118,5 +204,4 @@ object Retrieval {
       .select(col("query_id"), col("hit.doc_id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("hit.score_u").as("score_u"), col("hit.n_hit_terms").as("n_hit_terms"))
-  }
 }

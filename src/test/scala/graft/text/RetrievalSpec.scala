@@ -61,6 +61,31 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25 index: probe reproduces direct bm25TopK exactly and prunes bucket partitions") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 2L -> "query", 3L -> "stream")
+    val idx = tmpDir("bm25idx")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", idx, buckets = 64)
+    val direct = Retrieval.bm25TopK(docs, terms, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val probe = Retrieval.queryBm25Index(spark, idx, terms, k = 5)
+    val viaIndex = probe
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(viaIndex == direct,
+      s"index probe diverged:\n only-direct=${direct.diff(viaIndex)}\n only-index=${viaIndex.diff(direct)}")
+    // the postings scan must carry a partition filter on bucket (directory
+    // pruning) — without it every probe rescans the whole index
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [") &&
+      scans.split("PartitionFilters").exists(s => s.take(200).contains("bucket")),
+      "postings scan lost its bucket partition filter:\n" + scans.take(2500))
+    // and the pruned read touches fewer partitions than exist: the 5 terms
+    // hash into <= 5 of 64 buckets
+    val prunedFiles = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("postings"))
+    assert(prunedFiles.nonEmpty)
+  }
+
   test("bm25: per-term ranking agrees with the textbook log-idf weights") {
     // single-term queries: quantised odds-idf and log-idf are monotone
     // transforms of the same (tf, dl) ordering -> identical rankings
