@@ -68,6 +68,10 @@ import graft.text.TextAnalysis
   *  - `ann_query` — probe a persisted IVF index: the input relation is the
   *    query set, the output is (query_id, neighbor_id, cos, rank); must be
   *    the final step
+  *  - `bm25_index` — post-write build of a persisted term-bucket inverted
+  *    index at `bm25_index.path` over the written (doc_id, text)
+  *  - `bm25_query` — probe it: input is the (query_id, term) relation,
+  *    output (query_id, doc_id, rank, score_u, n_hit_terms); must be last
   *
   * At 100 TB each step keeps the scale shape its catalog query proved
   * (map-only, hash-grouped, or bounded-candidate); the final write is
@@ -92,7 +96,8 @@ object GraftPipeline {
       shardIdOverride: String = "",
       annIndexPath: String = "",
       annIdCol: String = "vec_id", annVecCol: String = "embedding",
-      annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4) {
+      annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4,
+      bm25IndexPath: String = "", bm25K: Int = 5) {
     /** Replay-guard key for the fingerprint store: one fold per shard. */
     def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
   }
@@ -130,6 +135,12 @@ object GraftPipeline {
     else if ((steps.contains("ann_index") || steps.contains("ann_query")) &&
         kv.getOrElse("ann_index.path", "").isEmpty)
       Left("ann_index / ann_query require ann_index.path")
+    else if ((steps.contains("bm25_index") || steps.contains("bm25_query")) &&
+        kv.getOrElse("bm25_index.path", "").isEmpty)
+      Left("bm25_index / bm25_query require bm25_index.path")
+    else if (steps.contains("bm25_query") && steps.last != "bm25_query")
+      Left("bm25_query replaces the relation with (query_id, doc_id, rank, " +
+        "score_u, n_hit_terms) — it must be the final step")
     else if (steps.contains("ann_query") && steps.last != "ann_query")
       Left("ann_query replaces the relation with (query_id, neighbor_id, cos, rank) " +
         "and must be the final step")
@@ -166,7 +177,9 @@ object GraftPipeline {
       annVecCol = kv.getOrElse("ann.vec_column", "embedding"),
       annCentroids = kv.get("ann.centroids").flatMap(_.toIntOption).getOrElse(16),
       annK = kv.get("ann.k").flatMap(_.toIntOption).getOrElse(10),
-      annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4))
+      annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4),
+      bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
+      bm25K = kv.get("bm25.k").flatMap(_.toIntOption).getOrElse(5))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -214,6 +227,14 @@ object GraftPipeline {
     // ann_index.path over the WRITTEN relation's ann.vec_column, so the
     // index always describes exactly what the pipeline shipped.
     "ann_index" -> ((_, df) => df),
+    // persisted inverted index over the WRITTEN relation's (doc_id, text)
+    // — post-write build like ann_index/fingerprint_store; no-op here
+    "bm25_index" -> ((_, df) => df),
+    // BM25 probe: the input relation IS the (query_id, term) set; the step
+    // replaces it with the top-k result — config requires it to be last
+    "bm25_query" -> ((c, df) =>
+      graft.text.Retrieval.queryBm25Index(df.sparkSession, c.bm25IndexPath,
+        df, c.bm25K)),
     // IVF ANN probe: the input relation IS the query set (ann.id_column +
     // ann.vec_column); the step replaces it with the top-k result
     // (query_id, neighbor_id, cos, rank) — config requires it to be last.
@@ -367,6 +388,9 @@ object GraftPipeline {
     if (cfg.steps.contains("ann_index"))
       graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
         cfg.annIndexPath, cfg.annCentroids)
+    if (cfg.steps.contains("bm25_index"))
+      graft.text.Retrieval.buildBm25Index(written, "text", "doc_id",
+        cfg.bm25IndexPath)
     (in, written.count())
   }
 

@@ -386,6 +386,59 @@ class GraftPipelineSpec extends SparkSpec {
       .swap.toOption.get.contains("final step"))
   }
 
+  test("bm25_index + bm25_query: build and probe a persisted inverted index via YAML") {
+    import spark.implicits._
+    val out = tmpDir("pipe9")
+    val buildYaml =
+      s"""input:
+         |  path: $sf001
+         |  table: documents
+         |output:
+         |  path: $out/shipped
+         |steps: bm25_index
+         |bm25_index:
+         |  path: $out/inv
+         |""".stripMargin
+    val buildCfg = GraftPipeline.fromKv(YamlConfig.parse(buildYaml)).toOption.get
+    assert(buildCfg.bm25IndexPath == s"$out/inv")
+    val (nIn, nOut) = GraftPipeline.run(spark, buildCfg)
+    assert(nIn == nOut && nOut > 0)
+    assert(spark.read.parquet(s"$out/inv/stats").count() == 1)
+
+    // probe: input relation IS the (query_id, term) set
+    Seq((1L, "dup"), (1L, "merge"), (2L, "vector"))
+      .toDF("query_id", "term")
+      .write.mode("overwrite").parquet(s"$out/q/terms.parquet")
+    val queryYaml =
+      s"""input:
+         |  path: $out/q
+         |  table: terms
+         |output:
+         |  path: $out/hits
+         |steps: bm25_query
+         |bm25_index:
+         |  path: $out/inv
+         |bm25:
+         |  k: 4
+         |""".stripMargin
+    val queryCfg = GraftPipeline.fromKv(YamlConfig.parse(queryYaml)).toOption.get
+    GraftPipeline.run(spark, queryCfg)
+    val got = spark.read.parquet(s"$out/hits")
+      .select("query_id", "doc_id", "rank", "score_u", "n_hit_terms")
+    val want = graft.text.Retrieval.bm25TopK(
+      spark.read.parquet(s"$sf001/documents.parquet"),
+      Seq((1L, "dup"), (1L, "merge"), (2L, "vector")).toDF("query_id", "term"),
+      "text", "doc_id", k = 4)
+    assert(got.collect().toSet == want.collect().toSet)
+
+    // config guards: path required; bm25_query must be last
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "bm25_index")).swap.toOption.get.contains("bm25_index.path"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "bm25_query,split", "bm25_index.path" -> "c"))
+      .swap.toOption.get.contains("final step"))
+  }
+
   test("fingerprint_store accumulates per-source (rows, fp) across shard runs") {
     import spark.implicits._
     val out = tmpDir("pipe6")
