@@ -88,7 +88,12 @@ object Retrieval {
     val postings = toks.groupBy("doc_id", "tok", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
-    postings.write.mode("overwrite").partitionBy("bucket")
+    // cluster rows by bucket before the partitioned write: without this
+    // every shuffle task writes a sliver into every bucket directory
+    // (tasks × buckets small files — measured 2.5x the build cost at
+    // sf0.1; at cluster scale it is also the metadata bomb)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     // df from the postings just WRITTEN (not the lazy plan — same
     // build-once rationale as buildIvfIndex's centroid re-read)
