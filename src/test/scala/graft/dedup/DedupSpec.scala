@@ -318,6 +318,28 @@ class DedupSpec extends SparkSpec {
     assert(rows(6L)._1 == null && rows(6L)._2 == 0 && rows(6L)._3 == 0)
   }
 
+  test("span stats and span removal agree on the fixture corpus") {
+    val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", w = 8)
+      .select(col("doc_id"), col("n_dup_windows"))
+    val removed = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 8)
+    val joined = stats.join(removed, "doc_id").cache()
+    try {
+      // a doc has removed tokens iff it has duplicated windows, and any
+      // dup window covers at least its own w tokens
+      assert(joined.filter(col("n_dup_windows") === 0 &&
+        col("n_tokens_removed") =!= 0).count() == 0)
+      assert(joined.filter(col("n_dup_windows") > 0 &&
+        col("n_tokens_removed") < 8).count() == 0)
+      assert(joined.filter(col("n_tokens_removed") > col("n_tokens")).count() == 0)
+      // untouched docs round-trip as their single-spaced token join
+      val untouched = joined.filter(col("n_dup_windows") === 0 && col("clean_text").isNotNull)
+        .join(docs, "doc_id")
+        .filter(col("clean_text") =!=
+          concat_ws(" ", graft.text.TextAnalysis.tokens(col("text"))))
+      assert(untouched.count() == 0)
+    } finally joined.unpersist()
+  }
+
   test("shingles slide over tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("s"))
