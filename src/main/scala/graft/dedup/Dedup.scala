@@ -489,10 +489,20 @@ object Dedup {
     *
     * Relational shape, one window-explode pass:
     *
-    *  1. (doc, start, hash) per window; global occurrence counts come from
-    *     a count-over-`hash`-partition window function on the SAME pass —
-    *     one shuffle keyed by the 8-byte hash, no second explode and no
-    *     aggregate-vs-probe exchange mismatch
+    *  1. (doc, start, hash) per window; the set of DUPLICATED hashes comes
+    *     from a `groupBy(hash).count >= 2` aggregate joined back to the
+    *     window stream — NOT a count-over-`hash`-partition window function.
+    *     The distinction is the whole scale story: this operator's target
+    *     corpus concentrates 10⁴–10⁸ occurrences on single span hashes
+    *     (Lee et al. 2022 report 60k+-fold spans in C4), and `WindowExec`
+    *     BUFFERS every row of a partition in one task — a straggler/spill
+    *     cliff on exactly the hot keys being removed. The aggregate shape
+    *     absorbs hot keys map-side (partial_count), the surviving
+    *     duplicated-hash relation is bounded by DISTINCT duplicated spans
+    *     (not occurrences) so it broadcasts when small, and when it does
+    *     shuffle the semi join streams (AQE skew-split applies to joins;
+    *     it cannot split a window partition). Plan-guarded: no WindowExec
+    *     in q93's executed plan (PlanSpec).
     *  2. duplicated starts expand to covered token positions
     *     (`sequence(start, start+w-1)`, deduped on (doc, pos))
     *  3. the token stream anti-joins covered positions and reassembles per
@@ -513,10 +523,10 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(wordShingles(col("__text"), w)).as(Seq("start", "win")))
       .select(col("doc_id"), col("start"), portableHash(col("win")).as("h"))
-    val dupStarts = wins
-      .withColumn("__n_occ",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("__n_occ"))
       .filter(col("__n_occ") >= 2)
+      .select("h")
+    val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), col("start"))
     val covered = dupStarts
       .select(col("doc_id"),

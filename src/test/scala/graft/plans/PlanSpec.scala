@@ -91,6 +91,26 @@ class PlanSpec extends SparkSpec {
     assert(gens == 1, s"expected 1 explode pass over the corpus, got $gens:\n" + p.take(3000))
   }
 
+  test("q93: duplicate-span removal never plans a WindowExec (hot-key buffering)") {
+    // removeDuplicateSpans targets corpora where ONE span hash carries
+    // 10^4-10^8 occurrences (Lee et al. 2022: 60k+-fold spans in C4).
+    // WindowExec buffers a whole partition in one task, so a
+    // count-over-Window.partitionBy(h) is a straggler/spill cliff on
+    // exactly those keys; the aggregate+join-back shape absorbs them
+    // map-side and streams the join. The `pack` step's running sum is the
+    // only legitimate window in the codebase — q93 must have none.
+    val df = graft.SparkEntry.queries("q93_strip_dup_spans")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "q93 must not buffer span-hash partitions:\n" +
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // the duplicated-hash relation is bounded by DISTINCT duplicated spans;
+    // on the fixture it broadcasts — the no-shuffle-of-the-window-stream form
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin") || fin.contains("ShuffledHashJoin") ||
+      fin.contains("SortMergeJoin"), fin.take(1500))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
