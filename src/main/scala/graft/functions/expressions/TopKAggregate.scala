@@ -22,11 +22,17 @@ import org.apache.spark.sql.types._
   * across the shuffle, and the final merge keeps the global k. At 100 TB the
   * shuffle volume is O(tasks × k), independent of corpus size.
   *
-  * Input is a struct whose FIRST field is the score (double); the result
-  * array is sorted score-DESC, remaining fields ASC (the usual
+  * Input is a struct whose FIRST field is the score (double or long); the
+  * result array is sorted score-DESC, remaining fields ASC (the usual
   * `desc(score), id` tiebreak) — so `posexplode` + `pos+1` reproduces
-  * `row_number()` exactly. NaN sorts above all values and -0.0 below 0.0,
-  * matching Spark's sort semantics for double.
+  * `row_number()` exactly. For double scores NaN sorts above all values
+  * and -0.0 below 0.0, matching Spark's sort semantics. Long scores
+  * compare as integers — quantised-score rankers (BM25's `score_u`)
+  * sort on the long DIRECTLY: routing a long through a double key silently
+  * collapses distinct values above 2^53 (a df=1 BM25 term's quantised
+  * odds-idf is ~2.2e6·N, crossing 2^53 near N≈4e9 docs — within the 100 TB
+  * design envelope), which would tie-break by doc_id differently than an
+  * integer-ordered oracle.
   */
 case class BoundedTopK(
     child: Expression,
@@ -45,9 +51,13 @@ case class BoundedTopK(
   // there and the remaining fields break the tie ascending.
   private lazy val tieOrdering = RowOrdering.createNaturalAscendingOrdering(fieldTypes)
 
+  private lazy val scoreIsLong = childType.head.dataType == LongType
+
   /** Negative iff `a` ranks before (better than) `b`: score DESC, rest ASC. */
   private def rank(a: InternalRow, b: InternalRow): Int = {
-    val c0 = java.lang.Double.compare(b.getDouble(0), a.getDouble(0))
+    val c0 =
+      if (scoreIsLong) java.lang.Long.compare(b.getLong(0), a.getLong(0))
+      else java.lang.Double.compare(b.getDouble(0), a.getDouble(0))
     if (c0 != 0) c0 else tieOrdering.compare(a, b)
   }
 
@@ -121,12 +131,13 @@ case class BoundedTopK(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case s: StructType if s.nonEmpty && s.head.dataType == DoubleType &&
+      case s: StructType if s.nonEmpty &&
+          (s.head.dataType == DoubleType || s.head.dataType == LongType) &&
           RowOrdering.isOrderable(s) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs a struct with a leading double score, got ${other.sql}")
+          s"$prettyName needs a struct with a leading double or long score, got ${other.sql}")
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =

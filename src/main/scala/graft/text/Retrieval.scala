@@ -118,12 +118,45 @@ object Retrieval {
   def queryBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: DataFrame, k: Int = 5,
-      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64): DataFrame = {
-    val q = queryTerms.select(col("query_id"), col("term"))
+      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    // distinct: a duplicated (query_id, term) row would otherwise duplicate
+    // scored rows (doubling score_u/n_hit_terms) and break the documented
+    // bit-equality with bm25TopK — which dedups the same way
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
     // bounded driver collect: |terms| rows by construction (the query
     // itself, never corpus data)
-    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty, "queryTerms is empty")
+    val allTerms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "queryTerms is empty")
+    // df-ceiling (stopword guard): the persisted df/ relation makes the
+    // ceiling enforceable BEFORE the postings scan — a stopword-like term
+    // ("the") has postings ≈ the whole corpus, and without the guard one
+    // hot term degrades the index probe to a corpus-sized read. Dropping a
+    // term is only APPROXIMATELY rank-safe: its near-zero odds-idf still
+    // contributes to score_u and n_hit_terms (default 1.0 = off, which is
+    // what the bit-exact gate queries use). Dropped terms are named on
+    // stderr. The df probe itself is footer-pruned to |terms| rows.
+    val terms =
+      if (maxDfFrac >= 1.0) allTerms
+      else {
+        val nDocs = spark.read.parquet(s"$path/stats")
+          .select("n_docs").head().getLong(0)
+        val dfMap = spark.read.parquet(s"$path/df")
+          .filter(col("tok").isin(allTerms: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (hot, kept) = allTerms.partition(t =>
+          dfMap.getOrElse(t, 0L) > maxDfFrac * nDocs)
+        if (hot.nonEmpty) System.err.println(
+          s"[bm25] dropping ${hot.size} term(s) over df ceiling " +
+            s"($maxDfFrac of $nDocs docs): ${hot.mkString(", ")}")
+        kept
+      }
+    if (terms.isEmpty) // keep query_id's own type; everything else is fixed
+      return q.select(col("query_id")).limit(0)
+        .withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("rank", lit(null).cast("int"))
+        .withColumn("score_u", lit(null).cast("long"))
+        .withColumn("n_hit_terms", lit(null).cast("long"))
     // bucket predicate from FOLDABLE expressions — pmod(xxhash64(lit(t)))
     // constant-folds to the same literal the writer computed, so Catalyst
     // prunes non-probed bucket directories at the scan (plan-guarded).
@@ -159,8 +192,13 @@ object Retrieval {
     */
   def bm25TopK(
       docs: DataFrame, queryTerms: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val q = queryTerms.select(col("query_id"), col("term"))
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    // distinct: a duplicated (query_id, term) row would inflate that term's
+    // tf (explode-join counts each copy), a NONLINEAR score change — and
+    // would break bit-equality with the index probe. Dedup at the contract
+    // boundary so both paths agree for any input relation.
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
     // doc length rides along MAP-SIDE (size of the token array) — never a
     // corpus-wide (doc, tok) aggregate or a doc-length join: the only rows
     // that ever shuffle are the postings of the query terms themselves
@@ -187,8 +225,17 @@ object Retrieval {
       docs.filter(col(textCol).isNotNull)
         .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
         .agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
-    val scored = tf
-      .join(broadcast(dfq), "tok")
+    // df-ceiling in the DIRECT path bounds the score aggregate, not the
+    // scan (df is only known after the term-restricted postings exist —
+    // the I/O-pruning form of this guard lives in [[queryBm25Index]],
+    // where the persisted df/ relation is consultable BEFORE the scan).
+    // Same approximate-rank-safety caveat; default 1.0 = off.
+    val limited =
+      if (maxDfFrac >= 1.0) tf.join(broadcast(dfq), "tok")
+      else tf.join(broadcast(dfq), "tok").crossJoin(broadcast(stats.select(
+          col("n_docs").as("__n"))))
+        .filter(col("df") <= lit(maxDfFrac) * col("__n")).drop("__n")
+    val scored = limited
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),
@@ -198,13 +245,17 @@ object Retrieval {
     rankTopK(agg, k)
   }
 
-  /** k-bounded rank over (query_id, doc_id, score_u, n_hit_terms);
-    * score_u is far below 2^53, exact as the double sort key. */
+  /** k-bounded rank over (query_id, doc_id, score_u, n_hit_terms). The
+    * sort key is the quantised LONG itself — never a double: a df=1 term's
+    * quantised odds-idf is ~2.2e6·N, which crosses 2^53 near N≈4e9 docs
+    * (inside the 100 TB envelope), where a double key would collapse
+    * distinct scores and tie-break by doc_id differently than an
+    * integer-ordered oracle. [[TopKAggregate]] compares a leading long
+    * score with Long.compare, so ranking stays exact at any corpus size. */
   private def rankTopK(agg: DataFrame, k: Int): DataFrame =
     agg.groupBy("query_id")
       .agg(TopKAggregate.topK(
-        struct(col("score_u").cast("double").as("sd"), col("doc_id"),
-          col("score_u"), col("n_hit_terms")), k).as("topk"))
+        struct(col("score_u"), col("doc_id"), col("n_hit_terms")), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), col("hit.doc_id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),

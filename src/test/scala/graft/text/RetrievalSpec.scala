@@ -86,6 +86,60 @@ class RetrievalSpec extends SparkSpec {
     assert(prunedFiles.nonEmpty)
   }
 
+  test("bm25: duplicated (query_id, term) rows leave both paths unchanged and agreeing") {
+    // without the contract-boundary distinct, the direct path inflates tf
+    // (nonlinear score change) while the index path duplicates scored rows
+    // (doubling score_u/n_hit_terms) — the two 'bit-identical' paths
+    // diverge from EACH OTHER on the same input
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val clean = q(1L -> "dup", 1L -> "merge", 2L -> "vector")
+    val dup = clean.unionAll(q(1L -> "dup", 2L -> "vector")) // repeated rows
+    val idx = tmpDir("bm25idx_dup")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", idx, buckets = 16)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val direct = set(Retrieval.bm25TopK(docs, clean, "text", "doc_id"))
+    assert(set(Retrieval.bm25TopK(docs, dup, "text", "doc_id")) == direct)
+    assert(set(Retrieval.queryBm25Index(spark, idx, dup, buckets = 16)) == direct)
+  }
+
+  test("bm25 df-ceiling: hot term dropped before the index scan; direct path agrees") {
+    // 'zzstop' is in every doc (stopword-like, df = N); 'needle' in 2 of
+    // 20. With maxDfFrac = 0.5 the probe must behave as if the hot term
+    // were never queried — and the postings scan must never name it (the
+    // I/O bound the guard exists for: one hot term otherwise degrades the
+    // index probe to a corpus-sized read).
+    val docs = (1L to 20L).map { i =>
+      val tail = if (i <= 2) "needle" else s"w$i"
+      (i, s"zzstop f${i}a f${i}b f${i}c $tail")
+    }.toDF("doc_id", "text")
+    val idx = tmpDir("bm25idx_df")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", idx, buckets = 16)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val guarded = Retrieval.queryBm25Index(spark, idx,
+      q(1L -> "needle", 1L -> "zzstop"), buckets = 16, maxDfFrac = 0.5)
+    val restricted = Retrieval.queryBm25Index(spark, idx, q(1L -> "needle"),
+      buckets = 16)
+    assert(set(guarded) == set(restricted),
+      "df-ceiling probe must equal the hot-term-free probe")
+    // scan boundedness: the guarded plan must not reference the hot term
+    // anywhere (term filter, bucket predicate)
+    val scan = guarded.queryExecution.executedPlan.toString
+    assert(!scan.contains("zzstop"), "hot term leaked into the guarded probe plan")
+    // direct path: in-plan guard gives the same result set
+    val directGuarded = Retrieval.bm25TopK(docs, q(1L -> "needle", 1L -> "zzstop"),
+      "text", "doc_id", maxDfFrac = 0.5)
+    val directRestricted = Retrieval.bm25TopK(docs, q(1L -> "needle"), "text", "doc_id")
+    assert(set(directGuarded) == set(directRestricted))
+    // every term over the ceiling -> empty result, correct shape
+    val empty = Retrieval.queryBm25Index(spark, idx, q(1L -> "zzstop"),
+      buckets = 16, maxDfFrac = 0.5)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "doc_id", "rank", "score_u", "n_hit_terms"))
+    assert(empty.count() == 0)
+  }
+
   test("bm25: per-term ranking agrees with the textbook log-idf weights") {
     // single-term queries: quantised odds-idf and log-idf are monotone
     // transforms of the same (tf, dl) ordering -> identical rankings
