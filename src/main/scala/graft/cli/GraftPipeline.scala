@@ -138,6 +138,17 @@ object GraftPipeline {
     else if ((steps.contains("bm25_index") || steps.contains("bm25_query")) &&
         kv.getOrElse("bm25_index.path", "").isEmpty)
       Left("bm25_index / bm25_query require bm25_index.path")
+    // an index build is POST-write while its probe executes in-plan
+    // (pre-write): one run holding both would probe a missing/stale index,
+    // and the post-write build would then run on the PROBE's output — which
+    // has no text/vector column — and throw after the shard committed.
+    // Two runs (build, then probe) is the supported shape.
+    else if (steps.contains("bm25_index") && steps.contains("bm25_query"))
+      Left("bm25_index (post-write build) and bm25_query (pre-write probe) " +
+        "cannot share a run — build in one pipeline run, probe in the next")
+    else if (steps.contains("ann_index") && steps.contains("ann_query"))
+      Left("ann_index (post-write build) and ann_query (pre-write probe) " +
+        "cannot share a run — build in one pipeline run, probe in the next")
     else if (steps.contains("bm25_query") && steps.last != "bm25_query")
       Left("bm25_query replaces the relation with (query_id, doc_id, rank, " +
         "score_u, n_hit_terms) — it must be the final step")
@@ -273,12 +284,19 @@ object GraftPipeline {
     // duplicate-span REMOVAL (q93's transform as a step): replace text
     // with its span-stripped form; docs whose text empties out entirely
     // survive (a later quality/length filter is the right dropper — the
-    // paper's own recipe)
+    // paper's own recipe). Precondition: doc_id unique where non-null
+    // (a duplicated id would fan out through the join — run dedup_exact
+    // first). NULL-id rows keep their ORIGINAL text: removeDuplicateSpans
+    // excludes them by contract, so the join misses and the coalesce
+    // passes them through unchanged — matching the filter-shaped steps
+    // (dedup_spans/dedup_chunks), which also leave such rows alone.
     "strip_dup_spans" -> ((c, df) => {
       val cleaned = Dedup.removeDuplicateSpans(df, "doc_id", "text")
         .select(col("doc_id"), col("clean_text"))
-      df.drop("text").join(cleaned, Seq("doc_id"), "left")
-        .withColumnRenamed("clean_text", "text")
+      df.join(cleaned, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id").isNotNull, col("clean_text")).otherwise(col("text")))
+        .drop("clean_text")
     }),
 
     // duplicate-SPAN dominance filter (q92's counters as a step): drop

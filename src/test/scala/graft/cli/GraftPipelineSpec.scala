@@ -136,6 +136,43 @@ class GraftPipelineSpec extends SparkSpec {
     assert(byId(3L) == (1 to 50).map(i => s"v$i").mkString(" "))
   }
 
+  test("strip_dup_spans passes NULL-id rows through with text intact") {
+    import spark.implicits._
+    val out = tmpDir("pipe8b")
+    val span = (1 to 40).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (Some(1L), span, "en", "src"),
+      (Some(2L), s"$span tail1 tail2", "en", "src"),
+      (None, "null id row keeps its original text", "en", "src")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("strip_dup_spans"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert(nIn == 3 && nOut == 3) // transform step: nothing drops
+    val rows = spark.read.parquet(s"$out/shards").select("doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(rows(Some(1L)) == "")
+    assert(rows(Some(2L)) == "tail1 tail2")
+    // removeDuplicateSpans excludes NULL ids by contract; the step must not
+    // null their text (they behave like the filter-shaped steps: untouched)
+    assert(rows(None) == "null id row keeps its original text")
+  }
+
+  test("index build and probe cannot share one run (stale-probe / schema-clash guard)") {
+    val base = Map("input.path" -> "a", "output.path" -> "b",
+      "bm25_index.path" -> "i", "ann_index.path" -> "j")
+    val bm = GraftPipeline.fromKv(base + ("steps" -> "bm25_index,bm25_query"))
+    assert(bm.swap.toOption.get.contains("cannot share a run"), bm)
+    val ann = GraftPipeline.fromKv(base + ("steps" -> "ann_index,ann_query"))
+    assert(ann.swap.toOption.get.contains("cannot share a run"), ann)
+    // each alone stays valid
+    assert(GraftPipeline.fromKv(base + ("steps" -> "bm25_index")).isRight)
+    assert(GraftPipeline.fromKv(base + ("steps" -> "bm25_query")).isRight)
+  }
+
   test("bigram_filter keeps coherent docs, drops scrambled and unscorable ones") {
     import spark.implicits._
     val out = tmpDir("pipe6")
