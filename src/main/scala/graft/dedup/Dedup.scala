@@ -225,41 +225,86 @@ object Dedup {
 
   /** All document pairs within `maxHamming` bits on a SimHash signature —
     * the web-crawl near-dup classic (Manku, Jarmin, Sarma, WWW 2007,
-    * "Detecting Near-Duplicates for Web Crawling"), made EXACT by
-    * pigeonhole banding: split the signature into `maxHamming + 1` blocks;
-    * any pair differing in ≤ maxHamming bits must agree on at least one
-    * whole block, so an equi-join on (block_index, block_value) generates
-    * a candidate superset with 100% recall BY CONSTRUCTION (not
-    * probabilistic like MinHash banding), and the exact popcount filter
-    * cuts it back to precisely the ≤ maxHamming set.
+    * "Detecting Near-Duplicates for Web Crawling"), made EXACT by the
+    * paper's §3 block-combination scheme: split the signature into
+    * `nBlocks` = b > maxHamming blocks; a pair differing in ≤ maxHamming
+    * bits touches at most maxHamming blocks, so it agrees on SOME
+    * combination of b − maxHamming whole blocks (pigeonhole — 100% recall
+    * BY CONSTRUCTION, not probabilistic like MinHash banding). Each doc
+    * emits one packed key per C(b, b−h) combination; candidates come from
+    * the equi-join on (combination_index, packed_key) and the exact
+    * popcount filter cuts them back to precisely the ≤ maxHamming set.
     *
-    * Scale shape: only (id, sig, 2×8-byte block key) rows shuffle —
-    * `maxHamming + 1` of them per doc — and the exact check is
-    * `bit_count(xor)` on the already-joined 8-byte signatures; the text
-    * never moves. `maxBucket > 0` drops signature-degenerate buckets
-    * (e.g. thousands of empty docs sharing block value 0) at a DOCUMENTED
-    * recall cost — 0 (default) keeps the output exact, which is what the
-    * gate query verifies against an all-pairs DuckDB recomputation.
+    * WHY b > h+1 matters at scale: the minimal b = h+1 (one block per key)
+    * gives keys of only bits/(h+1) bits — 12 for the 48-bit signature —
+    * so bucket size grows as N/2^12 and the within-bucket self-join as
+    * N²/2^12: ~3×10¹⁰ candidate pairs PER BLOCK at 10⁹ docs. Wider b
+    * trades more emitted rows (C(b, h) per doc) for exponentially wider
+    * keys ((b−h)·bits/b bits). Defaults (h=3): b=6 → 20 combinations of
+    * 24-bit keys (48-bit sigs) / 33-bit keys (64-bit sigs):
     *
-    * @param sigs  (id, sig) relation; null signatures never pair
-    * @param bits  signature width (64 for [[simhash]], 48 for
-    *              [[portableSimhash]])
+    *   candidates/table ≈ N²/2^keyBits   (uniform-signature model)
+    *     48-bit sigs, N=10⁶:  b=4: 2.4×10⁸/table ×4  vs b=6: 6×10⁷/table ×20
+    *     48-bit sigs, N=10⁹:  b=4: 2.4×10¹⁴/table ×4 vs b=6: 6×10¹³/table ×20
+    *     64-bit sigs, N=10⁹:  b=4: 6×10¹³/table ×4   vs b=6: 1.2×10¹⁰/table ×20
+    *
+    * Real corpora are not uniform (duplicate cliques concentrate), which
+    * is what `maxBucket` is for — but the KEY WIDTH decides the baseline
+    * the guard defends. For 10⁹+ docs with 64-bit signatures, b=8..10
+    * (C(8,3)=56 tables of 40-bit keys) is the published operating point
+    * (Manku et al. run b=6, h=3 over 8×10⁹ 64-bit signatures).
+    *
+    * Scale shape: only (id, sig, 2×8-byte combination key) rows shuffle —
+    * C(b, h) of them per doc — and the exact check is `bit_count(xor)`
+    * on the already-joined 8-byte signatures; the text never moves.
+    * `maxBucket > 0` drops signature-degenerate buckets (e.g. thousands
+    * of empty docs sharing key 0) at a DOCUMENTED recall cost — 0
+    * (default) keeps the output exact, which is what the gate queries
+    * verify against an all-pairs DuckDB recomputation.
+    *
+    * @param sigs    (id, sig) relation; null signatures never pair
+    * @param bits    signature width (64 for [[simhash]], 48/60 for the
+    *                portable family)
+    * @param nBlocks b: 0 (default) picks maxHamming + 3, floored at the
+    *                minimal legal b = maxHamming + 1 when bits is small;
+    *                must satisfy maxHamming < b <= bits
     * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
     */
   def simhashPairsOf(
       sigs: DataFrame, bits: Int, maxHamming: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, nBlocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
-    val nBlocks = maxHamming + 1
-    val width = (bits + nBlocks - 1) / nBlocks
-    val blockStructs = (0 until nBlocks).map { j =>
-      struct(lit(j).as("blk"),
-        shiftright(col("sig"), j * width)
-          .bitwiseAND(lit((1L << math.min(width, 62)) - 1)).as("v"))
+    val nb =
+      if (nBlocks > 0) nBlocks
+      else if (maxHamming == 0) 1 // exact-equality join on the whole signature
+      else math.min(maxHamming + 3, bits)
+    require(nb > maxHamming && nb <= bits,
+      s"nBlocks must be in (maxHamming, bits] = ($maxHamming, $bits], got $nb")
+    val width = (bits + nb - 1) / nb
+    val keep = nb - maxHamming // blocks per combination key
+    // block j = bits [j*width, min((j+1)*width, bits)) of the signature.
+    // ceil-division can leave trailing blocks short (never empty for the
+    // widths used here); short blocks only AGREE more often, so recall is
+    // unaffected either way.
+    def blockVal(j: Int): Column =
+      shiftright(col("sig"), j * width)
+        .bitwiseAND(lit((1L << math.min(width, 62)) - 1))
+    // One packed key per combination of `keep` block indices: block values
+    // concatenated at fixed offsets. If keep*width exceeds 63 (possible
+    // for small maxHamming with wide signatures) the top block's high bits
+    // shift out — that only MERGES keys, i.e. extra candidates for the
+    // popcount filter; recall is unaffected (equal combinations always
+    // pack equal).
+    val combos = (0 until nb).combinations(keep).toSeq
+    val comboKeys = combos.zipWithIndex.map { case (blkIdxs, c) =>
+      val packed = blkIdxs.zipWithIndex.map { case (j, pos) =>
+        shiftleft(blockVal(j), pos * width)
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(c).as("blk"), packed.as("v"))
     }
     val banded = sigs.select(col("id"), col("sig"),
-        explode(array(blockStructs: _*)).as("b"))
+        explode(array(comboKeys: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
     val guarded =
       if (maxBucket <= 0) banded
@@ -280,23 +325,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** [[simhashPairsOf]] over the production 64-bit xxhash SimHash. */
+  /** [[simhashPairsOf]] over the production 64-bit xxhash SimHash.
+    * Externally unverifiable (DuckDB has no xxhash64) — gate coverage is
+    * the q96 60-bit portable run of the same banding machinery plus the
+    * banded-vs-brute-force property spec over this exact path. */
   def simhashPairs(
       df: DataFrame, contentCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 0, nBlocks: Int = 0): DataFrame =
     simhashPairsOf(
       df.select(col(idCol).as("id"), simhash(col(contentCol)).as("sig")),
-      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
+      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket,
+      nBlocks = nBlocks)
 
   /** [[simhashPairsOf]] over the oracle-portable 48-bit SimHash — the
     * externally verifiable form (q94): DuckDB recomputes the signatures
     * from raw text and the full all-pairs ≤ maxHamming ground truth. */
   def portableSimhashPairs(
       df: DataFrame, contentCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 0, nBlocks: Int = 0): DataFrame =
     simhashPairsOf(
       df.select(col(idCol).as("id"), portableSimhash(col(contentCol)).as("sig")),
-      bits = PortableSimhashBits, maxHamming = maxHamming, maxBucket = maxBucket)
+      bits = PortableSimhashBits, maxHamming = maxHamming,
+      maxBucket = maxBucket, nBlocks = nBlocks)
+
+  /** [[simhashPairsOf]] over the FULL-width 60-bit portable SimHash (all
+    * 60 md5-prefix bits instead of the 48-bit truncation) — q96: exercises
+    * the banding machinery at a second signature width with uneven
+    * block division (b=6 over 60 bits), still fully DuckDB-recomputable. */
+  def portableSimhash60Pairs(
+      df: DataFrame, contentCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 0, nBlocks: Int = 0): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("id"),
+        graft.functions.expressions.TextHashExpressions
+          .portableSimhash(col(contentCol), 60).as("sig")),
+      bits = 60, maxHamming = maxHamming,
+      maxBucket = maxBucket, nBlocks = nBlocks)
 
   /** Exact token-set Jaccard for bounded candidate pairs: docs whose ids
     * are within `window` of each other (a stand-in candidate generator; in

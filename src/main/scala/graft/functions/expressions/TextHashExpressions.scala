@@ -98,23 +98,27 @@ object TextHashExpressions {
     h >>> 4
   }
 
-  /** Oracle-portable 48-bit SimHash: the [[SimHash64]] majority vote over
-    * [[md5Prefix60]] token hashes, bits 0..47 — bit-identical to the
-    * builtin-HOF formulation in Dedup.portableSimhashHof (spec'd), ~40x
-    * its throughput (the HOF form allocates a 48-slot array per token). */
-  case class PortableSimHash48(child: Expression) extends UnaryExpression with CodegenFallback {
+  /** Oracle-portable SimHash over the low `bits` (<= 60) of
+    * [[md5Prefix60]] token hashes: the [[SimHash64]] majority vote in the
+    * md5 family — bit-identical to the builtin-HOF formulation in
+    * Dedup.portableSimhashHof (spec'd), ~40x its throughput (the HOF form
+    * allocates a bits-slot array per token). Width 48 is the historical
+    * gate form (q32/q44/q94); 60 uses the full md5 prefix (q96). */
+  case class PortableSimHash48(child: Expression, bits: Int = 48)
+      extends UnaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 60, s"bits must be in (0, 60], got $bits")
     override def dataType: DataType = LongType
-    override def prettyName: String = "portable_simhash48"
+    override def prettyName: String = s"portable_simhash$bits"
 
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
-      val counts = new Array[Int](48)
+      val counts = new Array[Int](bits)
       var ti = 0
       while (ti < toks.length) {
         val h = md5Prefix60(
           toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var b = 0
-        while (b < 48) {
+        while (b < bits) {
           counts(b) += ((h >>> b) & 1L).toInt
           b += 1
         }
@@ -123,14 +127,15 @@ object TextHashExpressions {
       val n = toks.length
       var out = 0L
       var b = 0
-      while (b < 48) {
+      while (b < bits) {
         if (counts(b) * 2 > n) out |= (1L << b)
         b += 1
       }
       java.lang.Long.valueOf(out)
     }
 
-    override protected def withNewChildInternal(c: Expression): PortableSimHash48 = copy(c)
+    override protected def withNewChildInternal(c: Expression): PortableSimHash48 =
+      copy(child = c)
   }
 
   /** k MinHash values over a shingle array, identical to the HOF version:
@@ -400,6 +405,8 @@ object TextHashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpr(c)))
   def portableSimhash48(c: Column): Column = toColumn(PortableSimHash48(toExpr(c)))
+  def portableSimhash(c: Column, bits: Int): Column =
+    toColumn(PortableSimHash48(toExpr(c), bits))
   def minhashSignature(shingles: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpr(shingles), k))
   def minhashShingled(text: Column, n: Int, k: Int): Column =

@@ -430,15 +430,28 @@ object PipelineQueries {
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
 
-    // SimHash near-dup pairs via pigeonhole banding (Manku et al. 2007):
-    // 4 blocks of the 48-bit portable signature, candidates = pairs
-    // agreeing on >= 1 block (100% recall for hamming <= 3 BY
-    // CONSTRUCTION, not probabilistically), exact popcount filter. The
-    // oracle recomputes signatures from raw text and the FULL all-pairs
-    // ground truth — quadratic only at gate SF; the Spark side stays
-    // banded-candidate-bounded.
+    // SimHash near-dup pairs via Manku et al. 2007 §3 block-combination
+    // banding: b=6 blocks of the 48-bit portable signature, one packed
+    // 24-bit key per C(6,3)=20 combinations of 3 blocks — any pair within
+    // hamming 3 agrees on some combination (100% recall BY CONSTRUCTION,
+    // not probabilistically), exact popcount filter. The oracle recomputes
+    // signatures from raw text and the FULL all-pairs ground truth —
+    // quadratic only at gate SF; the Spark side stays candidate-bounded
+    // with N²/2^24-per-table growth (vs N²/2^12 for minimal b=4 banding).
     "q94_simhash_pairs" -> ((s, dir) =>
       Dedup.portableSimhashPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // the same banding machinery at a SECOND signature width: the full
+    // 60-bit md5 prefix (uneven 6-block division of 60 bits, 30-bit
+    // combination keys) — a different hamming geometry than q94's 48-bit
+    // truncation, same all-pairs external ground truth. Together the two
+    // widths pin the block/combination arithmetic the 64-bit production
+    // path (DuckDB-unverifiable: no xxhash64) shares; its own gate is the
+    // banded-vs-brute-force property spec in DedupSpec.
+    "q96_simhash60_pairs" -> ((s, dir) =>
+      Dedup.portableSimhash60Pairs(Tables.load(s, dir, "documents"),
           "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
@@ -673,6 +686,14 @@ object PipelineQueries {
     // the banded Spark candidates are a provable superset (pigeonhole)
     "q94_simhash_pairs" ->
       (s"WITH sh AS (${PortableSql.simhashOracle()}) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash_p, b.simhash_p)) AS INT) AS hamming " +
+        "FROM sh a JOIN sh b ON b.doc_id > a.doc_id " +
+        "WHERE bit_count(xor(a.simhash_p, b.simhash_p)) <= 3 " +
+        "ORDER BY id_a, id_b"),
+    // q94's ground-truth apparatus at the 60-bit width
+    "q96_simhash60_pairs" ->
+      (s"WITH sh AS (${PortableSql.simhashOracle(bits = 60)}) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(bit_count(xor(a.simhash_p, b.simhash_p)) AS INT) AS hamming " +
         "FROM sh a JOIN sh b ON b.doc_id > a.doc_id " +

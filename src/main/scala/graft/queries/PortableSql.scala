@@ -66,10 +66,11 @@ object PortableSql {
       "FROM sh a JOIN sh b ON b.doc_id > a.doc_id) " +
       s"WHERE n_union > 0 AND CAST(n_common AS DOUBLE) / n_union >= $minJ)"
 
-  def simhashOracle(extraSelect: String = "", alias: String = "simhash_p"): String = {
-    val counts = (0 until SimhashBits)
+  def simhashOracle(extraSelect: String = "", alias: String = "simhash_p",
+      bits: Int = SimhashBits): String = {
+    val counts = (0 until bits)
       .map(i => s"sum(CAST((h >> $i) & 1 AS BIGINT)) AS c$i").mkString(", ")
-    val assemble = (0 until SimhashBits)
+    val assemble = (0 until bits)
       .map(i => s"(CASE WHEN 2*c$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val extra = if (extraSelect.isEmpty) "" else s"$extraSelect, "
     // LEFT join + NULL arm: a NULL text yields no token rows in `b`, but

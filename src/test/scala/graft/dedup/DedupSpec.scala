@@ -246,9 +246,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs: banded output equals brute-force hamming <= k (pigeonhole exactness)") {
-    // signatures engineered around the 4x12-bit block layout (bits=48, k=3):
-    // pairs differing in <= 3 bits MUST be found even when the flipped bits
-    // hit 3 DIFFERENT blocks; pairs differing in 4 spread bits must not
+    // signatures engineered so flipped bits spread across DIFFERENT blocks
+    // (worst case for banding): pairs differing in <= 3 bits MUST be found
+    // even when the flips hit 3 distinct blocks; a 4-spread-bit pair must
+    // not survive the popcount filter
     val s0 = 0x0000FFFFFFFFL
     val sigs = Seq(
       1L -> s0,
@@ -270,6 +271,40 @@ class DedupSpec extends SparkSpec {
     // the 4-spread-bit pair is excluded even though it shares... no block:
     // sanity that (1,4) and (3,4) are absent, (1,3) present at hamming 3
     assert(got.contains((1L, 3L, 3)) && !got.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("simhashPairs property: every width/block-count banding equals brute force on random signatures") {
+    // the Manku C(b, b-h) combination scheme must be EXACT for any legal
+    // (bits, h, b) — including the production 64-bit width DuckDB cannot
+    // gate, uneven block divisions (60/6, 64/6), the minimal b = h+1
+    // (single-block keys, the legacy layout), and h = 0. Signatures are
+    // seeded-random with planted near-dup clusters so the <= h set is
+    // non-trivial at every width.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for ((bits, h, b) <- Seq((48, 3, 0), (48, 3, 4), (48, 3, 6), (60, 3, 0),
+        (64, 3, 0), (64, 3, 6), (64, 2, 5), (64, 1, 4), (48, 0, 0), (64, 4, 6))) {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val base = Array.fill(40)(rnd.nextLong() & mask)
+      // plant: for each base sig, a copy with 0..h+2 random bit flips —
+      // some inside, some just outside the threshold
+      val planted = base.zipWithIndex.flatMap { case (s, i) =>
+        val flips = rnd.nextInt(h + 3)
+        val flipped = (0 until flips).foldLeft(s)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(bits)))
+        Seq((i.toLong, s), (i.toLong + 1000L, flipped))
+      }
+      val got = Dedup.simhashPairsOf(planted.toSeq.toDF("id", "sig"),
+          bits = bits, maxHamming = h, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (ia, sa) <- planted; (ib, sb) <- planted if ib > ia
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= h
+      } yield (ia, ib, d)).toSet
+      assert(got == expect,
+        s"(bits=$bits h=$h b=$b): missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
+      assert(expect.nonEmpty, s"(bits=$bits h=$h b=$b): degenerate fixture")
+    }
   }
 
   test("simhashPairs: corpus near-dups pair, maxBucket guard only prunes, null text never pairs") {
