@@ -83,7 +83,28 @@ object Bench {
     val total = results.map(_._2.min).sum
     val totalMedian = results.map { case (_, rs) => median(rs) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$medians,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // phase split (round-5 verdict #8): the persisted-index queries' gate
+    // totals time build+probe together; the user-facing number is the
+    // probe alone, and a regression is only diagnosable if the phases are
+    // visible separately. Two passes, min of each phase (same VM-stall
+    // rationale as the interleaved catalog passes). Untimed region — does
+    // not change any query's gate total.
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val phases = SparkEntry.phased.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
+      .flatMap { case (name, fn) =>
+        try {
+          val runs = (1 to 2).map(_ => fn(spark, sfDir))
+          val byPhase = runs.flatMap(_.keys).distinct.sorted
+            .map(p => "\"" + p + "\":" + fmt(runs.map(_(p)).min))
+          Some("\"" + name + "\":{" + byPhase.mkString(",") + "}")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] phase split $name failed: ${e.getMessage}")
+          None
+        }
+      }
+    val phasesJson = phases.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in
     // r1) — FULL runs only: a filtered iteration run must not overwrite
     // the round's record with a subset.

@@ -52,10 +52,28 @@ object ScaleBench {
         nCentroids = 0, threshold = 0.25, lloydIters = 1)
     }))
 
+  /** Queries the PLANTED-SKEW corpus stresses (round-5 verdict #5): the
+    * duplicate-span pair hit the 1e5x-duplicated span, the join pair hit
+    * the hot key. The clean x-factor corpus is deliberately clique-free
+    * (fresh text per copy), which means it structurally CANNOT expose a
+    * hot-key cliff — this variant exists to close that blind spot. */
+  val SkewQueries: Seq[String] = Seq(
+    "q92_dup_spans", "q93_strip_dup_spans", "q16_join_agg", "q28_salted_join")
+
+  /** One 8-token span duplicated [[SpanDupCopies]] times across otherwise
+    * fresh docs — the Lee et al. 2022 pathology (C4's worst span: 60k+
+    * copies; this plants ~2x worse than that). */
+  private val PlantedSpan =
+    "skewspan1 skewspan2 skewspan3 skewspan4 skewspan5 skewspan6 skewspan7 skewspan8"
+  private val SpanDupCopies = 100000
+  /** Fraction (percent) of fact rows re-keyed onto ONE hot join key. */
+  private val HotKeyPct = 1
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val skew = args.contains("--skew")
     // optional extra args: query-name substrings to run (isolation aid)
-    val wanted = args.drop(1).toSeq
+    val wanted = args.drop(1).filterNot(_ == "--skew")
     val heavy = Heavy.filter(q => wanted.isEmpty || wanted.exists(q.contains))
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaledDir = s"tmp/scale_x$factor"
@@ -70,6 +88,7 @@ object ScaleBench {
 
     if (!Files.exists(Paths.get(s"$scaledDir/_BUILT")))
       build(spark, baseDir, scaledDir, factor)
+    if (skew) { runSkew(spark, scaledDir, factor, wanted); spark.stop(); return }
 
     val catalog = SparkEntry.queries
     def run(name: String, dir: String, tag: String): Double = {
@@ -232,5 +251,103 @@ object ScaleBench {
 
     Files.writeString(Paths.get(s"$outDir/_BUILT"), s"factor=$factor from=$baseDir\n")
     System.err.println(s"[scale] build done")
+  }
+
+  /** Skew point: same scaled corpus, but with the two pathologies the
+    * clean construction deliberately avoids PLANTED back in —
+    *  (a) documents gain [[SpanDupCopies]] fresh docs all containing the
+    *      SAME 8-token span ([[PlantedSpan]]): one window hash now holds
+    *      1e5 occurrences, the exact shape that made the pre-fix
+    *      count-over-Window q93 a one-task straggler/spill cliff (the
+    *      two-level-aggregate form absorbs it map-side);
+    *  (b) [[HotKeyPct]]% of lineitem rows are re-keyed onto ONE existing
+    *      l_orderkey and ONE l_suppkey: q16's shuffle join sees a hot key
+    *      (AQE skew-join territory), q28's salted join exists for exactly
+    *      this and must hold its ratio.
+    * Reported ratio = skewed / clean runtime ON THE SAME ROW COUNTS
+    * (the skew corpus adds ~1e5 doc rows to ~6e5 — noted in the JSON);
+    * a skew-safe plan stays near 1, a skew cliff shows up as a multiple. */
+  def runSkew(spark: SparkSession, scaledDir: String, factor: Int,
+      wanted: Seq[String]): Unit = {
+    val skewDir = s"tmp/scale_skew_x$factor"
+    if (!Files.exists(Paths.get(s"$skewDir/_BUILT")))
+      buildSkew(spark, scaledDir, skewDir)
+    val qs = SkewQueries.filter(q => wanted.isEmpty || wanted.exists(q.contains))
+    val catalog = SparkEntry.queries
+    def run(name: String, dir: String, tag: String): Double = {
+      System.err.println(s"[skew] START $tag $name @ $dir")
+      val t0 = System.nanoTime()
+      catalog(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[skew] DONE  $tag $name: $t%.2f s")
+      t
+    }
+    qs.foreach(q => run(q, scaledDir, "warm"))
+    val results = qs.map { q =>
+      val clean = run(q, scaledDir, "clean")
+      val skewed = run(q, skewDir, "skew")
+      (q, clean, skewed, skewed / math.max(clean, 1e-9))
+    }
+    val qJson = results.map { case (q, c, s, r) =>
+      f""""$q":{"clean":$c%.3f,"skewed":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"skew_trend","factor":$factor,"span_copies":$SpanDupCopies,"hot_key_pct":$HotKeyPct,"queries":$qJson,"clean_dir":"$scaledDir"}"""
+    if (wanted.isEmpty) try {
+      Files.createDirectories(Paths.get("tmp"))
+      Files.writeString(Paths.get(s"tmp/bench_skew_x$factor.json"), line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[skew] file write failed: ${e.getMessage}") }
+    println(line)
+  }
+
+  def buildSkew(spark: SparkSession, scaledDir: String, outDir: String): Unit = {
+    System.err.println(s"[skew] building planted-skew corpus at $outDir from $scaledDir")
+    graft.core.Fs.deleteRecursively(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir))
+    // untouched tables: copy the scaled files verbatim (events.parquet may
+    // be a directory of per-copy part files — copy the tree)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events", "embeddings"))
+      copyTree(Paths.get(s"$scaledDir/$t.parquet"), Paths.get(s"$outDir/$t.parquet"))
+
+    // (a) the 1e5x-duplicated span: fresh docs, two unique lead tokens
+    // each (so every OTHER window stays unique), then the planted span
+    val docs = raw(spark, scaledDir, "documents")
+    val docOff = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val planted = spark.range(SpanDupCopies).select(
+      (col("id") + docOff).as("doc_id"),
+      concat(lit("skewuq"), col("id"), lit("a skewuq"), col("id"), lit("b "),
+        lit(PlantedSpan)).as("text"),
+      lit("en").as("lang"),
+      lit("skewplant").as("source"))
+    writeSingle(docs.unionByName(planted
+      .withColumn("n_chars",
+        length(col("text")).cast(docs.schema("n_chars").dataType))
+      .select(docs.columns.map(col): _*)), outDir, "documents")
+
+    // (b) one hot join key at HotKeyPct% of lineitem rows: re-key onto an
+    // EXISTING order/supplier so inner joins fan the hot rows in, not out
+    val li = raw(spark, scaledDir, "lineitem")
+    val hotOrder = raw(spark, scaledDir, "orders").agg(min("o_orderkey")).head().getLong(0)
+    val hotSupp = raw(spark, scaledDir, "supplier").agg(min("s_suppkey")).head().getLong(0)
+    val pick = pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit("skew")),
+      lit(100)) < HotKeyPct
+    writeSingle(li
+      .withColumn("l_orderkey", when(pick, lit(hotOrder)).otherwise(col("l_orderkey")))
+      .withColumn("l_suppkey", when(pick, lit(hotSupp)).otherwise(col("l_suppkey"))),
+      outDir, "lineitem")
+
+    Files.writeString(Paths.get(s"$outDir/_BUILT"),
+      s"skew from=$scaledDir span_copies=$SpanDupCopies hot_key_pct=$HotKeyPct\n")
+    System.err.println(s"[skew] build done")
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      val it = Files.list(src).iterator()
+      while (it.hasNext) { val p = it.next(); copyTree(p, dst.resolve(p.getFileName)) }
+    } else Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

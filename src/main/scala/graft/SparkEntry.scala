@@ -23,4 +23,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
       CurationQueries.oracles ++ ScaleQueries.oracles
+
+  /** Per-phase timers (e.g. index build vs probe) for catalog queries
+    * whose single number hides which phase moved — [[Bench]] records
+    * these alongside the totals. */
+  def phased: Map[String, (SparkSession, String) => Map[String, Double]] =
+    PipelineQueries.phased
 }

@@ -69,9 +69,14 @@ import graft.text.TextAnalysis
   *    query set, the output is (query_id, neighbor_id, cos, rank); must be
   *    the final step
   *  - `bm25_index` — post-write build of a persisted term-bucket inverted
-  *    index at `bm25_index.path` over the written (doc_id, text)
+  *    index at `bm25_index.path` over the written (doc_id, text);
+  *    `bm25_index.mode: append` folds the shipped shard into an existing
+  *    index at O(shard) instead of rebuilding (first shard auto-builds)
   *  - `bm25_query` — probe it: input is the (query_id, term) relation,
   *    output (query_id, doc_id, rank, score_u, n_hit_terms); must be last
+  *  - `compact` — post-write small-file maintenance of every configured
+  *    persisted store (seen / fingerprint / IVF / BM25): read-coalesce-
+  *    atomic-swap, probe results unchanged, file count bounded again
   *
   * At 100 TB each step keeps the scale shape its catalog query proved
   * (map-only, hash-grouped, or bounded-candidate); the final write is
@@ -97,7 +102,8 @@ object GraftPipeline {
       annIndexPath: String = "",
       annIdCol: String = "vec_id", annVecCol: String = "embedding",
       annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4,
-      bm25IndexPath: String = "", bm25K: Int = 5) {
+      bm25IndexPath: String = "", bm25K: Int = 5,
+      bm25Mode: String = "overwrite") {
     /** Replay-guard key for the fingerprint store: one fold per shard. */
     def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
   }
@@ -138,6 +144,15 @@ object GraftPipeline {
     else if ((steps.contains("bm25_index") || steps.contains("bm25_query")) &&
         kv.getOrElse("bm25_index.path", "").isEmpty)
       Left("bm25_index / bm25_query require bm25_index.path")
+    else if (!Seq("overwrite", "append").contains(
+        kv.getOrElse("bm25_index.mode", "overwrite")))
+      Left(s"bm25_index.mode must be overwrite or append, " +
+        s"got '${kv("bm25_index.mode")}'")
+    else if (steps.contains("compact") && Seq("seen_store.path",
+        "fingerprint_store.path", "ann_index.path", "bm25_index.path")
+        .forall(k => kv.getOrElse(k, "").isEmpty))
+      Left("compact requires at least one store path to compact " +
+        "(seen_store.path / fingerprint_store.path / ann_index.path / bm25_index.path)")
     // an index build is POST-write while its probe executes in-plan
     // (pre-write): one run holding both would probe a missing/stale index,
     // and the post-write build would then run on the PROBE's output — which
@@ -190,7 +205,8 @@ object GraftPipeline {
       annK = kv.get("ann.k").flatMap(_.toIntOption).getOrElse(10),
       annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4),
       bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
-      bm25K = kv.get("bm25.k").flatMap(_.toIntOption).getOrElse(5))
+      bm25K = kv.get("bm25.k").flatMap(_.toIntOption).getOrElse(5),
+      bm25Mode = kv.getOrElse("bm25_index.mode", "overwrite"))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -239,8 +255,16 @@ object GraftPipeline {
     // index always describes exactly what the pipeline shipped.
     "ann_index" -> ((_, df) => df),
     // persisted inverted index over the WRITTEN relation's (doc_id, text)
-    // — post-write build like ann_index/fingerprint_store; no-op here
+    // — post-write build like ann_index/fingerprint_store; no-op here.
+    // bm25_index.mode: overwrite (default, full rebuild) or append (fold
+    // the shipped shard in at O(shard) — replay-guarded by shard_id,
+    // probe-identical to a rebuild; see Retrieval.appendBm25Index)
     "bm25_index" -> ((_, df) => df),
+    // small-file maintenance for every CONFIGURED persisted store (seen,
+    // fingerprint, IVF, BM25 postings): read-coalesce-atomic-swap after
+    // the run's own store updates, so repeated appends don't accumulate
+    // files indefinitely. No plan-time transform.
+    "compact" -> ((_, df) => df),
     // BM25 probe: the input relation IS the (query_id, term) set; the step
     // replaces it with the top-k result — config requires it to be last
     "bm25_query" -> ((c, df) =>
@@ -406,9 +430,26 @@ object GraftPipeline {
     if (cfg.steps.contains("ann_index"))
       graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
         cfg.annIndexPath, cfg.annCentroids)
-    if (cfg.steps.contains("bm25_index"))
-      graft.text.Retrieval.buildBm25Index(written, "text", "doc_id",
-        cfg.bm25IndexPath)
+    if (cfg.steps.contains("bm25_index")) {
+      if (cfg.bm25Mode == "append" &&
+          graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
+        graft.text.Retrieval.appendBm25Index(written, "text", "doc_id",
+          cfg.bm25IndexPath, cfg.shardId)
+      else // overwrite, or append's very first shard (nothing to fold into)
+        graft.text.Retrieval.buildBm25Index(written, "text", "doc_id",
+          cfg.bm25IndexPath, shardId = cfg.shardId)
+    }
+    if (cfg.steps.contains("compact")) {
+      if (cfg.seenStorePath.nonEmpty)
+        graft.core.AtomicStore.compact(spark, cfg.seenStorePath)
+      if (cfg.fingerprintStorePath.nonEmpty)
+        graft.core.AtomicStore.compact(spark, cfg.fingerprintStorePath)
+      if (cfg.annIndexPath.nonEmpty && graft.core.Fs.exists(spark, cfg.annIndexPath))
+        graft.sim.Similarity.compactIvfIndex(spark, cfg.annIndexPath)
+      if (cfg.bm25IndexPath.nonEmpty &&
+          graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
+        graft.text.Retrieval.compactBm25Index(spark, cfg.bm25IndexPath)
+    }
     (in, written.count())
   }
 

@@ -43,11 +43,22 @@ object AtomicStore {
   /** Atomically replace the store with `df`. `df` may lazily read the
     * current store (incremental merge shapes do): the tmp write
     * materialises it BEFORE the old store is deleted. */
-  def replace(spark: SparkSession, path: String, df: DataFrame): Unit = {
+  def replace(spark: SparkSession, path: String, df: DataFrame): Unit =
+    replaceVia(spark, path)(tmp => df.write.mode("overwrite").parquet(tmp))
+
+  /** [[replace]] generalised over the write itself: `write` receives the
+    * tmp path and must produce a complete parquet tree there (it may use
+    * `partitionBy` — the recovery protocol only needs the root `_SUCCESS`
+    * marker, which this guarantees after the write returns). Lets
+    * PARTITIONED stores (the BM25 postings tree, the IVF assigned
+    * relation) use the same crash-safe tmp/delete/rename discipline as
+    * flat relations. */
+  def replaceVia(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val store = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val fs = fsFor(spark, store)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(tmp, true) // a torn previous attempt must not pollute this one
+    write(tmp.toString)
     // the recovery protocol keys on _SUCCESS, but the committer only
     // writes one when marksuccessfuljobs is on (object-store tunings turn
     // it off) — guarantee the marker ourselves, or a crash between the
@@ -57,5 +68,39 @@ object AtomicStore {
     if (!fs.exists(marker)) fs.create(marker, true).close()
     fs.delete(store, true)
     fs.rename(tmp, store)
+  }
+
+  /** Small-file maintenance: rewrite the store as `nFiles` files (same
+    * rows, same schema — spec'd identical before/after). Incremental
+    * stores rewrite themselves wholesale on every update, so their file
+    * count tracks the write parallelism (one file per shuffle task with
+    * rows), not the store size; compaction coalesces that down for
+    * read-heavy phases. Returns false when the store does not exist.
+    * Same single-writer discipline as [[replace]]. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean =
+    read(spark, path) match {
+      case Some(df) =>
+        // materialise BEFORE the swap deletes the files the plan reads
+        // (replace's tmp write does that ordering for us)
+        replace(spark, path, df.coalesce(nFiles))
+        true
+      case None => false
+    }
+
+  /** Number of data files currently under the store (spec/ops aid for
+    * [[compact]]: the observable that should drop). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
   }
 }

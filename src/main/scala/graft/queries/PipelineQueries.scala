@@ -430,6 +430,31 @@ object PipelineQueries {
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
 
+    // the q91 corpus INGESTED AS THREE SHARDS — build on the first, append
+    // the rest (O(shard) df/stats merges, dynamic-overwrite postings) —
+    // then probed. The emission must equal the full-corpus oracle
+    // bit-for-bit, which externally certifies the whole incremental
+    // maintenance path: per-shard postings partitions, exact long-sum
+    // df/stats merge, derived avgdl, replay guard plumbing. Null-id docs
+    // ride in shard 0 so the shard union is exactly the corpus.
+    "q97_bm25_append" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def shard(i: Int) = docs.filter(
+        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_append")
+      try {
+        graft.text.Retrieval.buildBm25Index(shard(0), "text", "doc_id",
+          idxDir.toString, shardId = "shard0")
+        graft.text.Retrieval.appendBm25Index(shard(1), "text", "doc_id",
+          idxDir.toString, "shard1")
+        graft.text.Retrieval.appendBm25Index(shard(2), "text", "doc_id",
+          idxDir.toString, "shard2")
+        graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+
     // SimHash near-dup pairs via Manku et al. 2007 §3 block-combination
     // banding: b=6 blocks of the 48-bit portable signature, one packed
     // 24-bit key per C(6,3)=20 combinations of 3 blocks — any pair within
@@ -465,6 +490,48 @@ object PipelineQueries {
           "doc_id", "text", w = 8)
         .orderBy("doc_id"))
   )
+
+  /** Phase-split timers for the persisted-index catalog queries, consumed
+    * by [[graft.Bench]] (round-5 verdict #8). The catalog entries time a
+    * full build+probe round trip — correct for the GATE (the whole index
+    * path stays oracle-checked), but it hides which phase moved when the
+    * total regresses, and the USER-facing per-query number is the probe
+    * alone (build amortises across query batches; that is the entire point
+    * of a persisted index). Each timer runs the same build and probe the
+    * catalog query runs, reporting seconds per phase. */
+  val phased: Map[String, (SparkSession, String) => Map[String, Double]] = Map(
+    "q95_bm25_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(graft.text.Retrieval.buildBm25Index(
+          docs, "text", "doc_id", idxDir.toString))
+        val probe = timed(graft.text.Retrieval
+          .queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+    "q83_ivf_index" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(Similarity.buildIvfIndex(
+          emb, "vec_id", "embedding", idxDir.toString, nCentroids = 16))
+        val probe = timed(Similarity
+          .queryIvfIndex(s, idxDir.toString, q, "vec_id", "embedding",
+            k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }))
 
   /** The q91 fixed query set — (query_id, term), mirrored verbatim by the
     * oracle's VALUES list. Terms must stay single whitespace-free tokens. */
@@ -660,6 +727,9 @@ object PipelineQueries {
     "q91_bm25" -> Bm25OracleSql,
     // same oracle text: the index probe must land value-identical to q91
     "q95_bm25_index" -> Bm25OracleSql,
+    // and so must the three-shard incremental build — one oracle, three
+    // access paths (direct scan, one-shot index, appended index)
+    "q97_bm25_append" -> Bm25OracleSql,
 
     // stride-1 8-token windows; slice bounds are INCLUSIVE in DuckDB, so
     // tk[i:i+7] is the 8-token window starting at i (1-based)

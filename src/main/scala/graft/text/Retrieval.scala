@@ -64,48 +64,218 @@ object Retrieval {
     idf * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
   }
 
-  /** Persisted inverted index: build once, probe many — the retrieval
-    * analogue of [[graft.sim.Similarity.buildIvfIndex]]. At 100 TB the
-    * postings explode is the dominant cost; amortising it across query
-    * batches is the difference between a search index and a rescan.
+  /** Persisted inverted index: build once, probe many, APPEND per ingest
+    * shard — the retrieval analogue of [[graft.sim.Similarity.buildIvfIndex]].
+    * At 100 TB the postings explode is the dominant cost; amortising it
+    * across query batches is the difference between a search index and a
+    * rescan, and re-exploding the WHOLE corpus because one day's shard
+    * arrived is the difference between an index and a nightly rebuild —
+    * [[appendBm25Index]] folds a new shard in at O(shard) cost.
     *
     * Layout under `path`:
-    *  - `postings/` — (tok, doc_id, dl, tf) PARTITIONED BY `bucket` =
-    *    pmod(xxhash64(tok), buckets), so a probe prunes to its terms'
-    *    bucket directories before reading a byte (same partition-pruning
-    *    play as the IVF index's centroid directories)
-    *  - `df/` — per-term document frequencies (vocabulary-sized)
-    *  - `stats/` — one row: corpus size + average doc length
+    *  - `postings/` — (doc_id, dl, tf) PARTITIONED BY (`shard`, `bucket`)
+    *    where `bucket` = pmod(xxhash64(tok), buckets): a probe prunes to
+    *    its terms' bucket directories before reading a byte (same
+    *    partition-pruning play as the IVF index's centroid directories),
+    *    and an append lands as its own `shard=` subtree via dynamic
+    *    partition overwrite — idempotent under replay by construction
+    *  - `meta` — ONE atomic relation ([[graft.core.AtomicStore]]) holding
+    *    three row kinds: per-term document frequencies (kind='df',
+    *    vocabulary-sized), the corpus stats row (kind='stats': n_docs,
+    *    n_text_docs, sum_dl, buckets — avgdl is DERIVED as
+    *    sum_dl/n_text_docs so incremental long-sums merge bit-exactly),
+    *    and the folded-shard guard (kind='shard'). One relation means the
+    *    df merge, the stats merge and the replay guard commit in a single
+    *    atomic replace — they can never desynchronise (the
+    *    [[graft.fp.FingerprintStore]] lesson).
+    *
+    * Append crash-safety: postings first (dynamic overwrite of the
+    * shard's own partitions — a replay rewrites exactly the same
+    * directories), meta last (guard + merged df/stats in one swap). A
+    * crash before the meta commit leaves orphan shard postings, which
+    * probes IGNORE (the postings scan filters to meta-recorded shards),
+    * and the replayed append overwrites; a crash after it makes the
+    * replay a guarded no-op. Precondition: an appended shard's doc ids
+    * are new to the index (standard ingest contract — a re-shipped doc
+    * would double its postings and df contributions).
     */
   def buildBm25Index(
       docs: DataFrame, textCol: String, idCol: String, path: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, shardId: String = "base"): Unit = {
+    val spark = docs.sparkSession
+    // a rebuild over a previously-used path must not inherit stale shard
+    // subtrees (the shard write replaces only its OWN partitions)
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
+    postingsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(postingsRoot, true)
+    writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
+    val df = shardDf(spark, path, shardId)
+    val stats = shardStats(docs, textCol)
+    graft.core.AtomicStore.replace(spark, s"$path/meta",
+      metaRelation(spark, df, stats, buckets, Set(shardId)))
+  }
+
+  /** Fold one new shard into an existing index at O(shard) cost: postings
+    * land as the shard's own partition subtree; df/stats merge as exact
+    * long sums against the stored meta (the [[graft.fp.Fingerprint.mergeDelta]]
+    * pattern — which is why a probe after N appends is bit-identical to a
+    * probe of a single full rebuild, spec'd and oracle-gated by q97).
+    * Returns false (no-op) when `shardId` is already folded — the replay
+    * guard. See [[buildBm25Index]] for the crash-safety protocol. */
+  def appendBm25Index(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      shardId: String): Boolean = {
+    val spark = docs.sparkSession
+    val meta = readMeta(spark, path)
+    if (meta.shards.contains(shardId)) {
+      System.err.println(s"[bm25] shard $shardId already in index at $path — skipping")
+      return false
+    }
+    writeShardPostings(docs, textCol, idCol, path, meta.buckets, shardId)
+    val dfDelta = shardDf(spark, path, shardId)
+    val mergedDf = meta.df.withColumnRenamed("df", "__old")
+      .join(dfDelta.withColumnRenamed("df", "__new"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
+    val s = shardStats(docs, textCol)
+    val merged = IndexStats(meta.stats.nDocs + s.nDocs,
+      meta.stats.nTextDocs + s.nTextDocs, meta.stats.sumDl + s.sumDl)
+    graft.core.AtomicStore.replace(spark, s"$path/meta",
+      metaRelation(spark, mergedDf, merged, meta.buckets, meta.shards + shardId))
+    true
+  }
+
+  /** Small-file maintenance: rewrite the postings tree (shards × buckets
+    * directories after repeated appends) as ONE shard with one file per
+    * bucket, and coalesce the meta relation. Probe results are identical
+    * before/after (spec'd). Protocol: the compacted-shard id enters the
+    * meta guard FIRST (a crash before the postings swap leaves probes on
+    * the old tree — still correct), then the postings tree swaps through
+    * the same tmp/delete/rename discipline as flat stores
+    * ([[graft.core.AtomicStore.replaceVia]]). Historical shard ids STAY
+    * in the guard, so replays of long-gone shards still short-circuit
+    * after compaction. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val meta = readMeta(spark, path)
+    if (!meta.shards.contains(CompactedShard))
+      graft.core.AtomicStore.replace(spark, s"$path/meta",
+        metaRelation(spark, meta.df, meta.stats, meta.buckets,
+          meta.shards + CompactedShard))
+    else // meta relation itself still benefits from a coalesce pass
+      graft.core.AtomicStore.compact(spark, s"$path/meta")
+    val live = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(meta.shards.toSeq: _*))
+      .drop("shard")
+      .withColumn("shard", lit(CompactedShard))
+    graft.core.AtomicStore.replaceVia(spark, s"$path/postings") { tmp =>
+      live.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
+    }
+  }
+
+  /** Reserved shard id the compactor rewrites the whole tree under. */
+  private val CompactedShard = "__compacted"
+
+  private final case class IndexStats(nDocs: Long, nTextDocs: Long, sumDl: Long) {
+    /** Derived EXACTLY as the one-shot aggregate would: long→double cast,
+      * one IEEE division — so merged longs reproduce the rebuild's double. */
+    def avgdl: Double = sumDl.toDouble / nTextDocs
+  }
+  private final case class IndexMeta(
+      df: DataFrame, stats: IndexStats, buckets: Int, shards: Set[String])
+
+  /** One shard's postings, clustered by bucket before the partitioned
+    * write (without the repartition every shuffle task writes a sliver
+    * into every bucket directory — tasks × buckets small files, measured
+    * 2.5x the build cost at sf0.1; at cluster scale it is also the
+    * metadata bomb). Dynamic partition overwrite: only THIS shard's
+    * (shard, bucket) partitions are replaced, so a replayed torn write
+    * self-heals and other shards are never touched. */
+  private[text] def writeShardPostings(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      buckets: Int, shardId: String): Unit = {
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).as("dl"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val postings = toks.groupBy("doc_id", "tok", "dl")
+    toks.groupBy("doc_id", "tok", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
-    // cluster rows by bucket before the partitioned write: without this
-    // every shuffle task writes a sliver into every bucket directory
-    // (tasks × buckets small files — measured 2.5x the build cost at
-    // sf0.1; at cluster scale it is also the metadata bomb)
-    postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .withColumn("shard", lit(shardId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
-    // df from the postings just WRITTEN (not the lazy plan — same
-    // build-once rationale as buildIvfIndex's centroid re-read)
-    val spark = docs.sparkSession
+  }
+
+  /** Per-term document frequencies of ONE shard, from the postings just
+    * WRITTEN (not the lazy plan — same build-once rationale as
+    * buildIvfIndex's centroid re-read). Postings are unique per
+    * (doc, tok), so a row count per tok IS the doc frequency. */
+  private def shardDf(spark: org.apache.spark.sql.SparkSession, path: String,
+      shardId: String): DataFrame =
     spark.read.parquet(s"$path/postings")
+      .filter(col("shard") === shardId)
       .groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+
+  /** One aggregate pass over the shard: total rows, tokenizable rows, and
+    * the EXACT long token-count sum (avgdl derives from these on read, so
+    * appends merge without double-rounding). Bounded driver collect: one
+    * row. */
+  private def shardStats(docs: DataFrame, textCol: String): IndexStats = {
+    val r = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
         docs.filter(col(textCol).isNotNull)
           .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
-          .agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+          .agg(count(lit(1)).as("n_text_docs"),
+            coalesce(sum("dl"), lit(0L)).as("sum_dl")))
+      .head()
+    IndexStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Assemble the meta relation: vocabulary-sized df rows stay
+    * distributed; the stats row and the shard-guard rows are driver-built
+    * (bounded: 1 + |shards|). */
+  private def metaRelation(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, stats: IndexStats, buckets: Int,
+      shards: Set[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tailSchema = StructType(Seq(
+      StructField("kind", StringType), StructField("n_docs", LongType),
+      StructField("n_text_docs", LongType), StructField("sum_dl", LongType),
+      StructField("buckets", IntegerType), StructField("shard_id", StringType)))
+    val tailRows = Row("stats", stats.nDocs, stats.nTextDocs, stats.sumDl,
+        buckets, null) +:
+      shards.toSeq.sorted.map(s => Row("shard", null, null, null, null, s))
+    val tail = spark.createDataFrame(
+        spark.sparkContext.parallelize(tailRows, 1), tailSchema)
+      .withColumn("tok", lit(null).cast("string"))
+      .withColumn("df", lit(null).cast("long"))
+    df.select(col("tok"), col("df"))
+      .withColumn("kind", lit("df"))
+      .withColumn("n_docs", lit(null).cast("long"))
+      .withColumn("n_text_docs", lit(null).cast("long"))
+      .withColumn("sum_dl", lit(null).cast("long"))
+      .withColumn("buckets", lit(null).cast("int"))
+      .withColumn("shard_id", lit(null).cast("string"))
+      .unionByName(tail.select("tok", "df", "kind", "n_docs", "n_text_docs",
+        "sum_dl", "buckets", "shard_id"))
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexMeta = {
+    val rel = graft.core.AtomicStore.read(spark, s"$path/meta").getOrElse(
+      throw new IllegalStateException(s"no BM25 index meta at $path/meta"))
+    val df = rel.filter(col("kind") === "df").select("tok", "df")
+    // bounded collects: 1 stats row + |shards| guard rows
+    val s = rel.filter(col("kind") === "stats")
+      .select("n_docs", "n_text_docs", "sum_dl", "buckets").head()
+    val shards = rel.filter(col("kind") === "shard").select("shard_id")
+      .collect().map(_.getString(0)).toSet
+    IndexMeta(df, IndexStats(s.getLong(0), s.getLong(1), s.getLong(2)),
+      s.getInt(3), shards)
   }
 
   /** Probe a persisted BM25 index: bit-identical to [[bm25TopK]] on the
@@ -118,8 +288,9 @@ object Retrieval {
   def queryBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: DataFrame, k: Int = 5,
-      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
+    val meta = readMeta(spark, path)
     // distinct: a duplicated (query_id, term) row would otherwise duplicate
     // scored rows (doubling score_u/n_hit_terms) and break the documented
     // bit-equality with bm25TopK — which dedups the same way
@@ -128,7 +299,7 @@ object Retrieval {
     // itself, never corpus data)
     val allTerms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
     require(allTerms.nonEmpty, "queryTerms is empty")
-    // df-ceiling (stopword guard): the persisted df/ relation makes the
+    // df-ceiling (stopword guard): the persisted df relation makes the
     // ceiling enforceable BEFORE the postings scan — a stopword-like term
     // ("the") has postings ≈ the whole corpus, and without the guard one
     // hot term degrades the index probe to a corpus-sized read. Dropping a
@@ -139,16 +310,14 @@ object Retrieval {
     val terms =
       if (maxDfFrac >= 1.0) allTerms
       else {
-        val nDocs = spark.read.parquet(s"$path/stats")
-          .select("n_docs").head().getLong(0)
-        val dfMap = spark.read.parquet(s"$path/df")
+        val dfMap = meta.df
           .filter(col("tok").isin(allTerms: _*))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val (hot, kept) = allTerms.partition(t =>
-          dfMap.getOrElse(t, 0L) > maxDfFrac * nDocs)
+          dfMap.getOrElse(t, 0L) > maxDfFrac * meta.stats.nDocs)
         if (hot.nonEmpty) System.err.println(
           s"[bm25] dropping ${hot.size} term(s) over df ceiling " +
-            s"($maxDfFrac of $nDocs docs): ${hot.mkString(", ")}")
+            s"($maxDfFrac of ${meta.stats.nDocs} docs): ${hot.mkString(", ")}")
         kept
       }
     if (terms.isEmpty) // keep query_id's own type; everything else is fixed
@@ -163,17 +332,23 @@ object Retrieval {
     // Partition values round-trip as STRINGS (type inference is off
     // session-wide), so the comparison is string = string — a cast on the
     // partition column would defeat pruning. The exact term filter then
-    // lands on the parquet footer.
+    // lands on the parquet footer. The shard filter restricts the scan to
+    // META-RECORDED shards: orphan postings of a torn (crashed-before-
+    // meta) append stay invisible until their replay completes.
     val bucketPred = terms
-      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(buckets)).cast("string"))
+      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(meta.buckets)).cast("string"))
       .reduce(_ || _)
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(bucketPred && col("tok").isin(terms: _*))
+      .filter(col("shard").isin(meta.shards.toSeq: _*) &&
+        bucketPred && col("tok").isin(terms: _*))
     val tf = postings.join(broadcast(q), postings("tok") === q("term"))
       .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
-    val dfq = broadcast(spark.read.parquet(s"$path/df")
-      .filter(col("tok").isin(terms: _*)))
-    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    val dfq = broadcast(meta.df.filter(col("tok").isin(terms: _*)))
+    // stats as a literal 1-row relation; avgdl derives from the exact
+    // stored longs with the same single long→double-cast division the
+    // one-shot aggregate performs (bit-identical, see IndexStats.avgdl)
+    val stats = broadcast(spark.range(1).select(
+      lit(meta.stats.nDocs).as("n_docs"), lit(meta.stats.avgdl).as("avgdl")))
     val scored = tf.join(dfq, "tok").crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
         scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),

@@ -440,7 +440,8 @@ class GraftPipelineSpec extends SparkSpec {
     assert(buildCfg.bm25IndexPath == s"$out/inv")
     val (nIn, nOut) = GraftPipeline.run(spark, buildCfg)
     assert(nIn == nOut && nOut > 0)
-    assert(spark.read.parquet(s"$out/inv/stats").count() == 1)
+    assert(spark.read.parquet(s"$out/inv/meta")
+      .filter(col("kind") === "stats").count() == 1)
 
     // probe: input relation IS the (query_id, term) set
     Seq((1L, "dup"), (1L, "merge"), (2L, "vector"))
@@ -509,5 +510,68 @@ class GraftPipelineSpec extends SparkSpec {
     assert(got() == expect)
     assert(graft.fp.FingerprintStore.foldedShards(spark, store) ==
       Set(s"$out/s1", s"$out/s2"))
+  }
+
+  test("bm25_index mode append + compact: shard-over-shard index equals a rebuild, compaction shrinks it") {
+    import spark.implicits._
+    val out = tmpDir("pipe10")
+    val inv = s"$out/inv"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    (0 until 3).foreach(i => docs
+      .filter(col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
+      .write.mode("overwrite").parquet(s"$out/in$i/documents.parquet"))
+    def shardYaml(i: Int) =
+      s"""input:
+         |  path: $out/in$i
+         |  table: documents
+         |output:
+         |  path: $out/shipped$i
+         |steps: bm25_index
+         |shard_id: shard$i
+         |bm25_index:
+         |  path: $inv
+         |  mode: append
+         |""".stripMargin
+    (0 until 3).foreach { i =>
+      val cfg = GraftPipeline.fromKv(YamlConfig.parse(shardYaml(i))).toOption.get
+      assert(cfg.bm25Mode == "append")
+      GraftPipeline.run(spark, cfg)
+    }
+    val terms = Seq((1L, "dup"), (1L, "merge"), (2L, "vector"), (3L, "stream"))
+      .toDF("query_id", "term")
+    def probe() = graft.text.Retrieval.queryBm25Index(spark, inv, terms, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    // three appended shards answer exactly like one full-corpus scan
+    val direct = graft.text.Retrieval.bm25TopK(docs, terms, "text", "doc_id", k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(probe() == direct)
+    // a replayed shard run (same shard_id) must not double-fold
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(YamlConfig.parse(shardYaml(1))).toOption.get)
+    assert(probe() == direct)
+    // compact run: fewer files, identical probe
+    val filesBefore = graft.core.AtomicStore.dataFileCount(spark, s"$inv/postings")
+    val compactYaml =
+      s"""input:
+         |  path: $out/in0
+         |  table: documents
+         |output:
+         |  path: $out/compact_out
+         |steps: compact
+         |bm25_index:
+         |  path: $inv
+         |""".stripMargin
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(YamlConfig.parse(compactYaml)).toOption.get)
+    assert(graft.core.AtomicStore.dataFileCount(spark, s"$inv/postings") < filesBefore)
+    assert(probe() == direct)
+    // config guards: bad mode rejected; compact with no store paths rejected
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "bm25_index", "bm25_index.path" -> "c",
+      "bm25_index.mode" -> "merge")).swap.toOption.get.contains("mode"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "compact")).swap.toOption.get.contains("store path"))
   }
 }

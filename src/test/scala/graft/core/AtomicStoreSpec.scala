@@ -71,6 +71,20 @@ class AtomicStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact: identical rows back, fewer files, absent store is a no-op") {
+    val p = tmpDir("astore") + "/store"
+    assert(!AtomicStore.compact(spark, p)) // nothing there yet
+    // many-file store (one file per shuffle task, the post-update shape)
+    AtomicStore.replace(spark, p, (1L to 100L).toDF("v").repartition(8))
+    val before = AtomicStore.dataFileCount(spark, p)
+    assert(before >= 8)
+    assert(AtomicStore.compact(spark, p))
+    assert(AtomicStore.dataFileCount(spark, p) == 1)
+    assert(readBack(p).contains((1L to 100L).toSet))
+    // leftover-tmp hygiene, same as replace
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + "_tmp")))
+  }
+
   test("replace may lazily read the store it replaces (incremental merge shape)") {
     val p = tmpDir("astore") + "/store"
     write(p, Seq(1L, 2L))

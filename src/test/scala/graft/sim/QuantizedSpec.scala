@@ -64,6 +64,24 @@ class QuantizedSpec extends SparkSpec {
       "centroid_id partition filter did not prune files")
   }
 
+  test("compactIvfIndex: probe identical before/after, assigned tree no larger") {
+    val dir = tmpDir("ivfidx_compact")
+    val queries = emb.filter(col("vec_id") < 8)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
+    def probe() = Similarity.queryIvfIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2).orderBy("query_id", "rank").collect().toSeq
+    val before = probe()
+    // inflate the assigned tree the way accumulated writes would (extra
+    // files per centroid dir), then compact back to one file per centroid
+    val assigned = spark.read.parquet(s"$dir/assigned").localCheckpoint(true)
+    assigned.repartition(4).write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/assigned")
+    val inflated = graft.core.AtomicStore.dataFileCount(spark, s"$dir/assigned")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(graft.core.AtomicStore.dataFileCount(spark, s"$dir/assigned") < inflated)
+    assert(probe() == before)
+  }
+
   test("quantize property: codes bounded and dequant error <= scale/2 on generated vectors") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

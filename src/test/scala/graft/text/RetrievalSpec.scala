@@ -100,7 +100,7 @@ class RetrievalSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     val direct = set(Retrieval.bm25TopK(docs, clean, "text", "doc_id"))
     assert(set(Retrieval.bm25TopK(docs, dup, "text", "doc_id")) == direct)
-    assert(set(Retrieval.queryBm25Index(spark, idx, dup, buckets = 16)) == direct)
+    assert(set(Retrieval.queryBm25Index(spark, idx, dup)) == direct)
   }
 
   test("bm25 df-ceiling: hot term dropped before the index scan; direct path agrees") {
@@ -118,9 +118,8 @@ class RetrievalSpec extends SparkSpec {
     def set(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     val guarded = Retrieval.queryBm25Index(spark, idx,
-      q(1L -> "needle", 1L -> "zzstop"), buckets = 16, maxDfFrac = 0.5)
-    val restricted = Retrieval.queryBm25Index(spark, idx, q(1L -> "needle"),
-      buckets = 16)
+      q(1L -> "needle", 1L -> "zzstop"), maxDfFrac = 0.5)
+    val restricted = Retrieval.queryBm25Index(spark, idx, q(1L -> "needle"))
     assert(set(guarded) == set(restricted),
       "df-ceiling probe must equal the hot-term-free probe")
     // scan boundedness: the guarded plan must not reference the hot term
@@ -134,10 +133,95 @@ class RetrievalSpec extends SparkSpec {
     assert(set(directGuarded) == set(directRestricted))
     // every term over the ceiling -> empty result, correct shape
     val empty = Retrieval.queryBm25Index(spark, idx, q(1L -> "zzstop"),
-      buckets = 16, maxDfFrac = 0.5)
+      maxDfFrac = 0.5)
     assert(empty.columns.toSeq ==
       Seq("query_id", "doc_id", "rank", "score_u", "n_hit_terms"))
     assert(empty.count() == 0)
+  }
+
+  private def probeSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+
+  test("bm25 append: N appends probe bit-identical to one full rebuild") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 2L -> "query", 3L -> "stream")
+    val full = tmpDir("bm25_full")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", full, buckets = 16)
+    val inc = tmpDir("bm25_inc")
+    // three disjoint shards covering the corpus (null ids ride in shard 0)
+    def shard(i: Int) = docs.filter(
+      col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
+    Retrieval.buildBm25Index(shard(0), "text", "doc_id", inc, buckets = 16, shardId = "s0")
+    assert(Retrieval.appendBm25Index(shard(1), "text", "doc_id", inc, "s1"))
+    assert(Retrieval.appendBm25Index(shard(2), "text", "doc_id", inc, "s2"))
+    // bit-identical: every score_u, every rank — df/stats merged as exact
+    // longs, avgdl derived by the same single division
+    assert(probeSet(Retrieval.queryBm25Index(spark, inc, terms, k = 5)) ==
+      probeSet(Retrieval.queryBm25Index(spark, full, terms, k = 5)))
+  }
+
+  test("bm25 append: replayed shard id is a guarded no-op") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge")
+    val idx = tmpDir("bm25_replay")
+    Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", idx, buckets = 16, shardId = "s0")
+    assert(Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", idx, "s1"))
+    val before = probeSet(Retrieval.queryBm25Index(spark, idx, terms))
+    // replaying either shard must change nothing (not double-fold df/stats)
+    assert(!Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", idx, "s1"))
+    assert(!Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", idx, "s0"))
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == before)
+  }
+
+  test("bm25 append: torn append (postings written, meta not) is invisible, then heals on replay") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val idx = tmpDir("bm25_torn")
+    Retrieval.buildBm25Index(even, "text", "doc_id", idx, buckets = 16, shardId = "s0")
+    val evenOnly = probeSet(Retrieval.queryBm25Index(spark, idx, terms))
+    // simulate a crash after the postings write, before the meta commit
+    Retrieval.writeShardPostings(odd, "text", "doc_id", idx, 16, "s1")
+    // orphan postings must NOT leak into probes (shard filter from meta)
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == evenOnly)
+    // the replayed append overwrites the shard's own partitions and
+    // commits meta — results now equal a clean full build
+    assert(Retrieval.appendBm25Index(odd, "text", "doc_id", idx, "s1"))
+    val full = tmpDir("bm25_torn_full")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", full, buckets = 16)
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) ==
+      probeSet(Retrieval.queryBm25Index(spark, full, terms)))
+  }
+
+  test("bm25 compact: file count drops, probe identical, old-shard replay still guarded") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 3L -> "stream")
+    val idx = tmpDir("bm25_compact")
+    def shard(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i ||
+      col("doc_id").isNull && lit(i) === 0)
+    Retrieval.buildBm25Index(shard(0), "text", "doc_id", idx, buckets = 16, shardId = "s0")
+    (1 to 3).foreach(i => assert(
+      Retrieval.appendBm25Index(shard(i), "text", "doc_id", idx, s"s$i")))
+    val before = probeSet(Retrieval.queryBm25Index(spark, idx, terms))
+    val filesBefore = graft.core.AtomicStore.dataFileCount(spark, s"$idx/postings")
+    Retrieval.compactBm25Index(spark, idx)
+    val filesAfter = graft.core.AtomicStore.dataFileCount(spark, s"$idx/postings")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the postings tree ($filesBefore -> $filesAfter)")
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == before)
+    // the guard survives compaction: a replay of a compacted-away shard
+    // must still short-circuit (re-appending would double its postings)
+    assert(!Retrieval.appendBm25Index(shard(2), "text", "doc_id", idx, "s2"))
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == before)
+    // compaction is idempotent
+    Retrieval.compactBm25Index(spark, idx)
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == before)
   }
 
   test("bm25: per-term ranking agrees with the textbook log-idf weights") {
