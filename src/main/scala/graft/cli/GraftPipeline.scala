@@ -441,7 +441,7 @@ object GraftPipeline {
     }
     if (cfg.steps.contains("compact")) {
       if (cfg.seenStorePath.nonEmpty)
-        graft.core.AtomicStore.compact(spark, cfg.seenStorePath)
+        graft.dedup.SeenStore.compact(spark, cfg.seenStorePath)
       if (cfg.fingerprintStorePath.nonEmpty)
         graft.core.AtomicStore.compact(spark, cfg.fingerprintStorePath)
       if (cfg.annIndexPath.nonEmpty && graft.core.Fs.exists(spark, cfg.annIndexPath))

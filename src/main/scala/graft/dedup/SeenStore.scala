@@ -6,56 +6,77 @@ import org.apache.spark.sql.functions._
 /** The persisted seen-hash store behind incremental exact dedup (the q88
   * primitive, production-shaped): 8 bytes per distinct document ever
   * accepted, anti-joined against each incoming shard so re-ingest cost is
-  * O(shard + store), never O(corpus). Storage goes through
-  * [[graft.core.AtomicStore]] (crash-safe tmp/rename replace).
+  * O(shard + store), never O(corpus).
   *
-  * Like [[graft.fp.FingerprintStore]], the store carries the set of
-  * PROCESSED SHARD IDS in the same relation as the hashes (kind rows), so
-  * the guard commits atomically with the data. This is what makes shard
-  * replay safe end-to-end: a replayed shard whose id is already recorded
-  * must be SKIPPED ENTIRELY by the caller ([[processedShards]]) — its
-  * hashes are all in the store, so re-filtering would emit an empty
+  * Layout (the same shard-subtree + atomic-meta discipline as the BM25
+  * index — [[graft.text.Retrieval]]):
+  *
+  *  - `hashes/shard=<id>/` — one parquet subtree of `content_hash` per
+  *    folded shard, written via dynamic partition overwrite (a replayed
+  *    write replaces exactly its own directories — idempotent)
+  *  - `meta` — [[graft.core.AtomicStore]] relation of processed shard
+  *    ids; committing it is what makes a shard's hashes VISIBLE
+  *
+  * [[update]] is therefore **O(shard)**: the new shard's hashes append as
+  * their own subtree and the tiny meta relation swaps — the store is
+  * never rewritten. (The previous union+distinct rewrite was O(store)
+  * per shard: at 10B documents an ~80 GB key shuffle per daily ingest,
+  * the self-documented scale limit this layout removes.) Repeated
+  * appends accumulate files; [[compact]] folds every recorded subtree
+  * into one `shard=__compacted` tree (read-coalesce-atomic-swap), with
+  * historical shard ids KEPT in meta so replays of long-gone shards
+  * still short-circuit.
+  *
+  * Crash-safety per shard: hashes first (idempotent overwrite), meta
+  * last. A crash before the meta commit leaves an orphan subtree that
+  * [[read]] never surfaces (it filters to meta-recorded shards); the
+  * replayed shard overwrites it and commits. After the commit, the
+  * caller's guard ([[processedShards]]) short-circuits the whole run —
+  * its hashes are all in the store, so re-filtering would emit an empty
   * relation and clobber the shard's committed output.
   *
   * Protocol per shard: if `shardId ∈ processedShards` → done (output is
-  * already committed). Else `filter` the shard against [[read]], commit
-  * the survivors downstream, then [[update]] with the survivors + shard
-  * id. A crash before [[update]] replays with the store unchanged, so the
-  * re-run recomputes the identical output; after [[update]], the replay
-  * short-circuits at the guard.
-  *
-  * Scale note: [[update]] rewrites the store (union + distinct — an
-  * O(store) shuffle of 8-byte keys per shard). At 10B documents that is
-  * an ~80 GB key shuffle per ingest — acceptable next to the shard scan
-  * itself, but a pipeline at that scale should hash-bucket the store
-  * directory and rewrite only the buckets the shard's hashes land in
-  * (same keys, 1/N of the rewrite); the anti-join read side is already
-  * O(shard + store) either way. */
+  * already committed). Else [[filter]] the shard against the store,
+  * commit the survivors downstream, then [[update]] with the survivors +
+  * shard id. A crash before [[update]] replays with the store unchanged,
+  * so the re-run recomputes the identical output; after [[update]], the
+  * replay short-circuits at the guard. Single-writer per store path, as
+  * with every persisted store here. */
 object SeenStore {
 
-  private val Kind = "__kind"
-  private val ShardId = "__shard_id"
+  private val CompactedShard = "__compacted"
 
-  private def raw(spark: SparkSession, path: String): Option[DataFrame] =
-    graft.core.AtomicStore.read(spark, path)
+  private def metaPath(path: String) = s"$path/meta"
+  private def hashesPath(path: String) = s"$path/hashes"
 
-  /** The store's hash relation (content_hash), or None before the first
-    * [[update]]. A pre-guard store (bare hash column) reads as all-hash. */
-  def read(spark: SparkSession, path: String): Option[DataFrame] =
-    raw(spark, path).map { df =>
-      if (df.columns.contains(Kind))
-        df.filter(col(Kind) === "hash").select("content_hash")
-      else df
+  private def shardIds(spark: SparkSession, path: String): Set[String] =
+    graft.core.AtomicStore.read(spark, metaPath(path)) match {
+      case Some(df) => df.select("shard_id").collect().map(_.getString(0)).toSet
+      case None => Set.empty
     }
+
+  private def writeMeta(spark: SparkSession, path: String, ids: Set[String]): Unit = {
+    import org.apache.spark.sql.{Row, types => T}
+    val rel = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.toSeq.sorted.map(Row(_)), 1),
+      T.StructType(Seq(T.StructField("shard_id", T.StringType))))
+    graft.core.AtomicStore.replace(spark, metaPath(path), rel)
+  }
+
+  /** The store's hash relation (content_hash), restricted to shards whose
+    * meta commit landed (orphans of torn updates stay invisible), or None
+    * before the first [[update]]. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    val ids = shardIds(spark, path)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(hashesPath(path))
+      .filter(col("shard").isin(ids.toSeq: _*))
+      .select("content_hash"))
+  }
 
   /** Shard ids whose survivors are already folded in. */
   def processedShards(spark: SparkSession, path: String): Set[String] =
-    raw(spark, path) match {
-      case Some(df) if df.columns.contains(Kind) =>
-        df.filter(col(Kind) === "shard").select(ShardId)
-          .collect().map(_.getString(0)).toSet
-      case _ => Set.empty
-    }
+    shardIds(spark, path) - CompactedShard
 
   /** Drop rows of `incoming` whose content hash is already in the store;
     * identity when the store does not exist yet. */
@@ -67,22 +88,41 @@ object SeenStore {
     }
 
   /** Fold a committed shard's survivors into the store and record the
-    * shard id (one atomic replace). Idempotent per shard id. */
+    * shard id — O(shard): the survivors' distinct hashes land as the
+    * shard's own subtree, nothing else is rewritten. Idempotent per
+    * shard id. */
   def update(spark: SparkSession, path: String, survivors: DataFrame,
       contentCol: String, shardId: String): Unit = {
-    val shardIds = processedShards(spark, path) + shardId
-    val hashes = (read(spark, path) match {
-      case Some(seen) => Dedup.updateSeen(seen, survivors, contentCol)
-      case None => Dedup.seenHashes(survivors, contentCol)
-    }).withColumn(Kind, lit("hash")).withColumn(ShardId, lit(null).cast("string"))
-    val shardRows = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          shardIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(ShardId,
-            org.apache.spark.sql.types.StringType))))
-      .select(lit(null).cast("long").as("content_hash"),
-        lit("shard").as(Kind), col(ShardId))
-    graft.core.AtomicStore.replace(spark, path, hashes.unionByName(shardRows))
+    require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
+    val ids = shardIds(spark, path)
+    if (ids.contains(shardId)) return
+    Dedup.seenHashes(survivors, contentCol)
+      .withColumn("shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(hashesPath(path))
+    writeMeta(spark, path, ids + shardId)
+  }
+
+  /** Small-file maintenance: fold every recorded subtree into one
+    * `shard=__compacted` tree with `nFiles` files. Meta first (a crash
+    * before the swap leaves reads on the old tree — still correct), then
+    * the crash-safe tree swap; historical ids stay in meta so the replay
+    * guard survives compaction. No-op before the first update. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
+    val ids = shardIds(spark, path)
+    if (ids.isEmpty) return false
+    if (!ids.contains(CompactedShard))
+      writeMeta(spark, path, ids + CompactedShard)
+    val live = spark.read.parquet(hashesPath(path))
+      .filter(col("shard").isin(ids.toSeq: _*))
+      .select("content_hash").distinct()
+      .withColumn("shard", lit(CompactedShard))
+    graft.core.AtomicStore.replaceVia(spark, hashesPath(path)) { tmp =>
+      live.coalesce(nFiles)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
+    true
   }
 }

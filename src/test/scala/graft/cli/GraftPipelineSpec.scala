@@ -321,6 +321,30 @@ class GraftPipelineSpec extends SparkSpec {
     assert((in1b, out1b) == ((3L, 3L)))
     assert(spark.read.parquet(s"$out/shard1").count() == 3) // output intact
     assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4) // store unchanged
+    // compaction: same four hashes back, fewer files, guard intact (the
+    // replayed shard still short-circuits, so the committed output and
+    // the store survive a post-compaction replay too)
+    val filesBefore = graft.core.AtomicStore.dataFileCount(spark, s"$store/hashes")
+    assert(graft.dedup.SeenStore.compact(spark, store))
+    assert(graft.core.AtomicStore.dataFileCount(spark, s"$store/hashes") < filesBefore)
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4)
+    assert(graft.dedup.SeenStore.processedShards(spark, store) ==
+      Set(s"$out/s1", s"$out/s2"))
+    val (in1c, out1c) = GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    assert((in1c, out1c) == ((3L, 3L)))
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4)
+    // torn update (hashes subtree written, meta not committed) stays
+    // invisible to read/filter until the replayed update heals it
+    Seq(doc(20, "epsilon text")).toDF("doc_id", "text", "lang", "source")
+      .select(org.apache.spark.sql.functions.xxhash64(col("text")).as("content_hash"))
+      .withColumn("shard", lit("shard3"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$store/hashes")
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 4) // orphan hidden
+    graft.dedup.SeenStore.update(spark, store,
+      Seq(doc(20, "epsilon text")).toDF("doc_id", "text", "lang", "source"),
+      "text", "shard3")
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 5)
     // fromKv refuses the step without seen_store.path
     assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> "dedup_seen")).swap.toOption.get.contains("seen_store.path"))
