@@ -488,6 +488,74 @@ object PipelineQueries {
     "q93_strip_dup_spans" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(Tables.load(s, dir, "documents"),
           "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+
+    // PII redaction with per-type counts. The fixture corpus carries no
+    // PII (verified: zero regex hits at both gate SFs), so the query
+    // derives a deterministic PII-bearing text from `customer` columns on
+    // BOTH sides — only some rows get an email/ip/phone (custkey mod
+    // classes) so the counts vary — then redacts with the production
+    // [[TextAnalysis.redactPii]] staging (email → IPv4 → phone). Counts
+    // come from the SAME staged intermediates the replacement uses, so
+    // count and replacement semantics cannot drift apart. The full
+    // redacted string is the emission: the gate hash-checks the actual
+    // transform output (q93 discipline), and any Java-vs-RE2 semantic
+    // divergence in the shared patterns would surface here as a hash
+    // mismatch — this query IS the cross-engine regex-portability gate.
+    "q98_pii_redact" -> ((s, dir) => {
+      val key = col("c_custkey")
+      val email = when(key % 3 === 0,
+        concat(lit(" <user"), key.cast("string"), lit("@example.com>")))
+        .otherwise(lit(""))
+      val ip = when(key % 4 < 2,
+        concat(lit(" ip 10."), (col("c_nationkey") % 256).cast("string"),
+          lit("."), (key % 256).cast("string"), lit("."),
+          (key % 100).cast("string")))
+        .otherwise(lit(" ip none"))
+      val phone = when(key % 5 < 3,
+        concat(lit(" call +1 (555) "),
+          lpad((key * 7919 % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((key * 104729 % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))
+      val raw = concat(col("c_name"), email, ip, phone,
+        lit(" segment "), col("c_mktsegment"))
+      val t1 = regexp_replace(col("raw"), TextAnalysis.EmailRe, "<EMAIL>")
+      val t2 = regexp_replace(col("t1"), TextAnalysis.Ipv4Re, "<IP>")
+      Tables.load(s, dir, "customer")
+        .select(key, raw.as("raw"))
+        .select(col("c_custkey"), col("raw"),
+          regexp_count(col("raw"), lit(TextAnalysis.EmailRe)).as("n_emails"),
+          t1.as("t1"))
+        .select(col("c_custkey"), col("n_emails"),
+          regexp_count(col("t1"), lit(TextAnalysis.Ipv4Re)).as("n_ips"),
+          t2.as("t2"))
+        .select(col("c_custkey"), col("n_emails"), col("n_ips"),
+          regexp_count(col("t2"), lit(TextAnalysis.PhoneRe)).as("n_phones"),
+          regexp_replace(col("t2"), TextAnalysis.PhoneRe, "<PHONE>")
+            .as("redacted"))
+        .orderBy("c_custkey")
+    }),
+
+    // Gopher quality-rule battery (Rae et al. 2021 A1.1) — per-rule
+    // booleans plus the keep conjunction, all integer-arithmetic
+    // thresholds (no IEEE division) so every rule is hash-checked
+    // externally. The fixture corpus is single-line lowercase prose, so
+    // the line rules (bullet/ellipsis) and alpha rule are exercised for
+    // the always-pass arm here and for their failure arms by the crafted
+    // multi-line docs in TextAnalysisSpec; word-count / mean-length /
+    // stopword rules vary across fixture docs.
+    "q99_gopher_rules" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.ok_word_count").as("ok_word_count"),
+          col("g.ok_mean_word_len").as("ok_mean_word_len"),
+          col("g.ok_symbol_ratio").as("ok_symbol_ratio"),
+          col("g.ok_bullet_lines").as("ok_bullet_lines"),
+          col("g.ok_ellipsis_lines").as("ok_ellipsis_lines"),
+          col("g.ok_alpha_words").as("ok_alpha_words"),
+          col("g.ok_stopwords").as("ok_stopwords"),
+          col("g.keep").as("keep"))
         .orderBy("doc_id"))
   )
 
@@ -790,7 +858,53 @@ object PipelineQueries {
         "CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(clean_text, '') END AS clean_text, " +
         "CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tokens, " +
         "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed " +
-        "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id")
+        "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
+
+    "q98_pii_redact" -> {
+      // mirrors of TextAnalysis.{EmailRe, Ipv4Re, PhoneRe} — RE2-safe by
+      // construction, so the pattern TEXT is byte-identical on both sides
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val phone = "\\+?\\d[\\d\\s().-]{6,}\\d"
+      "WITH r AS (SELECT c_custkey, c_name || " +
+        "CASE WHEN c_custkey % 3 = 0 THEN ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ELSE '' END || " +
+        "CASE WHEN c_custkey % 4 < 2 THEN ' ip 10.' || CAST(c_nationkey % 256 AS VARCHAR) || '.' || " +
+        "CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR) ELSE ' ip none' END || " +
+        "CASE WHEN c_custkey % 5 < 3 THEN ' call +1 (555) ' || lpad(CAST(c_custkey * 7919 % 1000 AS VARCHAR), 3, '0') || " +
+        "'-' || lpad(CAST(c_custkey * 104729 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "' segment ' || c_mktsegment AS raw FROM customer), " +
+        s"e AS (SELECT c_custkey, CAST(len(regexp_extract_all(raw, '$email')) AS INTEGER) AS n_emails, " +
+        s"regexp_replace(raw, '$email', '<EMAIL>', 'g') AS t1 FROM r), " +
+        s"i AS (SELECT c_custkey, n_emails, CAST(len(regexp_extract_all(t1, '$ip')) AS INTEGER) AS n_ips, " +
+        s"regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM e) " +
+        s"SELECT c_custkey, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '$phone')) AS INTEGER) AS n_phones, " +
+        s"regexp_replace(t2, '$phone', '<PHONE>', 'g') AS redacted FROM i ORDER BY c_custkey"
+    },
+
+    "q99_gopher_rules" ->
+      (s"WITH t AS (SELECT doc_id, text, $Toks AS tk, string_split(text, chr(10)) AS ln FROM documents), " +
+        "g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nw, " +
+        "CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sl, " +
+        "CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS nh, " +
+        "CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS ne, " +
+        "CAST(len(ln) AS BIGINT) AS nl, " +
+        "CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS nb, " +
+        "CAST(len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS nel, " +
+        "CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(tk, s))) AS BIGINT) AS ns " +
+        "FROM t) " +
+        "SELECT doc_id, nw AS n_words, " +
+        "(nw >= 50 AND nw <= 100000) AS ok_word_count, " +
+        "(sl >= 3 * nw AND sl <= 10 * nw) AS ok_mean_word_len, " +
+        "(10 * (nh + ne) < nw) AS ok_symbol_ratio, " +
+        "(10 * nb < 9 * nl) AS ok_bullet_lines, " +
+        "(10 * nel < 3 * nl) AS ok_ellipsis_lines, " +
+        "(5 * na >= 4 * nw) AS ok_alpha_words, " +
+        "(ns >= 2) AS ok_stopwords, " +
+        "((nw >= 50 AND nw <= 100000) AND (sl >= 3 * nw AND sl <= 10 * nw) AND " +
+        "(10 * (nh + ne) < nw) AND (10 * nb < 9 * nl) AND (10 * nel < 3 * nl) AND " +
+        "(5 * na >= 4 * nw) AND (ns >= 2)) AS keep " +
+        "FROM g ORDER BY doc_id")
   )
 }
 

@@ -99,15 +99,78 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** PII patterns, RE2-safe (no lookarounds, no backreferences) so the
+    * DuckDB oracle evaluates them with IDENTICAL match semantics — RE2
+    * and java.util.regex agree on leftmost-greedy matching for this
+    * fragment of the syntax. Shared by [[redactPii]] and the q98 catalog
+    * query's staged per-type counts; change them together with the
+    * `PiiSql` mirror in [[graft.queries.PipelineQueries]]. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\s().-]{6,}\\d"
+
   /** PII scrubbing: replace email addresses, international-ish phone
     * numbers, and IPv4 literals with type tags. Deliberately conservative
     * RE2-safe patterns (no lookarounds); map-only, codegen'd. Order
     * matters: emails first (their local parts can contain digits that the
-    * phone pattern would otherwise shred). */
+    * phone pattern would otherwise shred), then IPv4 before the phone
+    * pattern (whose digit/dot class would swallow dotted quads). */
   def redactPii(c: Column): Column = {
-    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d\\s().-]{6,}\\d", "<PHONE>")
+    val email = regexp_replace(c, EmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, Ipv4Re, "<IP>")
+    regexp_replace(ip, PhoneRe, "<PHONE>")
+  }
+
+  /** Required-stopword set of the Gopher quality rules (Rae et al. 2021,
+    * Appendix A1.1): a document must contain at least two of these. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix A1.1)
+    * as a struct of per-rule booleans plus the conjunction `keep` — the
+    * standard first-pass web-corpus filter battery. Every threshold is
+    * evaluated in INTEGER arithmetic (`10*nsym < nw` instead of
+    * `nsym/nw < 0.1`) so the emission is engine-portable: no IEEE division
+    * anywhere, and the DuckDB oracle mirrors each rule expression exactly.
+    *
+    * Rules: word count in [50, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio (# and ellipsis) < 0.1; < 90% of lines
+    * bullet-initial; < 30% of lines ellipsis-final; >= 80% of words
+    * contain an alphabetic character; >= 2 distinct [[GopherStopwords]].
+    * One tokenize + one line-split, all codegen'd builtins/HOFs — a
+    * 100 TB corpus pass stays map-only with only `text` read. */
+  def gopherRules(c: Column): Column = {
+    val toks = tokens(c)
+    val nw = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nHash = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+    val nEll = regexp_count(c, lit("\\.\\.\\.")).cast("long")
+    val lines = split(c, "\n")
+    val nl = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllLine =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val sw = array(GopherStopwords.map(lit): _*)
+    val nSw = size(filter(sw, s => array_contains(toks, s))).cast("long")
+    val okWords = nw >= 50L && nw <= 100000L
+    val okMeanLen = sumLen >= lit(3L) * nw && sumLen <= lit(10L) * nw
+    val okSymbol = lit(10L) * (nHash + nEll) < nw
+    val okBullet = lit(10L) * nBullet < lit(9L) * nl
+    val okEllLine = lit(10L) * nEllLine < lit(3L) * nl
+    val okAlpha = lit(5L) * nAlpha >= lit(4L) * nw
+    val okStopwords = nSw >= 2L
+    struct(
+      nw.as("n_words"),
+      okWords.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okBullet.as("ok_bullet_lines"),
+      okEllLine.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okStopwords.as("ok_stopwords"),
+      (okWords && okMeanLen && okSymbol && okBullet && okEllLine &&
+        okAlpha && okStopwords).as("keep"))
   }
 
   /** Per-(doc, token) unigram log-frequency mass: `count_in_doc ×

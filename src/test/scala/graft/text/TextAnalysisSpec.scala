@@ -25,6 +25,35 @@ class TextAnalysisSpec extends SparkSpec {
       "no pii here just words") == "no pii here just words")
   }
 
+  test("gopherRules: each rule's failure arm fires on a crafted doc") {
+    def rules(text: String): org.apache.spark.sql.Row =
+      one[org.apache.spark.sql.Row](T.gopherRules(col("text")), text)
+    def flag(text: String, f: String): Boolean =
+      rules(text).getAs[Boolean](f)
+    // a passing doc: 50+ mid-length words with stopword glue, no symbols
+    val good = (Seq("the", "of") ++ (1 to 60).map(i => s"word$i")).mkString(" ")
+    val g = rules(good)
+    assert(g.getAs[Long]("n_words") == 62L && g.getAs[Boolean]("keep"))
+    // word count: under 50 words
+    assert(!flag("the of few words here", "ok_word_count"))
+    // mean word length: single-char words => mean < 3
+    assert(!flag(("a " * 60).trim + " the of", "ok_mean_word_len"))
+    // symbol ratio: >= 1 hash per <10 words
+    assert(!flag("# # # # the of end", "ok_symbol_ratio"))
+    // bullet lines: every line bullet-initial
+    assert(!flag("- one two\n- three four\n  * five", "ok_bullet_lines"))
+    // ellipsis lines: every line ellipsis-final (both ... and Unicode)
+    assert(!flag("truncated...\nalso cut…", "ok_ellipsis_lines"))
+    // alpha words: digit soup
+    assert(!flag((1 to 50).map(_.toString).mkString(" "), "ok_alpha_words"))
+    // stopwords: only one marker present
+    assert(!flag(("the " + (1 to 60).map(i => s"w$i").mkString(" ")), "ok_stopwords"))
+    // the good doc passes every individual rule (keep is their conjunction)
+    Seq("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+      "ok_stopwords").foreach(f => assert(g.getAs[Boolean](f), f))
+  }
+
   test("unigramLogMass: count x log10(corpus freq), closed form") {
     val got = Seq((3L, 100L)).toDF("c", "cf")
       .select(T.unigramLogMass(col("c"), col("cf"))).head().getDouble(0)
