@@ -38,6 +38,11 @@ import graft.text.TextAnalysis
   *  - `dedup_seen` — incremental exact dedup against the persisted
   *    seen-hash store at `seen_store.path` (q88 primitive); survivors are
   *    folded into the store after the output commits
+  *  - `dedup_neardup` — incremental NEAR-dup dedup against the persisted
+  *    MinHash store at `neardup_store.path` (q100 primitive): drop docs
+  *    with a verified shingle-Jaccard >= `neardup_min_jaccard` match in
+  *    any prior shard; survivors fold in after the output commits. Same
+  *    text-mutating ordering guard and replay protocol as `dedup_seen`
   *  - `fingerprint_store` — post-write maintenance of a per-source
   *    (rows, fp) store at `fingerprint_store.path` (mergeDelta — O(delta)
   *    reconcile inventory of everything shipped)
@@ -97,6 +102,8 @@ object GraftPipeline {
       benchmarkDir: String = "", benchmarkTable: String = "documents",
       mixRates: Map[String, Double] = Map.empty,
       seenStorePath: String = "",
+      nearDupStorePath: String = "",
+      nearDupMinJaccard: Double = 0.8,
       fingerprintStorePath: String = "",
       shardIdOverride: String = "",
       annIndexPath: String = "",
@@ -120,9 +127,11 @@ object GraftPipeline {
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val unknown = steps.filterNot(Steps.contains)
-    val mutatorsAfterSeen =
-      if (!steps.contains("dedup_seen")) Seq.empty
-      else steps.drop(steps.indexOf("dedup_seen") + 1).filter(TextMutatingSteps)
+    def mutatorsAfter(step: String): Seq[String] =
+      if (!steps.contains(step)) Seq.empty
+      else steps.drop(steps.indexOf(step) + 1).filter(TextMutatingSteps)
+    val mutatorsAfterSeen = mutatorsAfter("dedup_seen")
+    val mutatorsAfterNear = mutatorsAfter("dedup_neardup")
     if (kv.getOrElse("input.path", "").isEmpty) Left("input.path is required")
     else if (kv.getOrElse("output.path", "").isEmpty) Left("output.path is required")
     else if (steps.isEmpty) Left("steps is required (comma-separated)")
@@ -134,8 +143,14 @@ object GraftPipeline {
         "shard's filter-time hashes — move them before dedup_seen")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
+    else if (mutatorsAfterNear.nonEmpty)
+      Left(s"text-mutating steps after dedup_neardup (${mutatorsAfterNear.mkString(", ")}) " +
+        "would store shingles of rewritten text that can never match a future " +
+        "shard's filter-time shingles — move them before dedup_neardup")
     else if (steps.contains("dedup_seen") && kv.getOrElse("seen_store.path", "").isEmpty)
       Left("dedup_seen requires seen_store.path")
+    else if (steps.contains("dedup_neardup") && kv.getOrElse("neardup_store.path", "").isEmpty)
+      Left("dedup_neardup requires neardup_store.path")
     else if (steps.contains("fingerprint_store") && kv.getOrElse("fingerprint_store.path", "").isEmpty)
       Left("fingerprint_store requires fingerprint_store.path")
     else if ((steps.contains("ann_index") || steps.contains("ann_query")) &&
@@ -149,10 +164,12 @@ object GraftPipeline {
       Left(s"bm25_index.mode must be overwrite or append, " +
         s"got '${kv("bm25_index.mode")}'")
     else if (steps.contains("compact") && Seq("seen_store.path",
-        "fingerprint_store.path", "ann_index.path", "bm25_index.path")
+        "neardup_store.path", "fingerprint_store.path", "ann_index.path",
+        "bm25_index.path")
         .forall(k => kv.getOrElse(k, "").isEmpty))
       Left("compact requires at least one store path to compact " +
-        "(seen_store.path / fingerprint_store.path / ann_index.path / bm25_index.path)")
+        "(seen_store.path / neardup_store.path / fingerprint_store.path / " +
+        "ann_index.path / bm25_index.path)")
     // an index build is POST-write while its probe executes in-plan
     // (pre-write): one run holding both would probe a missing/stale index,
     // and the post-write build would then run on the PROBE's output — which
@@ -196,6 +213,9 @@ object GraftPipeline {
       benchmarkTable = kv.getOrElse("benchmark.table", "documents"),
       mixRates = rates,
       seenStorePath = kv.getOrElse("seen_store.path", ""),
+      nearDupStorePath = kv.getOrElse("neardup_store.path", ""),
+      nearDupMinJaccard = kv.get("neardup_min_jaccard")
+        .flatMap(_.toDoubleOption).getOrElse(0.8),
       fingerprintStorePath = kv.getOrElse("fingerprint_store.path", ""),
       shardIdOverride = kv.getOrElse("shard_id", ""),
       annIndexPath = kv.getOrElse("ann_index.path", ""),
@@ -244,6 +264,13 @@ object GraftPipeline {
     // the already-seen rows fall out again (at-least-once safe).
     "dedup_seen" -> ((c, df) =>
       graft.dedup.SeenStore.filter(df.sparkSession, c.seenStorePath, df, "text")),
+    // incremental NEAR-dup dedup (the q100 primitive): drop docs with a
+    // verified shingle-Jaccard >= neardup_min_jaccard near-dup among the
+    // docs of prior shards. Store update is post-write in run(), same
+    // at-least-once protocol as dedup_seen.
+    "dedup_neardup" -> ((c, df) =>
+      graft.dedup.NearDupStore.filterNew(df.sparkSession, c.nearDupStorePath,
+        df, "text", "doc_id", c.nearDupMinJaccard)),
     // per-source fingerprint-store maintenance: no transform at plan time —
     // run() folds byPartition(output) into fingerprint_store.path after the
     // write, giving downstream reconciles an O(delta) per-source (rows, fp)
@@ -399,21 +426,38 @@ object GraftPipeline {
     *     output is ever destroyed. */
   def run(spark: SparkSession, cfg: PipelineConfig): (Long, Long) = {
     val in = graft.core.Tables.load(spark, cfg.inputDir, cfg.table).count()
-    if (cfg.steps.contains("dedup_seen") &&
-        graft.dedup.SeenStore.processedShards(spark, cfg.seenStorePath)
-          .contains(cfg.shardId)) {
+    // a shard recorded in ANY incremental store must not re-filter: its
+    // own hashes/shingles are now "seen", so the re-run would emit an
+    // empty relation and clobber the committed output. With BOTH stores
+    // configured, a crash between their two post-write updates leaves the
+    // shard recorded in one only — the short-circuit path heals the other
+    // from the committed output (update() is a no-op where recorded).
+    val seenRecorded = cfg.steps.contains("dedup_seen") &&
+      graft.dedup.SeenStore.processedShards(spark, cfg.seenStorePath)
+        .contains(cfg.shardId)
+    val nearRecorded = cfg.steps.contains("dedup_neardup") &&
+      graft.dedup.NearDupStore.processedShards(spark, cfg.nearDupStorePath)
+        .contains(cfg.shardId)
+    if (seenRecorded || nearRecorded) {
       // the short-circuit reports the COMMITTED output's row count; if the
       // output was relocated/cleaned (or the caller pointed a replay at a
       // fresh outputDir), reading it would throw a bare AnalysisException —
       // fail with a diagnosable message instead
       if (!graft.core.Fs.exists(spark, cfg.outputDir))
         throw new IllegalStateException(
-          s"[$Name] shard ${cfg.shardId} is recorded in the seen store at " +
-            s"${cfg.seenStorePath}, but its output ${cfg.outputDir} is missing. " +
+          s"[$Name] shard ${cfg.shardId} is recorded in an incremental " +
+            s"dedup store, but its output ${cfg.outputDir} is missing. " +
             "Restore the output, point output.path at the committed shard, or " +
             "pass a new shard_id to reprocess as a fresh shard.")
       System.err.println(s"[$Name] shard ${cfg.shardId} already processed — skipping")
-      return (in, spark.read.parquet(cfg.outputDir).count())
+      val committed = spark.read.parquet(cfg.outputDir)
+      if (cfg.steps.contains("dedup_seen") && !seenRecorded)
+        graft.dedup.SeenStore.update(
+          spark, cfg.seenStorePath, committed, "text", cfg.shardId)
+      if (cfg.steps.contains("dedup_neardup") && !nearRecorded)
+        graft.dedup.NearDupStore.update(spark, cfg.nearDupStorePath,
+          committed, "text", "doc_id", cfg.shardId)
+      return (in, committed.count())
     }
     val out = plan(spark, cfg)
     val writer = out.write.mode("overwrite")
@@ -427,6 +471,9 @@ object GraftPipeline {
     }
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)
+    if (cfg.steps.contains("dedup_neardup"))
+      graft.dedup.NearDupStore.update(spark, cfg.nearDupStorePath,
+        written, "text", "doc_id", cfg.shardId)
     if (cfg.steps.contains("ann_index"))
       graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
         cfg.annIndexPath, cfg.annCentroids)
@@ -442,6 +489,8 @@ object GraftPipeline {
     if (cfg.steps.contains("compact")) {
       if (cfg.seenStorePath.nonEmpty)
         graft.dedup.SeenStore.compact(spark, cfg.seenStorePath)
+      if (cfg.nearDupStorePath.nonEmpty)
+        graft.dedup.NearDupStore.compact(spark, cfg.nearDupStorePath)
       if (cfg.fingerprintStorePath.nonEmpty)
         graft.core.AtomicStore.compact(spark, cfg.fingerprintStorePath)
       if (cfg.annIndexPath.nonEmpty && graft.core.Fs.exists(spark, cfg.annIndexPath))

@@ -502,6 +502,32 @@ object PipelineQueries {
     // transform output (q93 discipline), and any Java-vs-RE2 semantic
     // divergence in the shared patterns would surface here as a hash
     // mismatch — this query IS the cross-engine regex-portability gate.
+    // INCREMENTAL near-dup dedup via the persisted NearDupStore (the
+    // MinHash-LSH sibling of q88's exact seen-store): even-id docs are the
+    // accepted history folded into the store, odd-id docs the incoming
+    // shard, and the emission is the shard rows with no verified
+    // (exact-Jaccard >= 0.8) near-dup in history. Banding parameters are
+    // q31's, whose all-pairs oracle already certifies their recall on this
+    // corpus; the NOT-EXISTS ground truth here is the same shingle CTE
+    // restricted to cross-parity pairs, so the store round trip — subtree
+    // write, meta gating, band-key probe, exact verification — is
+    // externally certified end-to-end. maxBucket=0: the exact gate runs
+    // unguarded (the production guard's recall trade is q31-documented).
+    "q100_neardup_seen" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_neardup_seen")
+      try {
+        graft.dedup.NearDupStore.update(s, storeDir.toString,
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", "history")
+        graft.dedup.NearDupStore.filterNew(s, storeDir.toString,
+            docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+            minJaccard = 0.8, maxBucket = 0)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+          .localCheckpoint(true) // materialise before the store dir dies
+      } finally graft.core.Fs.deleteRecursively(storeDir)
+    }),
+
     "q98_pii_redact" -> ((s, dir) => {
       val key = col("c_custkey")
       val email = when(key % 3 === 0,
@@ -859,6 +885,14 @@ object PipelineQueries {
         "CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tokens, " +
         "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed " +
         "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
+
+    "q100_neardup_seen" ->
+      (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "WHERE d.doc_id % 2 = 1 AND NOT EXISTS (SELECT 1 FROM ndpairs p " +
+        "WHERE (p.id_a = d.doc_id AND p.id_b % 2 = 0) " +
+        "OR (p.id_b = d.doc_id AND p.id_a % 2 = 0)) " +
+        "ORDER BY d.doc_id"),
 
     "q98_pii_redact" -> {
       // mirrors of TextAnalysis.{EmailRe, Ipv4Re, PhoneRe} — RE2-safe by

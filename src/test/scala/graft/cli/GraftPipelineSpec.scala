@@ -350,6 +350,60 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "dedup_seen")).swap.toOption.get.contains("seen_store.path"))
   }
 
+  test("dedup_neardup: shard-over-shard incremental near-dedup, replay heals the second store") {
+    import spark.implicits._
+    val out = tmpDir("pipe_nd")
+    val store = s"$out/neardup_store"
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val b = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val c = "one two three four five six seven eight nine ten eleven twelve"
+    def doc(id: Long, text: String) = (id, text, "en", "src")
+    Seq(doc(1, a), doc(2, b)).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s1/documents.parquet")
+    // shard 2: near-copy of a (one appended token: J=10/11), exact copy
+    // of b, one fresh doc
+    Seq(doc(10, a + " zulu"), doc(11, b), doc(12, c))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s2/documents.parquet")
+    def cfg(in: String, shard: String, steps: Seq[String] = Seq("dedup_neardup")) =
+      GraftPipeline.PipelineConfig(
+        inputDir = in, table = "documents", outputDir = s"$out/$shard",
+        steps = steps, qualityMin = 0.0,
+        minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+        seenStorePath = s"$out/seen_store", nearDupStorePath = store)
+    assert(GraftPipeline.run(spark, cfg(s"$out/s1", "shard1")) == ((2L, 2L)))
+    assert(GraftPipeline.run(spark, cfg(s"$out/s2", "shard2")) == ((3L, 1L)))
+    assert(spark.read.parquet(s"$out/shard2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(12L))
+    assert(graft.dedup.NearDupStore.read(spark, store).get.count() == 3)
+    // replay short-circuits: committed output intact, store unchanged
+    assert(GraftPipeline.run(spark, cfg(s"$out/s1", "shard1")) == ((2L, 2L)))
+    assert(spark.read.parquet(s"$out/shard1").count() == 2)
+    assert(graft.dedup.NearDupStore.read(spark, store).get.count() == 3)
+    // torn two-store update: shard3 recorded in the SEEN store only (as if
+    // the crash hit between the two post-write updates) — the replay
+    // short-circuits on the seen record and heals the neardup store from
+    // the committed output
+    val both = Seq("dedup_seen", "dedup_neardup")
+    Seq(doc(20, c + " extra")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/s3/documents.parquet")
+    val cfg3 = cfg(s"$out/s3", "shard3", both)
+    GraftPipeline.run(spark, cfg3.copy(steps = Seq("dedup_seen"))) // seen only
+    assert(!graft.dedup.NearDupStore.processedShards(spark, store)
+      .contains(cfg3.shardId))
+    assert(GraftPipeline.run(spark, cfg3)._2 == 1L) // short-circuit + heal
+    assert(graft.dedup.NearDupStore.processedShards(spark, store)
+      .contains(cfg3.shardId))
+    assert(graft.dedup.NearDupStore.read(spark, store).get.count() == 4)
+    // config guards: missing path; text mutator after the step
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "dedup_neardup")).swap.toOption.get.contains("neardup_store.path"))
+    val err = GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "dedup_neardup,normalize", "neardup_store.path" -> "c"))
+      .swap.toOption.get
+    assert(err.contains("dedup_neardup"))
+  }
+
   test("dedup_seen rejects text-mutating steps after it (hash-drift guard)") {
     def kv(steps: String) = Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> steps, "seen_store.path" -> "c")
