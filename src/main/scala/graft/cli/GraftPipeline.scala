@@ -69,7 +69,9 @@ import graft.text.TextAnalysis
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *  - `ann_index` — post-write build of a persisted IVF ANN index at
-  *    `ann_index.path` over the written relation's `ann.vec_column`
+  *    `ann_index.path` over the written relation's `ann.vec_column`;
+  *    `ann_index.mode: append` folds the shipped shard in at O(shard)
+  *    against the frozen centroids (first shard auto-builds)
   *  - `ann_query` — probe a persisted IVF index: the input relation is the
   *    query set, the output is (query_id, neighbor_id, cos, rank); must be
   *    the final step
@@ -109,6 +111,7 @@ object GraftPipeline {
       annIndexPath: String = "",
       annIdCol: String = "vec_id", annVecCol: String = "embedding",
       annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4,
+      annMode: String = "overwrite",
       bm25IndexPath: String = "", bm25K: Int = 5,
       bm25Mode: String = "overwrite") {
     /** Replay-guard key for the fingerprint store: one fold per shard. */
@@ -163,6 +166,10 @@ object GraftPipeline {
         kv.getOrElse("bm25_index.mode", "overwrite")))
       Left(s"bm25_index.mode must be overwrite or append, " +
         s"got '${kv("bm25_index.mode")}'")
+    else if (!Seq("overwrite", "append").contains(
+        kv.getOrElse("ann_index.mode", "overwrite")))
+      Left(s"ann_index.mode must be overwrite or append, " +
+        s"got '${kv("ann_index.mode")}'")
     else if (steps.contains("compact") && Seq("seen_store.path",
         "neardup_store.path", "fingerprint_store.path", "ann_index.path",
         "bm25_index.path")
@@ -222,6 +229,7 @@ object GraftPipeline {
       annIdCol = kv.getOrElse("ann.id_column", "vec_id"),
       annVecCol = kv.getOrElse("ann.vec_column", "embedding"),
       annCentroids = kv.get("ann.centroids").flatMap(_.toIntOption).getOrElse(16),
+      annMode = kv.getOrElse("ann_index.mode", "overwrite"),
       annK = kv.get("ann.k").flatMap(_.toIntOption).getOrElse(10),
       annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4),
       bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
@@ -474,9 +482,15 @@ object GraftPipeline {
     if (cfg.steps.contains("dedup_neardup"))
       graft.dedup.NearDupStore.update(spark, cfg.nearDupStorePath,
         written, "text", "doc_id", cfg.shardId)
-    if (cfg.steps.contains("ann_index"))
-      graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
-        cfg.annIndexPath, cfg.annCentroids)
+    if (cfg.steps.contains("ann_index")) {
+      if (cfg.annMode == "append" &&
+          graft.core.Fs.exists(spark, s"${cfg.annIndexPath}/meta"))
+        graft.sim.Similarity.appendIvfIndex(written, cfg.annIdCol,
+          cfg.annVecCol, cfg.annIndexPath, cfg.shardId)
+      else // overwrite, or append's very first shard (nothing to fold into)
+        graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
+          cfg.annIndexPath, cfg.annCentroids, shardId = cfg.shardId)
+    }
     if (cfg.steps.contains("bm25_index")) {
       if (cfg.bm25Mode == "append" &&
           graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))

@@ -502,6 +502,50 @@ object PipelineQueries {
     // transform output (q93 discipline), and any Java-vs-RE2 semantic
     // divergence in the shared patterns would surface here as a hash
     // mismatch — this query IS the cross-engine regex-portability gate.
+    // IVF index INCREMENTAL MAINTENANCE (the q97 discipline for ANN): the
+    // corpus ingested as three shards — build on the first (centroids
+    // frozen there), append the rest — must probe BIT-IDENTICALLY to the
+    // same build with the remainder appended as one shard. That is the
+    // shard-decomposition invariance a daily-ingest pipeline relies on;
+    // emitted as per-query parity booleans (q83 discipline) the DuckDB
+    // gate asserts TRUE. n_results pins the probe's result count, so a
+    // shrunken candidate pool (lost shard, over-pruned scan) fails loudly.
+    "q101_ivf_append" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      def shard(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+      def probed(build: String => Unit): DataFrame = {
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+        try {
+          build(idxDir.toString)
+          Similarity.queryIvfIndex(s, idxDir.toString, q,
+              "vec_id", "embedding", k = 10, nProbe = 4)
+            .localCheckpoint(true) // materialise before the index dir dies
+        } finally graft.core.Fs.deleteRecursively(idxDir)
+      }
+      val manyShards = probed { p =>
+        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding", p, nCentroids = 16)
+        Similarity.appendIvfIndex(shard(1), "vec_id", "embedding", p, "s1")
+        Similarity.appendIvfIndex(shard(2), "vec_id", "embedding", p, "s2")
+      }
+      val oneShard = probed { p =>
+        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding", p, nCentroids = 16)
+        Similarity.appendIvfIndex(shard(1).unionByName(shard(2)),
+          "vec_id", "embedding", p, "rest")
+      }
+      val a = manyShards.select(col("query_id"), col("neighbor_id"), col("rank"))
+      val b = oneShard.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_b"))
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_results"),
+          max(when(col("rank").isNull || col("rank_b").isNull ||
+            col("rank") =!= col("rank_b"), 1).otherwise(0)).as("mm"))
+        .select(col("query_id"), col("n_results"),
+          (col("mm") === 0).as("append_parity_ok"))
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL near-dup dedup via the persisted NearDupStore (the
     // MinHash-LSH sibling of q88's exact seen-store): even-id docs are the
     // accepted history folded into the store, odd-id docs the incoming
@@ -885,6 +929,8 @@ object PipelineQueries {
         "CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tokens, " +
         "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed " +
         "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
+
+    "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
 
     "q100_neardup_seen" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +

@@ -170,18 +170,24 @@ object Similarity {
     topKRank(scored, k)
   }
 
-  /** Persisted IVF index: build once, probe many. At 100 TB the corpus
-    * assignment pass (one map-only scan) dominates ANN cost, so amortising
-    * it across query batches is the difference between an index and a
-    * rescan. `buildIvfIndex` writes two parquet relations —
-    * `<path>/centroids` (nCentroids rows) and `<path>/assigned` (corpus
-    * rows partitioned BY centroid_id, so a probe prunes to its clusters'
-    * directories at the scan) — and [[queryIvfIndex]] reproduces
-    * [[ivfKnn]]'s probe/score/top-k exactly (spec'd). */
+  /** Persisted IVF index: build once, probe many, APPEND shards forward.
+    * At 100 TB the corpus assignment pass (one map-only scan) dominates
+    * ANN cost, so amortising it across query batches is the difference
+    * between an index and a rescan. `buildIvfIndex` writes three
+    * relations — `<path>/centroids` (nCentroids rows, FROZEN after
+    * build), `<path>/assigned` (corpus rows partitioned by
+    * shard + centroid_id, so a probe prunes to its clusters'
+    * directories at the scan) and `<path>/meta` (committed shard ids,
+    * the [[graft.dedup.SeenStore]] atomic-visibility discipline) — and
+    * [[queryIvfIndex]] reproduces [[ivfKnn]]'s probe/score/top-k exactly
+    * (spec'd). [[appendIvfIndex]] folds a new shard in at O(shard):
+    * assign against the frozen centroids, land the shard's own subtree,
+    * swap the tiny meta — shard-decomposition invariant (spec'd:
+    * build+append+append probes bit-identically to build+append-rest). */
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCentroids: Int = 16, lloydIters: Int = 0,
-      lloydSamplePct: Int = 100): Unit = {
+      lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit = {
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
@@ -193,17 +199,64 @@ object Similarity {
     // produced them: re-evaluating `cents` would re-run every Lloyd pass
     // (double build cost) and make on-disk ≡ assignment hold only by
     // recomputation determinism instead of by construction
-    val centArr = corpus.sparkSession.read.parquet(s"$path/centroids").agg(
+    writeAssignedShard(corpus, idCol, vecCol, path, shardId)
+    writeIvfMeta(corpus.sparkSession, path, Set(shardId))
+  }
+
+  /** Fold a new shard of vectors into a built index — O(shard): one
+    * map-side assignment pass against the FROZEN centroids, the shard's
+    * own `assigned` subtree via dynamic partition overwrite (idempotent
+    * replay), then the meta swap that makes it visible. Crash before the
+    * meta commit leaves an invisible orphan subtree the replay
+    * overwrites. Centroids are never refreshed here — IVF quality decays
+    * if the data distribution drifts far from the build corpus; rebuild
+    * (or re-Lloyd + reassign) is the maintenance answer, as in any
+    * production IVF deployment. */
+  def appendIvfIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String, shardId: String): Unit = {
+    require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
+    val spark = newRows.sparkSession
+    val ids = ivfShardIds(spark, path)
+    require(ids.nonEmpty, s"no IVF index at $path — build before append")
+    if (ids.contains(shardId)) return
+    writeAssignedShard(newRows, idCol, vecCol, path, shardId)
+    writeIvfMeta(spark, path, ids + shardId)
+  }
+
+  private val IvfCompactedShard = "__compacted"
+
+  private def ivfShardIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] =
+    graft.core.AtomicStore.read(spark, s"$path/meta") match {
+      case Some(df) => df.select("shard_id").collect().map(_.getString(0)).toSet
+      case None => Set.empty
+    }
+
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Set[String]): Unit = {
+    import org.apache.spark.sql.{Row, types => T}
+    val rel = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.toSeq.sorted.map(Row(_)), 1),
+      T.StructType(Seq(T.StructField("shard_id", T.StringType))))
+    graft.core.AtomicStore.replace(spark, s"$path/meta", rel)
+  }
+
+  private def writeAssignedShard(rows: DataFrame, idCol: String,
+      vecCol: String, path: String, shardId: String): Unit = {
+    val centArr = rows.sparkSession.read.parquet(s"$path/centroids").agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     // cluster rows by centroid before the partitioned write (the BM25
     // postings lesson, measured there at 2.5x build cost): without the
     // repartition every shuffle task writes a sliver into every centroid
     // directory — tasks × centroids small files, the metadata bomb at
-    // cluster scale. One file per centroid instead.
+    // cluster scale. One file per centroid per shard instead.
     assignProbes(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
+        rows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
+      .withColumn("shard", lit(shardId))
       .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "centroid_id")
       .parquet(s"$path/assigned")
   }
 
@@ -215,10 +268,19 @@ object Similarity {
     * untouched because the directory layout is. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     graft.core.AtomicStore.compact(spark, s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val ids = ivfShardIds(spark, path)
+    if (ids.isEmpty) return
+    // meta first (the SeenStore.compact discipline): a crash before the
+    // swap leaves reads on the old subtrees — still correct; historical
+    // shard ids stay recorded so append's replay guard survives
+    if (!ids.contains(IvfCompactedShard))
+      writeIvfMeta(spark, path, ids + IvfCompactedShard)
+    val live = spark.read.parquet(s"$path/assigned")
+      .filter(col("shard").isin(ids.toSeq: _*))
+      .drop("shard").withColumn("shard", lit(IvfCompactedShard))
     graft.core.AtomicStore.replaceVia(spark, s"$path/assigned") { tmp =>
-      assigned.repartition(col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      live.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("shard", "centroid_id").parquet(tmp)
     }
   }
 
@@ -238,7 +300,10 @@ object Similarity {
     // session-wide); restore whatever id type the centroids relation
     // carries — ids are generic (long, string, …), not always long
     val idType = cents.schema("centroid_id").dataType
+    val committed = ivfShardIds(spark, path)
     val corpusAssigned = spark.read.parquet(s"$path/assigned")
+      // orphan subtrees of torn appends stay invisible until replayed
+      .filter(col("shard").isin(committed.toSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast(idType))
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -444,6 +444,46 @@ class GraftPipelineSpec extends SparkSpec {
     assert(GraftPipeline.run(spark, cfg(s"$out/committed")) == ((1L, 1L)))
   }
 
+  test("ann_index mode append: shard-over-shard index probes like a one-shot ingest") {
+    val out = tmpDir("pipe_ivf_append")
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$out/s1/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/s2/embeddings.parquet")
+    def yaml(in: String, shipped: String) =
+      s"""input:
+         |  path: $in
+         |  table: embeddings
+         |output:
+         |  path: $out/$shipped
+         |steps: ann_index
+         |ann_index:
+         |  path: $out/ivf
+         |  mode: append
+         |ann:
+         |  centroids: 8
+         |""".stripMargin
+    val cfg1 = GraftPipeline.fromKv(YamlConfig.parse(yaml(s"$out/s1", "ship1"))).toOption.get
+    assert(cfg1.annMode == "append")
+    GraftPipeline.run(spark, cfg1) // first shard: auto-build (no meta yet)
+    val afterBuild = spark.read.parquet(s"$out/ivf/assigned").count()
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(YamlConfig.parse(yaml(s"$out/s2", "ship2"))).toOption.get)
+    assert(spark.read.parquet(s"$out/ivf/assigned").count() == emb.count())
+    assert(afterBuild < emb.count())
+    // probe covers BOTH shards: a neighbor from each parity must be reachable
+    val res = graft.sim.Similarity.queryIvfIndex(spark, s"$out/ivf",
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 10, nProbe = 8)
+    val parities = res.select(pmod(col("neighbor_id"), lit(2)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(parities == Set(0L, 1L))
+    // bad mode rejected at config time
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "ann_index", "ann_index.path" -> "c",
+      "ann_index.mode" -> "merge")).swap.toOption.get.contains("ann_index.mode"))
+  }
+
   test("ann_index + ann_query: build and probe a persisted IVF index via YAML") {
     val out = tmpDir("pipe8")
     // run 1: index the embeddings table (post-write, like fingerprint_store)

@@ -64,6 +64,48 @@ class QuantizedSpec extends SparkSpec {
       "centroid_id partition filter did not prune files")
   }
 
+  test("appendIvfIndex: shard-decomposition invariant, replay no-op, orphan invisible") {
+    val queries = emb.filter(col("vec_id") < 8)
+    def probe(dir: String) = Similarity.queryIvfIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val s0 = emb.filter(col("vec_id") % 3 === 0)
+    val s1 = emb.filter(col("vec_id") % 3 === 1)
+    val s2 = emb.filter(col("vec_id") % 3 === 2)
+    // (a) build(s0) + append(s1) + append(s2)
+    val dirA = tmpDir("ivf_append_a")
+    Similarity.buildIvfIndex(s0, "vec_id", "embedding", dirA, nCentroids = 8)
+    Similarity.appendIvfIndex(s1, "vec_id", "embedding", dirA, "s1")
+    Similarity.appendIvfIndex(s2, "vec_id", "embedding", dirA, "s2")
+    // (b) build(s0) + append(s1 ∪ s2 as one shard): same frozen centroids,
+    // so the two ingest decompositions must probe bit-identically
+    val dirB = tmpDir("ivf_append_b")
+    Similarity.buildIvfIndex(s0, "vec_id", "embedding", dirB, nCentroids = 8)
+    Similarity.appendIvfIndex(s1.unionByName(s2), "vec_id", "embedding", dirB, "rest")
+    assert(probe(dirA) == probe(dirB))
+    assert(probe(dirA).nonEmpty)
+    // assigned covers the whole corpus exactly once
+    assert(spark.read.parquet(s"$dirA/assigned").count() == emb.count())
+    // replaying a folded shard is a no-op
+    val before = probe(dirA)
+    Similarity.appendIvfIndex(s1.limit(1), "vec_id", "embedding", dirA, "s1")
+    assert(probe(dirA) == before)
+    assert(spark.read.parquet(s"$dirA/assigned").count() == emb.count())
+    // orphan subtree (assigned written, meta not committed) stays invisible
+    emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("neighbor_id"), lit(999L).as("centroid_id"),
+        col("embedding").as("cv"))
+      .withColumn("shard", lit("torn"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "centroid_id").parquet(s"$dirA/assigned")
+    assert(probe(dirA) == before)
+    // append before build fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(s1, "vec_id", "embedding", tmpDir("ivf_nobuild"), "x")
+    }
+    assert(e.getMessage.contains("build before append"))
+  }
+
   test("compactIvfIndex: probe identical before/after, assigned tree no larger") {
     val dir = tmpDir("ivfidx_compact")
     val queries = emb.filter(col("vec_id") < 8)
@@ -75,7 +117,7 @@ class QuantizedSpec extends SparkSpec {
     // files per centroid dir), then compact back to one file per centroid
     val assigned = spark.read.parquet(s"$dir/assigned").localCheckpoint(true)
     assigned.repartition(4).write.mode("overwrite")
-      .partitionBy("centroid_id").parquet(s"$dir/assigned")
+      .partitionBy("shard", "centroid_id").parquet(s"$dir/assigned")
     val inflated = graft.core.AtomicStore.dataFileCount(spark, s"$dir/assigned")
     Similarity.compactIvfIndex(spark, dir)
     assert(graft.core.AtomicStore.dataFileCount(spark, s"$dir/assigned") < inflated)
