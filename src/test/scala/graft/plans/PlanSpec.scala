@@ -111,6 +111,24 @@ class PlanSpec extends SparkSpec {
       fin.contains("SortMergeJoin"), fin.take(1500))
   }
 
+  test("neardup probe: band-key equi-joins only — no nested-loop join touches a corpus relation") {
+    // the candidate join must be an equi-join on the 8-byte band hash and
+    // the final drop a LEFT ANTI on the id; a BroadcastNestedLoopJoin
+    // against the store (all-pairs in disguise) is the regression this
+    // guards against. (assignProbes-style 1-row cross joins never appear
+    // here — the probe has no legitimate nested-loop join at all.)
+    val store = tmpDir("plan_neardup")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    graft.dedup.NearDupStore.update(spark, store,
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", "h")
+    val p = graft.dedup.NearDupStore.filterNew(spark, store,
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
