@@ -36,7 +36,12 @@ object ScaleBench {
     "q79_stream_join", "q83_ivf_index", "q70_range_join_rule",
     "q82_asof_broadcast", "q66_semantic_dedup", "q50_range_join",
     "q22_fingerprint_by_partition", "q80_chunk_overlap", "q54_knn_ivf",
-    "q16_join_agg", "q92_dup_spans", "q93_strip_dup_spans")
+    "q16_join_agg", "q92_dup_spans", "q93_strip_dup_spans",
+    // round 6: the incremental near-dup store round trip (history fold +
+    // banded probe + exact verification) — the full-corpus signature pass
+    // plus a 16-byte band-key shuffle; the trend certifies the probe
+    // never degenerates toward all-pairs as the corpus grows
+    "q100_neardup_seen")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

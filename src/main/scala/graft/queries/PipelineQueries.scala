@@ -669,6 +669,29 @@ object PipelineQueries {
           .write.format("noop").mode("overwrite").save())
         Map("build" -> build, "probe" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+    // q101 times TWO index ingests plus probes in its gate form; the
+    // user-facing costs are one build, one O(shard) append, one probe
+    "q101_ivf_append" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_append_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(Similarity.buildIvfIndex(
+          emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+          "vec_id", "embedding", idxDir.toString, nCentroids = 16))
+        val append = timed(Similarity.appendIvfIndex(
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+          "vec_id", "embedding", idxDir.toString, "rest"))
+        val probe = timed(Similarity
+          .queryIvfIndex(s, idxDir.toString, q, "vec_id", "embedding",
+            k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "append" -> append, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
     }))
 
   /** The q91 fixed query set — (query_id, term), mirrored verbatim by the
