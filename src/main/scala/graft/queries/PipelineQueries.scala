@@ -670,6 +670,32 @@ object PipelineQueries {
         Map("build" -> build, "probe" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
+    // q97 times a build plus two appends plus the probe in its gate form
+    // (6.2 s at sf0.1, the catalog's most expensive entry) — the phased
+    // record shows which of the three maintenance costs moved
+    "q97_bm25_append" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def shard(i: Int) = docs.filter(
+        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_append_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(graft.text.Retrieval.buildBm25Index(
+          shard(0), "text", "doc_id", idxDir.toString, shardId = "shard0"))
+        val append = timed {
+          graft.text.Retrieval.appendBm25Index(shard(1), "text", "doc_id",
+            idxDir.toString, "shard1")
+          graft.text.Retrieval.appendBm25Index(shard(2), "text", "doc_id",
+            idxDir.toString, "shard2")
+        }
+        val probe = timed(graft.text.Retrieval
+          .queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "append" -> append, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
     // q101 times TWO index ingests plus probes in its gate form; the
     // user-facing costs are one build, one O(shard) append, one probe
     "q101_ivf_append" -> ((s, dir) => {
