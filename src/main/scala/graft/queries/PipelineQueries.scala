@@ -502,6 +502,28 @@ object PipelineQueries {
     // transform output (q93 discipline), and any Java-vs-RE2 semantic
     // divergence in the shared patterns would surface here as a hash
     // mismatch — this query IS the cross-engine regex-portability gate.
+    // Product-quantisation ANN with exact re-rank (Jégou et al. 2011,
+    // spherical per-block codebooks; the COMPRESSION leg of web-scale
+    // ANN): 8 blocks x 32 codes = 40 bits/vector, ADC shortlist at 5% of
+    // the corpus, true-vector exact cosine only on the shortlist.
+    // Recall-invariant emission (q35/q54 discipline). Floor calibration
+    // (PqCalibrate, 5% shortlist, m=8 k=32 lloyd=1): per-query hits
+    // 8-10/10 at sf0.001, 9-10 at sf0.01, 10 at sf0.1 — floor 6 sits
+    // strictly under the deterministic minimum. Raw ADC ranking alone
+    // lands 2-4/10 on this near-uniform fixture (random data is PQ's
+    // worst case); the rerank leg is therefore part of the operator's
+    // production contract, not an embellishment.
+    "q102_pq_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val shortlist = math.max(100L, emb.count() / 20).toInt
+      recallInvariant(
+        Similarity.pqKnnRerank(q, emb, "vec_id", "embedding", k = 10,
+          shortlist = shortlist, m = 8, kCodes = 32, lloydIters = 1),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 10),
+        minHits = 6)
+    }),
+
     // IVF index INCREMENTAL MAINTENANCE (the q97 discipline for ANN): the
     // corpus ingested as three shards — build on the first (centroids
     // frozen there), append the rest — must probe BIT-IDENTICALLY to the
@@ -980,6 +1002,7 @@ object PipelineQueries {
         "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
 
     "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
+    "q102_pq_knn" -> knnInvariantOracle(),
 
     "q100_neardup_seen" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +

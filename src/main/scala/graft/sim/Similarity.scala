@@ -385,6 +385,139 @@ object Similarity {
     * sample), and cosine is scale-invariant, so similarity is computed on
     * the int arrays directly — the per-vector scale never even needs to be
     * read back for ranking (it is kept for dequantisation/debug). */
+  /** Product-quantisation codebooks (Jégou et al. 2011, the angular
+    * "spherical" variant): the vector splits into `m` equal blocks and
+    * each block gets `kCodes` centroids over the corpus's subvectors.
+    * Assignment reuses the engine's cosine kernel
+    * ([[graft.functions.expressions.NearestCentroids]] /
+    * [[refineCentroids]]) — per-block spherical k-means, the natural
+    * choice when the engine's retrieval metric is cosine; the stored
+    * centroid norms keep the ADC reconstruction coherent. Deterministic:
+    * seeds are the `kCodes` corpus rows minimising (xxhash64(id), id)
+    * (the [[buildIvfIndex]] discipline) with code ids assigned in seed
+    * order; optional Lloyd iterations refine per block. Output rows:
+    * (block, centroid_id ∈ [0, kCodes), centroid_vec: array<float> of
+    * dim d/m). Only the k×m codebook ever reaches the driver (bounded
+    * collect: kCodes rows per block). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, kCodes: Int = 16, lloydIters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = corpus.select(size(col(vecCol))).head().getInt(0) // 1-row collect
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m blocks")
+    val sub = d / m
+    (0 until m).map { b =>
+      val sc = corpus.select(col(idCol).as("__pid"),
+        slice(col(vecCol), b * sub + 1, sub).cast("array<float>").as("__sv"))
+      val seeds = sc.orderBy(xxhash64(col("__pid")), col("__pid"))
+        .limit(kCodes).select("__sv").collect() // kCodes rows — bounded
+      import org.apache.spark.sql.{Row, types => T}
+      val cents0 = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          seeds.toSeq.zipWithIndex.map { case (r, i) =>
+            Row(i.toLong, r.getSeq[Float](0))
+          }, 1),
+        T.StructType(Seq(
+          T.StructField("centroid_id", T.LongType, nullable = false),
+          T.StructField("centroid_vec", T.ArrayType(T.FloatType)))))
+      val cents = (1 to lloydIters).foldLeft(cents0)((c, _) =>
+        refineCentroids(sc, c, "__pid", "__sv", 100))
+      cents.withColumn("block", lit(b))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ codes per row: for each block, the id of its nearest block
+    * centroid — m small ints per doc instead of d floats, the 16-64x
+    * compression that lets a 100 TB embedding corpus's ANN working set
+    * live in RAM-class storage. One crossJoin against a broadcast 1-ROW
+    * relation carrying all m codebook arrays (map-side append, the
+    * [[assignProbes]] shape), each code a fused NearestCentroids argmax —
+    * the corpus never shuffles. Output: (id, codes: array<long>). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val m = codebooks.agg(max(col("block"))).head().getInt(0) + 1 // 1-row
+    val sub = codebooks.select(size(col("centroid_vec"))).head().getInt(0)
+    val oneRow = (0 until m).map(b =>
+        codebooks.filter(col("block") === b)
+          .agg(collect_list(struct(col("centroid_id"), col("centroid_vec")))
+            .as(s"__cents_$b")))
+      .reduce(_ crossJoin _) // m 1-row frames → one 1-row frame
+    val codes = array((0 until m).map { b =>
+      element_at(graft.functions.expressions.NearestCentroids(
+        slice(col(vecCol), b * sub + 1, sub).cast("array<float>"),
+        col(s"__cents_$b"), 1), 1).getField("centroid_id")
+    }: _*)
+    df.crossJoin(broadcast(oneRow))
+      .select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** PQ top-k by asymmetric-distance computation (ADC): the query stays
+    * exact, the corpus is its codes. Per (query, block, code) the partial
+    * dot query-subvector · centroid lands in a lookup table of Q×m×kCodes
+    * rows (broadcast — the classic ADC distance table, relationally); the
+    * exploded corpus codes (m 16-byte rows per doc) equi-join it and the
+    * per-doc sum approximates the dot, normalised by the query norm and
+    * the RECONSTRUCTED corpus norm (sqrt Σ_b ‖centroid‖² — coherent with
+    * the codes, so approx-cos ≈ cos within quantisation error).
+    *
+    * Scale shape: codebook training is kCodes-bounded; encoding is
+    * map-only; scoring shuffles N×m LUT-joined rows into a k-bounded
+    * TopK — no all-pairs relation, but ADC is inherently a full-corpus
+    * scan per query batch (it is the COMPRESSION leg of web-scale ANN;
+    * compose with IVF pruning for the candidate-bounded leg). */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, m: Int = 4, kCodes: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
+    // m*kCodes rows, re-read by encode + LUT: materialise the (possibly
+    // Lloyd-refined) codebook once
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+      .localCheckpoint(true)
+    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0)
+    val codes = pqEncode(corpus, idCol, vecCol, cb)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("qn"), col("block"),
+        col("centroid_id").as("code"),
+        dot(slice(col("qv"), (col("block") * sub + 1).cast("int"), lit(sub)),
+          col("centroid_vec")).as("pdot"),
+        dot(col("centroid_vec"), col("centroid_vec")).as("n2"))
+    val exploded = codes.select(col("id").as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("block", "code")))
+    val scored = exploded.join(broadcast(lut), Seq("block", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot")).as("pd"), sum(col("n2")).as("nn2"),
+        first(col("qn")).as("qn"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("pd") / (col("qn") * sqrt(col("nn2")))).as("cos"))
+      // zero-norm query or all-zero codebook block → null cos; drop like
+      // the exact kernel's null-cosine rows rather than ranking nulls
+      .filter(col("cos").isNotNull)
+    topKRank(scored, k)
+  }
+
+  /** PQ with exact re-ranking — the standard two-leg production shape:
+    * ADC over the compressed codes builds a `shortlist`-sized candidate
+    * set per query (the cheap full-scan leg, working set = codes), then
+    * ONLY the shortlisted ids fetch their true vectors for exact cosine
+    * (the expensive leg, candidate-bounded: shortlist × Q rows, never the
+    * corpus). Recall is set by the shortlist size; ranking among
+    * surfaced candidates is EXACT by construction. */
+  def pqKnnRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, shortlist: Int = 100, m: Int = 4,
+      kCodes: Int = 16, lloydIters: Int = 0): DataFrame = {
+    val cands = pqKnn(queries, corpus, idCol, vecCol,
+      k = shortlist, m = m, kCodes = kCodes, lloydIters = lloydIters)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKRank(scored, k)
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val scale = greatest(
       aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
