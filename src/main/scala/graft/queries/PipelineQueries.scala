@@ -341,6 +341,15 @@ object PipelineQueries {
       graft.streaming.StreamingReconcile.attributionJoinStream(s, dir)
         .orderBy("event_type")),
 
+    // streaming shard ingest dedup'd against the PERSISTED seen store
+    // (the dedup_seen pipeline step as a live stream): history pre-folded,
+    // the stream redelivers every history text under new ids alongside
+    // the fresh odd docs, per-micro-batch foreachBatch filter + fold with
+    // batch-id idempotency — the emission must be exactly the fresh docs
+    "q103_streaming_seen" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.seenDedupStream(s, dir)
+        .orderBy("doc_id")),
+
     // persisted IVF index round trip: build (centroid-partitioned corpus on
     // disk) then probe — the build-once/probe-many ANN shape. Gate emission
     // is the parity invariant "probing the on-disk index returns EXACTLY
@@ -911,6 +920,10 @@ object PipelineQueries {
         "FROM dt JOIN tf USING (tok) GROUP BY doc_id ORDER BY doc_id"),
     "q65_streaming_dedup" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    // the streamed shard = odd docs + history texts redelivered under new
+    // ids; the store drops every redelivery, so kept ≡ the odd docs
+    "q103_streaming_seen" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
     // parallel unnests of equal-length lists zip in DuckDB, recovering the
     // (bigram, left-token) pair stream the Spark side builds with zip_with
     "q90_bigram_lm" ->

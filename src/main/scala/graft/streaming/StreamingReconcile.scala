@@ -176,6 +176,71 @@ object StreamingReconcile {
     }
   }
 
+  /** Streaming shard ingest with PERSISTED seen-store dedup (q103) — the
+    * streaming form of the `dedup_seen` pipeline step: the incoming
+    * document shard arrives as a file stream (one micro-batch per file),
+    * each micro-batch anti-joins the [[graft.dedup.SeenStore]] read FRESH
+    * inside foreachBatch — a stream-static join would pin the store's
+    * file listing at plan time and miss the folds committed by EARLIER
+    * micro-batches of the same run — and survivors commit downstream
+    * before folding into the store under the batch-id shard key.
+    *
+    * Exactly-once end-to-end from at-least-once foreachBatch: the sink is
+    * partitioned by batch id with dynamic overwrite (a replayed batch
+    * rewrites exactly its own output), and the `processedShards` guard
+    * short-circuits a batch whose fold already committed (re-filtering it
+    * would emit empty and clobber the committed partition — the
+    * GraftPipeline.run protocol, here per micro-batch).
+    *
+    * Gate shape: history (even ids) pre-folded into the store; the
+    * incoming stream carries the fresh odd docs plus the history texts
+    * REDELIVERED under new ids — the store drops every redelivery in
+    * whichever batch it lands, so the emission is exactly the odd docs
+    * and the DuckDB oracle checks the whole loop end-to-end. */
+  def seenDedupStream(spark: SparkSession, dir: String): DataFrame =
+    withStateWidth(spark, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = scratchDir("graft_seen_stream")
+      val store = s"$scratch/store"
+      val inDir = s"$scratch/in"
+      val sink = s"$scratch/out"
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        graft.dedup.SeenStore.update(spark, store,
+          docs.filter(col("doc_id") % 2 === 0), "text", "history")
+        val redelivered = docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        docs.filter(col("doc_id") % 2 === 1).unionByName(redelivered)
+          .repartition(3).write.mode("overwrite").parquet(inDir)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = stream.writeStream.queryName("q103_streaming_seen")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val bs = b.sparkSession
+            val shard = s"batch_$id"
+            if (!graft.dedup.SeenStore.processedShards(bs, store).contains(shard)) {
+              val survivors = graft.dedup.SeenStore
+                .filter(bs, store, b, "text").localCheckpoint(true)
+              survivors.withColumn("batch", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch").parquet(sink)
+              graft.dedup.SeenStore.update(bs, store, survivors, "text", shard)
+            }
+          }
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+            spark.read.parquet(sink)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            docs.schema.add("batch", StringType))
+        out.select("doc_id", "lang", "n_chars").localCheckpoint(true)
+      } finally graft.core.Fs.deleteRecursively(scratch)
+    }
+
   /** Watermarked stream-stream inner join: every non-signup event joined
     * to the same user's signup events within the following hour — the
     * attribution-join shape (click↔impression, signup↔activity). Both

@@ -114,6 +114,63 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("seenDedupStream: in-run fold-forward across micro-batches, second run drops redeliveries") {
+    import org.apache.spark.sql.streaming.Trigger
+    // controlled two-file ingest so the CROSS-BATCH fold is observable:
+    // file2 redelivers file1's text under a new id — whichever file lands
+    // first, exactly one of the pair survives (the q103 gate corpus keeps
+    // in-stream texts unique precisely to stay batch-order independent;
+    // this spec covers the order-dependent case the gate can't)
+    val scratch = tmpDir("seen_stream_spec")
+    val store = s"$scratch/store"
+    val inDir = s"$scratch/in"
+    val sink = s"$scratch/out"
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    val schema = Seq(doc(0, "x")).toDF("doc_id", "text", "lang", "source", "n_chars").schema
+    Seq(doc(1, "first unique text"), doc(2, "shared payload text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$inDir/f1")
+    Seq(doc(3, "shared payload text"), doc(4, "second unique text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$inDir/f2")
+    def runStream(tag: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      val q = stream.writeStream.queryName(s"seen_stream_spec_$tag")
+        .option("checkpointLocation", s"$scratch/ckpt_$tag")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          val shard = s"${tag}_batch_$id"
+          if (!graft.dedup.SeenStore.processedShards(bs, store).contains(shard)) {
+            val survivors = graft.dedup.SeenStore
+              .filter(bs, store, b, "text").localCheckpoint(true)
+            survivors.withColumn("batch", lit(s"${tag}_$id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch").parquet(sink)
+            graft.dedup.SeenStore.update(bs, store, survivors, "text", shard)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runStream("r1")
+    val kept1 = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // both unique texts kept; exactly ONE of the shared-text pair kept
+    assert(kept1.contains(1L) && kept1.contains(4L))
+    assert(kept1.intersect(Set(2L, 3L)).size == 1, s"kept=$kept1")
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 3)
+    // run 2 over the SAME files and store (fresh checkpoint): everything
+    // is a redelivery now — nothing new lands, the store is unchanged
+    runStream("r2")
+    val kept2 = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept1, s"run 2 must drop every redelivery: $kept2 vs $kept1")
+    assert(graft.dedup.SeenStore.read(spark, store).get.count() == 3)
+  }
+
   test("checkpoint resume: killed dedup stream restarts exactly-once (q65 shape)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
