@@ -533,6 +533,27 @@ object PipelineQueries {
         minHits = 6)
     }),
 
+    // The full web-scale ANN composition: IVF bounds WHICH docs score
+    // (probed clusters only), PQ bounds WHAT is read to score them
+    // (40-bit codes), exact re-rank touches true vectors only for the
+    // ADC shortlist. Recall composes multiplicatively across the three
+    // prunings, so the floor is calibrated for the COMPOSITION
+    // (PqCalibrate, nProbe=8/16 clusters, 5% shortlist): per-query hits
+    // 3-9/10 at sf0.001, 3-9 at sf0.01, 4-9 at sf0.1 — the IVF coverage
+    // ceiling (~nProbe/nCentroids on this near-uniform fixture, q54's
+    // own trade) dominates; floor 2 sits strictly under the minimum.
+    "q104_ivfpq_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val shortlist = math.max(100L, emb.count() / 20).toInt
+      recallInvariant(
+        Similarity.ivfPqKnn(q, emb, "vec_id", "embedding", k = 10,
+          nCentroids = 16, nProbe = 8, shortlist = shortlist,
+          m = 8, kCodes = 32, lloydIters = 1),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 10),
+        minHits = 2)
+    }),
+
     // IVF index INCREMENTAL MAINTENANCE (the q97 discipline for ANN): the
     // corpus ingested as three shards — build on the first (centroids
     // frozen there), append the rest — must probe BIT-IDENTICALLY to the
@@ -1016,6 +1037,7 @@ object PipelineQueries {
 
     "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
     "q102_pq_knn" -> knnInvariantOracle(),
+    "q104_ivfpq_knn" -> knnInvariantOracle(),
 
     "q100_neardup_seen" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +

@@ -518,6 +518,79 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** IVF-PQ with exact re-rank — the full web-scale ANN composition
+    * (Jégou et al. 2011 as deployed): IVF bounds WHICH docs are scored
+    * (only the nProbe probed clusters' members), PQ bounds WHAT is read
+    * to score them (m-code rows, not d-float vectors), and the exact
+    * re-rank touches true vectors only for the ADC shortlist. Per query
+    * the scored set is ~N·nProbe/C rows of m codes; the true-vector
+    * fetch is shortlist-bounded. Centroids and codebooks share the
+    * deterministic seeding discipline, so the whole path is
+    * reproducible run-over-run.
+    *
+    * All three stages are prunings of the SAME relation, so recall
+    * composes multiplicatively: IVF loses neighbors outside probed
+    * clusters (q54's trade), ADC mis-shortlists near-ties (q102's), and
+    * the re-rank is lossless on what survives. The gate floor is
+    * calibrated for the composition, not inherited from the parts. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      shortlist: Int = 100, m: Int = 4, kCodes: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
+    val seeds = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<float>").as("centroid_vec"))
+    val centArr = seeds.agg(
+      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val assigned = assignProbes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      centArr, "cv", 1).select("neighbor_id", "centroid_id")
+    val queryProbes = assignProbes(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      centArr, "qv", nProbe).select("query_id", "centroid_id")
+    // candidate set: (query, doc) pairs sharing a probed cluster
+    val cands = assigned.join(broadcast(queryProbes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    // PQ codebooks + codes over the corpus; ADC-score ONLY the candidates
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+      .localCheckpoint(true)
+    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0)
+    val codes = pqEncode(corpus, idCol, vecCol, cb)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("qn"), col("block"),
+        col("centroid_id").as("code"),
+        dot(slice(col("qv"), (col("block") * sub + 1).cast("int"), lit(sub)),
+          col("centroid_vec")).as("pdot"),
+        dot(col("centroid_vec"), col("centroid_vec")).as("n2"))
+    val candCodes = cands
+      .join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+    val scoredAdc = candCodes
+      .join(broadcast(lut), Seq("query_id", "block", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot")).as("pd"), sum(col("n2")).as("nn2"),
+        first(col("qn")).as("qn"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("pd") / (col("qn") * sqrt(col("nn2")))).as("cos"))
+      .filter(col("cos").isNotNull)
+    val short = topKRank(scoredAdc, shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the shortlist only
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val rescored = short.join(c, "neighbor_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKRank(rescored, k)
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val scale = greatest(
       aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),

@@ -18,13 +18,18 @@ object PqCalibrate {
     val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val approx = Similarity.pqKnnRerank(queries, emb, "vec_id", "embedding",
-        k = 10, shortlist = shortlist, m = 8, kCodes = 32, lloydIters = 1)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val hits = exact.keys.toSeq.sorted
-      .map(q => q -> approx.getOrElse(q, Set.empty).count(exact(q)))
-    println(s"[pq-calibrate] $dir shortlist=$shortlist hits=" +
-      hits.map { case (q, h) => s"$q:$h" }.mkString(","))
+    def report(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val approx = df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = exact.keys.toSeq.sorted
+        .map(q => q -> approx.getOrElse(q, Set.empty).count(exact(q)))
+      println(s"[pq-calibrate] $tag $dir shortlist=$shortlist hits=" +
+        hits.map { case (q, h) => s"$q:$h" }.mkString(","))
+    }
+    report("pq-rerank", Similarity.pqKnnRerank(queries, emb, "vec_id", "embedding",
+      k = 10, shortlist = shortlist, m = 8, kCodes = 32, lloydIters = 1))
+    report("ivf-pq", Similarity.ivfPqKnn(queries, emb, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 8, shortlist = shortlist,
+      m = 8, kCodes = 32, lloydIters = 1))
   }
 }

@@ -67,4 +67,23 @@ class PqSpec extends SparkSpec {
     assert(rr.forall(_ >= 5), s"PQ+rerank recall collapsed: $rr")
     assert(rr.sum >= adc.sum, "exact re-rank should not lose hits vs raw ADC")
   }
+
+  test("ivfPqKnn: full k, recall above the composed floor, deterministic") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def run() = Similarity.ivfPqKnn(queries, emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 8, shortlist = 100,
+        m = 8, kCodes = 32, lloydIters = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    val rows = run()
+    val approx = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(approx.values.forall(_.size == 10))
+    val hits = exact.keys.toSeq.sorted.map(q => approx.getOrElse(q, Set.empty).count(exact(q)))
+    info(s"ivf-pq hits: ${hits.mkString(",")}")
+    assert(hits.forall(_ >= 2), s"IVF-PQ recall under composed floor: $hits")
+    assert(run() == rows, "IVF-PQ must be deterministic run-over-run")
+  }
 }
