@@ -533,6 +533,38 @@ object PipelineQueries {
         minHits = 6)
     }),
 
+    // Persisted PQ index round trip (the q83/q95 parity discipline for
+    // the compression leg): build writes frozen codebooks + shard-
+    // partitioned codes + atomic meta; the probe must reproduce the
+    // direct pqKnn ADC ranking RANK-FOR-RANK. Exactness holds because
+    // ADC scoring is a per-row LEFT-TO-RIGHT array fold (deterministic
+    // FP order on both paths — see Similarity.adcScored) and codebooks
+    // round-trip parquet floats bit-exactly.
+    "q105_pq_index" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_index")
+      val viaIndex = try {
+        Similarity.buildPqIndex(emb, "vec_id", "embedding", idxDir.toString,
+          m = 8, kCodes = 32, lloydIters = 1)
+        Similarity.queryPqIndex(s, idxDir.toString, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      val direct = Similarity.pqKnn(q, emb, "vec_id", "embedding",
+        k = 10, m = 8, kCodes = 32, lloydIters = 1)
+      val a = viaIndex.select(col("query_id"), col("neighbor_id"), col("rank"))
+      val b = direct.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_d"))
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_results"),
+          max(when(col("rank").isNull || col("rank_d").isNull ||
+            col("rank") =!= col("rank_d"), 1).otherwise(0)).as("mm"))
+        .select(col("query_id"), col("n_results"),
+          (col("mm") === 0).as("index_parity_ok"))
+        .orderBy("query_id")
+    }),
+
     // The full web-scale ANN composition: IVF bounds WHICH docs score
     // (probed clusters only), PQ bounds WHAT is read to score them
     // (40-bit codes), exact re-rank touches true vectors only for the
@@ -1038,6 +1070,7 @@ object PipelineQueries {
     "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
     "q102_pq_knn" -> knnInvariantOracle(),
     "q104_ivfpq_knn" -> knnInvariantOracle(),
+    "q105_pq_index" -> knnInvariantOracle(Seq("index_parity_ok")),
 
     "q100_neardup_seen" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +

@@ -471,29 +471,60 @@ object Similarity {
     // Lloyd-refined) codebook once
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
       .localCheckpoint(true)
-    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0)
     val codes = pqEncode(corpus, idCol, vecCol, cb)
+      .withColumnRenamed("id", "neighbor_id")
+    val lutArr = pqLut(cb, queries, idCol, vecCol)
+    // broadcast Q-row LUT side: every corpus row scores against every
+    // query MAP-SIDE (per-row array fold, no N×m shuffle); only k-bounded
+    // TopK partials reach the exchange
+    val pairs = codes.crossJoin(broadcast(lutArr))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    topKRank(adcScored(pairs), k)
+  }
+
+  /** Per-query ADC lookup table as ONE nested array column:
+    * `lut[block][code] = (pdot, n2)` with pdot = query-subvector ·
+    * centroid and n2 = ‖centroid‖² — the classic ADC distance table,
+    * here a broadcastable Q-row relation. Construction sorts by code and
+    * block so positional `element_at` indexing is exact. */
+  private def pqLut(cb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0) // 1-row
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
-    val lut = q.crossJoin(broadcast(cb))
+    q.crossJoin(broadcast(cb))
       .select(col("query_id"), col("qn"), col("block"),
         col("centroid_id").as("code"),
         dot(slice(col("qv"), (col("block") * sub + 1).cast("int"), lit(sub)),
           col("centroid_vec")).as("pdot"),
         dot(col("centroid_vec"), col("centroid_vec")).as("n2"))
-    val exploded = codes.select(col("id").as("neighbor_id"),
-      posexplode(col("codes")).as(Seq("block", "code")))
-    val scored = exploded.join(broadcast(lut), Seq("block", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("pdot")).as("pd"), sum(col("n2")).as("nn2"),
-        first(col("qn")).as("qn"))
+      .groupBy("query_id", "qn", "block")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("pdot"), col("n2")))),
+        s => struct(s("pdot").as("pdot"), s("n2").as("n2"))).as("blockRow"))
+      .groupBy("query_id", "qn")
+      .agg(transform(
+        array_sort(collect_list(struct(col("block"), col("blockRow")))),
+        s => s("blockRow")).as("lut"))
+  }
+
+  /** ADC score for rows carrying (codes, lut, qn): a LEFT-TO-RIGHT array
+    * fold over the m blocks — fully deterministic FP order, identical on
+    * every path (in-memory scan, candidate join, persisted index), which
+    * is what lets q105 assert index-probe ≡ direct BIT-FOR-BIT. Null cos
+    * rows (zero-norm query) are dropped like the exact kernel's. */
+  private def adcScored(pairs: DataFrame): DataFrame = {
+    val picked = zip_with(col("codes"),
+      sequence(lit(0), size(col("codes")) - 1),
+      (c, b) => element_at(element_at(col("lut"), b + 1), (c + 1).cast("int")))
+    pairs
+      .withColumn("__p", picked)
       .select(col("query_id"), col("neighbor_id"),
-        (col("pd") / (col("qn") * sqrt(col("nn2")))).as("cos"))
-      // zero-norm query or all-zero codebook block → null cos; drop like
-      // the exact kernel's null-cosine rows rather than ranking nulls
+        (aggregate(col("__p"), lit(0.0), (acc, s) => acc + s("pdot")) /
+          (col("qn") *
+            sqrt(aggregate(col("__p"), lit(0.0), (acc, s) => acc + s("n2")))))
+          .as("cos"))
       .filter(col("cos").isNotNull)
-    topKRank(scored, k)
   }
 
   /** PQ with exact re-ranking — the standard two-leg production shape:
@@ -557,38 +588,102 @@ object Similarity {
     // PQ codebooks + codes over the corpus; ADC-score ONLY the candidates
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
       .localCheckpoint(true)
-    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0)
     val codes = pqEncode(corpus, idCol, vecCol, cb)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val lut = q.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("qn"), col("block"),
-        col("centroid_id").as("code"),
-        dot(slice(col("qv"), (col("block") * sub + 1).cast("int"), lit(sub)),
-          col("centroid_vec")).as("pdot"),
-        dot(col("centroid_vec"), col("centroid_vec")).as("n2"))
-    val candCodes = cands
-      .join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("block", "code")))
-    val scoredAdc = candCodes
-      .join(broadcast(lut), Seq("query_id", "block", "code"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("pdot")).as("pd"), sum(col("n2")).as("nn2"),
-        first(col("qn")).as("qn"))
-      .select(col("query_id"), col("neighbor_id"),
-        (col("pd") / (col("qn") * sqrt(col("nn2")))).as("cos"))
-      .filter(col("cos").isNotNull)
-    val short = topKRank(scoredAdc, shortlist)
+      .withColumnRenamed("id", "neighbor_id")
+    val lutArr = pqLut(cb, queries, idCol, vecCol)
+    val pairs = cands
+      .join(codes, "neighbor_id")
+      .join(broadcast(lutArr), "query_id")
+    val short = topKRank(adcScored(pairs), shortlist)
       .select("query_id", "neighbor_id")
     // exact re-rank of the shortlist only
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val rescored = short.join(c, "neighbor_id")
-      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
       .filter(col("cos").isNotNull)
     topKRank(rescored, k)
+  }
+
+  /** Persisted PQ index: codebooks (FROZEN at build, like the IVF
+    * centroids) + (shard)-partitioned code relation + atomic meta of
+    * committed shard ids. Codes are computed against frozen codebooks,
+    * so APPEND is exact by construction — a shard's codes are identical
+    * whether encoded at build time or folded in later (spec'd
+    * bit-for-bit), the property that makes daily ingest into a
+    * compressed ANN working set an O(shard) maintenance operation.
+    * Layout mirrors [[buildIvfIndex]]; the same replay/orphan guards. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, kCodes: Int = 32, lloydIters: Int = 1,
+      shardId: String = "shard0"): Unit = {
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    writePqShard(corpus, idCol, vecCol, path, shardId)
+    writeIvfMeta(corpus.sparkSession, path, Set(shardId))
+  }
+
+  /** Fold a new shard's codes in at O(shard) against the frozen
+    * codebooks. Idempotent per shard id; torn appends stay invisible
+    * until replayed (meta gating). */
+  def appendPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String, shardId: String): Unit = {
+    require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
+    val spark = newRows.sparkSession
+    val ids = ivfShardIds(spark, path)
+    require(ids.nonEmpty, s"no PQ index at $path — build before append")
+    if (ids.contains(shardId)) return
+    writePqShard(newRows, idCol, vecCol, path, shardId)
+    writeIvfMeta(spark, path, ids + shardId)
+  }
+
+  private def writePqShard(rows: DataFrame, idCol: String, vecCol: String,
+      path: String, shardId: String): Unit = {
+    val cb = rows.sparkSession.read.parquet(s"$path/codebooks")
+    pqEncode(rows, idCol, vecCol, cb)
+      .withColumn("shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(s"$path/codes")
+  }
+
+  /** ADC top-k against the persisted codes — identical score algebra to
+    * [[pqKnn]]'s scan leg, reading codes (not vectors) from disk; only
+    * meta-committed shards are visible. Exact re-rank stays the caller's
+    * composition (it needs the true-vector relation, which the index
+    * deliberately does not store — the codes ARE the compression). */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val committed = ivfShardIds(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("shard").isin(committed.toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val lutArr = pqLut(cb, queries, idCol, vecCol)
+    val pairs = codes.crossJoin(broadcast(lutArr))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    topKRank(adcScored(pairs), k)
+  }
+
+  /** Small-file maintenance for the codes tree; [[compactIvfIndex]]
+    * discipline (meta first, atomic swap, historical ids kept). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nFiles: Int = 1): Unit = {
+    graft.core.AtomicStore.compact(spark, s"$path/codebooks")
+    val ids = ivfShardIds(spark, path)
+    if (ids.isEmpty) return
+    if (!ids.contains(IvfCompactedShard))
+      writeIvfMeta(spark, path, ids + IvfCompactedShard)
+    val live = spark.read.parquet(s"$path/codes")
+      .filter(col("shard").isin(ids.toSeq: _*))
+      .select("id", "codes").withColumn("shard", lit(IvfCompactedShard))
+    graft.core.AtomicStore.replaceVia(spark, s"$path/codes") { tmp =>
+      live.coalesce(nFiles)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
   }
 
   def quantizeInt8(vec: Column): Column = {

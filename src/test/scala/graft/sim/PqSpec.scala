@@ -68,6 +68,51 @@ class PqSpec extends SparkSpec {
     assert(rr.sum >= adc.sum, "exact re-rank should not lose hits vs raw ADC")
   }
 
+  test("persisted PQ index: probe ≡ direct rank-for-rank; append shard-decomposition invariant; orphan invisible") {
+    val queries = emb.filter(col("vec_id") < 8)
+    def probe(dir: String) = Similarity.queryPqIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5).orderBy("query_id", "rank").collect().toSeq
+    val dirA = tmpDir("pq_idx_a")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dirA,
+      m = 8, kCodes = 32, lloydIters = 1)
+    val direct = Similarity.pqKnn(queries, emb, "vec_id", "embedding",
+        k = 5, m = 8, kCodes = 32, lloydIters = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(dirA) == direct, "index probe must equal direct ADC bit-for-bit")
+    // append: build on one parity, append the other — but codebooks are
+    // frozen at BUILD, so parity with dirA requires the same training
+    // corpus; instead assert decomposition invariance between two
+    // append layouts sharing the same build shard
+    val s0 = emb.filter(col("vec_id") % 3 === 0)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+    val dirB = tmpDir("pq_idx_b")
+    Similarity.buildPqIndex(s0, "vec_id", "embedding", dirB,
+      m = 8, kCodes = 32, lloydIters = 1)
+    Similarity.appendPqIndex(rest, "vec_id", "embedding", dirB, "rest")
+    val dirC = tmpDir("pq_idx_c")
+    Similarity.buildPqIndex(s0, "vec_id", "embedding", dirC,
+      m = 8, kCodes = 32, lloydIters = 1)
+    Similarity.appendPqIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", dirC, "r1")
+    Similarity.appendPqIndex(emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", dirC, "r2")
+    assert(probe(dirB) == probe(dirC))
+    assert(spark.read.parquet(s"$dirB/codes").count() == emb.count())
+    // replay no-op; orphan codes subtree invisible until meta commits
+    Similarity.appendPqIndex(rest.limit(1), "vec_id", "embedding", dirB, "rest")
+    assert(spark.read.parquet(s"$dirB/codes").count() == emb.count())
+    val before = probe(dirB)
+    emb.limit(1).select(col("vec_id").as("id"),
+        org.apache.spark.sql.functions.array(lit(0L)).as("codes"))
+      .withColumn("shard", lit("torn"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$dirB/codes")
+    assert(probe(dirB) == before)
+    // compaction: probe identical, file count shrinks or holds
+    Similarity.compactPqIndex(spark, dirB)
+    assert(probe(dirB) == before)
+  }
+
   test("ivfPqKnn: full k, recall above the composed floor, deterministic") {
     val queries = emb.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10)
