@@ -79,6 +79,12 @@ import graft.text.TextAnalysis
   *    index at `bm25_index.path` over the written (doc_id, text);
   *    `bm25_index.mode: append` folds the shipped shard into an existing
   *    index at O(shard) instead of rebuilding (first shard auto-builds)
+  *  - `pq_index` — post-write build of a persisted PQ (product
+  *    quantisation) index at `pq_index.path` over the written relation's
+  *    `ann.vec_column`; `pq_index.mode: append` folds the shipped shard's
+  *    codes in against the FROZEN codebooks (first shard auto-builds)
+  *  - `pq_query` — ADC-probe it: input relation is the query set, output
+  *    (query_id, neighbor_id, cos, rank); must be the final step
   *  - `bm25_query` — probe it: input is the (query_id, term) relation,
   *    output (query_id, doc_id, rank, score_u, n_hit_terms); must be last
   *  - `compact` — post-write small-file maintenance of every configured
@@ -112,6 +118,8 @@ object GraftPipeline {
       annIdCol: String = "vec_id", annVecCol: String = "embedding",
       annCentroids: Int = 16, annK: Int = 10, annProbe: Int = 4,
       annMode: String = "overwrite",
+      pqIndexPath: String = "", pqMode: String = "overwrite",
+      pqM: Int = 8, pqKCodes: Int = 32,
       bm25IndexPath: String = "", bm25K: Int = 5,
       bm25Mode: String = "overwrite") {
     /** Replay-guard key for the fingerprint store: one fold per shard. */
@@ -162,6 +170,13 @@ object GraftPipeline {
     else if ((steps.contains("bm25_index") || steps.contains("bm25_query")) &&
         kv.getOrElse("bm25_index.path", "").isEmpty)
       Left("bm25_index / bm25_query require bm25_index.path")
+    else if ((steps.contains("pq_index") || steps.contains("pq_query")) &&
+        kv.getOrElse("pq_index.path", "").isEmpty)
+      Left("pq_index / pq_query require pq_index.path")
+    else if (!Seq("overwrite", "append").contains(
+        kv.getOrElse("pq_index.mode", "overwrite")))
+      Left(s"pq_index.mode must be overwrite or append, " +
+        s"got '${kv("pq_index.mode")}'")
     else if (!Seq("overwrite", "append").contains(
         kv.getOrElse("bm25_index.mode", "overwrite")))
       Left(s"bm25_index.mode must be overwrite or append, " +
@@ -172,11 +187,11 @@ object GraftPipeline {
         s"got '${kv("ann_index.mode")}'")
     else if (steps.contains("compact") && Seq("seen_store.path",
         "neardup_store.path", "fingerprint_store.path", "ann_index.path",
-        "bm25_index.path")
+        "bm25_index.path", "pq_index.path")
         .forall(k => kv.getOrElse(k, "").isEmpty))
       Left("compact requires at least one store path to compact " +
         "(seen_store.path / neardup_store.path / fingerprint_store.path / " +
-        "ann_index.path / bm25_index.path)")
+        "ann_index.path / bm25_index.path / pq_index.path)")
     // an index build is POST-write while its probe executes in-plan
     // (pre-write): one run holding both would probe a missing/stale index,
     // and the post-write build would then run on the PROBE's output — which
@@ -188,9 +203,15 @@ object GraftPipeline {
     else if (steps.contains("ann_index") && steps.contains("ann_query"))
       Left("ann_index (post-write build) and ann_query (pre-write probe) " +
         "cannot share a run — build in one pipeline run, probe in the next")
+    else if (steps.contains("pq_index") && steps.contains("pq_query"))
+      Left("pq_index (post-write build) and pq_query (pre-write probe) " +
+        "cannot share a run — build in one pipeline run, probe in the next")
     else if (steps.contains("bm25_query") && steps.last != "bm25_query")
       Left("bm25_query replaces the relation with (query_id, doc_id, rank, " +
         "score_u, n_hit_terms) — it must be the final step")
+    else if (steps.contains("pq_query") && steps.last != "pq_query")
+      Left("pq_query replaces the relation with (query_id, neighbor_id, cos, rank) " +
+        "— it must be the final step")
     else if (steps.contains("ann_query") && steps.last != "ann_query")
       Left("ann_query replaces the relation with (query_id, neighbor_id, cos, rank) " +
         "and must be the final step")
@@ -230,6 +251,10 @@ object GraftPipeline {
       annVecCol = kv.getOrElse("ann.vec_column", "embedding"),
       annCentroids = kv.get("ann.centroids").flatMap(_.toIntOption).getOrElse(16),
       annMode = kv.getOrElse("ann_index.mode", "overwrite"),
+      pqIndexPath = kv.getOrElse("pq_index.path", ""),
+      pqMode = kv.getOrElse("pq_index.mode", "overwrite"),
+      pqM = kv.get("pq.m").flatMap(_.toIntOption).getOrElse(8),
+      pqKCodes = kv.get("pq.k_codes").flatMap(_.toIntOption).getOrElse(32),
       annK = kv.get("ann.k").flatMap(_.toIntOption).getOrElse(10),
       annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4),
       bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
@@ -311,6 +336,12 @@ object GraftPipeline {
     "ann_query" -> ((c, df) =>
       graft.sim.Similarity.queryIvfIndex(df.sparkSession, c.annIndexPath,
         df, c.annIdCol, c.annVecCol, c.annK, c.annProbe)),
+    // persisted PQ index over the WRITTEN relation's vectors — post-write
+    // build like ann_index (no-op at plan time); pq_query ADC-probes it
+    "pq_index" -> ((_, df) => df),
+    "pq_query" -> ((c, df) =>
+      graft.sim.Similarity.queryPqIndex(df.sparkSession, c.pqIndexPath,
+        df, c.annIdCol, c.annVecCol, c.annK)),
     "dedup_minhash" -> ((c, df) => {
       val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
         .select(col("id_b").as("doc_id")).distinct()
@@ -491,6 +522,16 @@ object GraftPipeline {
         graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
           cfg.annIndexPath, cfg.annCentroids, shardId = cfg.shardId)
     }
+    if (cfg.steps.contains("pq_index")) {
+      if (cfg.pqMode == "append" &&
+          graft.core.Fs.exists(spark, s"${cfg.pqIndexPath}/meta"))
+        graft.sim.Similarity.appendPqIndex(written, cfg.annIdCol,
+          cfg.annVecCol, cfg.pqIndexPath, cfg.shardId)
+      else // overwrite, or append's very first shard
+        graft.sim.Similarity.buildPqIndex(written, cfg.annIdCol,
+          cfg.annVecCol, cfg.pqIndexPath, cfg.pqM, cfg.pqKCodes,
+          lloydIters = 1, shardId = cfg.shardId)
+    }
     if (cfg.steps.contains("bm25_index")) {
       if (cfg.bm25Mode == "append" &&
           graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
@@ -509,6 +550,9 @@ object GraftPipeline {
         graft.core.AtomicStore.compact(spark, cfg.fingerprintStorePath)
       if (cfg.annIndexPath.nonEmpty && graft.core.Fs.exists(spark, cfg.annIndexPath))
         graft.sim.Similarity.compactIvfIndex(spark, cfg.annIndexPath)
+      if (cfg.pqIndexPath.nonEmpty &&
+          graft.core.Fs.exists(spark, s"${cfg.pqIndexPath}/meta"))
+        graft.sim.Similarity.compactPqIndex(spark, cfg.pqIndexPath)
       if (cfg.bm25IndexPath.nonEmpty &&
           graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
         graft.text.Retrieval.compactBm25Index(spark, cfg.bm25IndexPath)

@@ -484,6 +484,69 @@ class GraftPipelineSpec extends SparkSpec {
       "ann_index.mode" -> "merge")).swap.toOption.get.contains("ann_index.mode"))
   }
 
+  test("pq_index mode append + pq_query: shard-over-shard codes, probe equals library path") {
+    val out = tmpDir("pipe_pq")
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$out/s1/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/s2/embeddings.parquet")
+    def buildYaml(in: String, shipped: String) =
+      s"""input:
+         |  path: $in
+         |  table: embeddings
+         |output:
+         |  path: $out/$shipped
+         |steps: pq_index
+         |pq_index:
+         |  path: $out/pq
+         |  mode: append
+         |pq:
+         |  m: 8
+         |  k_codes: 16
+         |""".stripMargin
+    val cfg1 = GraftPipeline.fromKv(YamlConfig.parse(buildYaml(s"$out/s1", "ship1"))).toOption.get
+    assert(cfg1.pqMode == "append" && cfg1.pqM == 8 && cfg1.pqKCodes == 16)
+    GraftPipeline.run(spark, cfg1) // first shard: auto-build
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(YamlConfig.parse(buildYaml(s"$out/s2", "ship2"))).toOption.get)
+    assert(spark.read.parquet(s"$out/pq/codes").count() == emb.count())
+    // probe via YAML: input relation is the query set
+    emb.filter(col("vec_id") < 4)
+      .write.mode("overwrite").parquet(s"$out/q/embeddings.parquet")
+    val queryYaml =
+      s"""input:
+         |  path: $out/q
+         |  table: embeddings
+         |output:
+         |  path: $out/knn
+         |steps: pq_query
+         |pq_index:
+         |  path: $out/pq
+         |ann:
+         |  k: 5
+         |""".stripMargin
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(YamlConfig.parse(queryYaml)).toOption.get)
+    val got = spark.read.parquet(s"$out/knn")
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    val want = graft.sim.Similarity.queryPqIndex(spark, s"$out/pq",
+        spark.read.parquet(s"$out/q/embeddings.parquet"), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // guards: build+probe same run; bad mode; missing path
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "pq_index,pq_query", "pq_index.path" -> "c"))
+      .swap.toOption.get.contains("cannot share a run"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "pq_index", "pq_index.path" -> "c", "pq_index.mode" -> "merge"))
+      .swap.toOption.get.contains("pq_index.mode"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "pq_query")).swap.toOption.get.contains("pq_index.path"))
+  }
+
   test("ann_index + ann_query: build and probe a persisted IVF index via YAML") {
     val out = tmpDir("pipe8")
     // run 1: index the embeddings table (post-write, like fingerprint_store)
