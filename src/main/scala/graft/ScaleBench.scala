@@ -41,7 +41,11 @@ object ScaleBench {
     // banded probe + exact verification) — the full-corpus signature pass
     // plus a 16-byte band-key shuffle; the trend certifies the probe
     // never degenerates toward all-pairs as the corpus grows
-    "q100_neardup_seen")
+    "q100_neardup_seen",
+    // round 6: PQ ANN (train + encode + ADC scan + rerank) — map-only
+    // encode and a broadcast-LUT fold scan; the trend certifies linear
+    // growth of the compression leg
+    "q102_pq_knn")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact
@@ -55,6 +59,15 @@ object ScaleBench {
       val emb = graft.core.Tables.load(s, dir, "embeddings")
       graft.sim.Similarity.semanticDedup(emb, "vec_id", "embedding",
         nCentroids = 0, threshold = 0.25, lloydIters = 1)
+    }),
+    // q102's gate embeds the O(N·Q) exact brute-force comparator (the
+    // recall oracle's apparatus); the trend times the OPERATOR — train +
+    // encode + ADC scan + shortlist rerank
+    "q102_pq_knn" -> ((s, dir) => {
+      val emb = graft.core.Tables.load(s, dir, "embeddings")
+      val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      graft.sim.Similarity.pqKnnRerank(q, emb, "vec_id", "embedding",
+        k = 10, shortlist = 1000, m = 8, kCodes = 32, lloydIters = 1)
     }))
 
   /** Queries the PLANTED-SKEW corpus stresses (round-5 verdict #5): the
