@@ -780,6 +780,26 @@ object PipelineQueries {
         Map("build" -> build, "append" -> append, "probe" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
+    // q105's gate runs the persisted path AND the direct path (each with
+    // its own codebook training) for the parity check; user-facing costs
+    // are one build and one ADC probe
+    "q105_pq_index" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(Similarity.buildPqIndex(
+          emb, "vec_id", "embedding", idxDir.toString,
+          m = 8, kCodes = 32, lloydIters = 1))
+        val probe = timed(Similarity
+          .queryPqIndex(s, idxDir.toString, q, "vec_id", "embedding", k = 10)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
     // q101 times TWO index ingests plus probes in its gate form; the
     // user-facing costs are one build, one O(shard) append, one probe
     "q101_ivf_append" -> ((s, dir) => {
