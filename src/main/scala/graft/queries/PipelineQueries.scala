@@ -253,6 +253,29 @@ object PipelineQueries {
       Dedup.duplicateClusters(edges).orderBy("id")
     }),
 
+    // quality-keeper cluster dedup — what production near-dedup actually
+    // ships: within each connected component of the near-dup graph keep
+    // the BEST-QUALITY member (q56 keeps min-id; real pipelines keep the
+    // best document). Keeper = max (quality, -id) — highest quality, ties
+    // to the smallest id — via a partial+final aggregate plus a join-back
+    // (skew-safe; no window). Oracle extends q56's recursive-CTE
+    // connected components with the quality argmax.
+    "q106_cluster_keeper" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Dedup.tokenJaccardPairs(docs, "text", "doc_id", 3)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val scored = Dedup.duplicateClusters(edges)
+        .join(docs.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")), "id")
+      val keepers = scored.groupBy("cluster_id")
+        .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), (-col("best.nid")).as("keeper_id"))
+      scored.join(keepers, "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("quality"),
+          (col("id") === col("keeper_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // corpus curation: best-quality k docs per language via the k-bounded
     // partial top-k aggregate (same operator that ranks the ANN paths)
     "q57_quality_topk" -> ((s, dir) => {
@@ -961,6 +984,23 @@ object PipelineQueries {
         "reach(id, label) AS (SELECT id, id FROM nodes " +
         "UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id, min(label) AS cluster_id FROM reach GROUP BY id ORDER BY id"),
+    "q106_cluster_keeper" ->
+      (s"WITH RECURSIVE toks AS (SELECT doc_id, list_distinct($Toks) AS ts FROM documents), " +
+        "edges0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a " +
+        "JOIN toks b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 " +
+        "WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM edges0 UNION SELECT id_b, id_a FROM edges0), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, label) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id), " +
+        "memb AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id), " +
+        s"q AS (SELECT doc_id, $QualityExpr AS quality FROM documents), " +
+        "j AS (SELECT m.id, m.cluster_id, q.quality FROM memb m JOIN q ON q.doc_id = m.id), " +
+        "keeper AS (SELECT cluster_id, id AS keeper_id FROM " +
+        "(SELECT cluster_id, id, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rn FROM j) WHERE rn = 1) " +
+        "SELECT j.id AS doc_id, j.cluster_id, j.quality, (j.id = k.keeper_id) AS is_keeper " +
+        "FROM j JOIN keeper k USING (cluster_id) ORDER BY doc_id"),
+
     "q57_quality_topk" ->
       (s"WITH scored AS (SELECT lang, doc_id, $QualityExpr AS quality FROM documents), " +
         "ranked AS (SELECT lang, doc_id, quality, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank FROM scored) " +

@@ -124,6 +124,19 @@ class DedupSpec extends SparkSpec {
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
   }
 
+  test("cluster keeper: best quality wins, quality tie falls to min id (q106 shape)") {
+    // the q106 keeper expression: max(struct(quality, -id)) per cluster
+    val scored = Seq(
+      (1L, 1L, 0.3), (2L, 1L, 0.9), (3L, 1L, 0.9), // tie at 0.9 -> id 2
+      (10L, 10L, 0.5), (11L, 10L, 0.2))            // plain max -> id 10
+      .toDF("id", "cluster_id", "quality")
+    val keepers = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nid")).as("keeper_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers == Map(1L -> 2L, 10L -> 10L))
+  }
+
   test("duplicateClusters: cross-partition chain glues via boundary graph") {
     // a 200-node chain forced across many range partitions: phase-1 local
     // union-find sees only fragments, the boundary graph must reconnect them
