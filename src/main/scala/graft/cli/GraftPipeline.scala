@@ -48,6 +48,9 @@ import graft.text.TextAnalysis
   *    reconcile inventory of everything shipped)
   *  - `dedup_minhash` — MinHash-LSH near-dup candidates above the
   *    threshold; every pair's larger id is dropped (anti-join)
+  *  - `dedup_cluster_keeper` — connected components of the VERIFIED
+  *    near-dup graph at `minhash_threshold`; keep the best-quality member
+  *    per component (ties to min id), drop the rest (q106's shape)
   *  - `quality_filter` — drop docs under `quality_min`
   *  - `bigram_filter` — statistical-LM coherence: drop docs whose mean
   *    corpus-bigram probability (q90's score) falls under `bigram_min`;
@@ -346,6 +349,26 @@ object GraftPipeline {
       val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
         .select(col("id_b").as("doc_id")).distinct()
       df.join(losers, Seq("doc_id"), "left_anti")
+    }),
+    // quality-keeper near-dedup (the q106 shape as a step): connected
+    // components of the verified near-dup graph at minhash_threshold,
+    // keep the BEST-QUALITY member of each component (ties to min id),
+    // drop the rest — dedup_minhash's "larger id loses" replaced by the
+    // choice production pipelines actually make. Docs in no component
+    // pass through untouched.
+    "dedup_cluster_keeper" -> ((c, df) => {
+      val edges = Dedup.verifiedNearDupPairs(df, "text", "doc_id",
+          minJaccard = c.minhashThreshold)
+        .select("id_a", "id_b")
+      val scored = Dedup.duplicateClusters(edges)
+        .join(df.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("__q")), "id")
+      val keepers = scored.groupBy("cluster_id")
+        .agg(max(struct(col("__q"), (-col("id")).as("nid"))).as("best"))
+        .select((-col("best.nid")).as("keeper_id"))
+      val losers = scored.select(col("id").as("doc_id"))
+        .join(keepers, col("doc_id") === col("keeper_id"), "left_anti")
+      df.join(losers.select("doc_id"), Seq("doc_id"), "left_anti")
     }),
     "quality_filter" -> ((c, df) =>
       df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),

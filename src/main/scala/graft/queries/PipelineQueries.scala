@@ -713,6 +713,26 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    // Per-source corpus DATA CARD — the dataset-documentation artifact a
+    // curation run ships alongside the shards: volume (docs, chars,
+    // tokens), language spread, quality mass (decisum = Σ round(q×10),
+    // exact in integers — no FP mean crosses the gate), and the Gopher
+    // keep-rate. One map-only scoring pass + one partial+final aggregate.
+    "q107_data_card" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          round(TextAnalysis.qualityScore(col("text")) * 10).cast("long").as("q10"),
+          TextAnalysis.gopherRules(col("text")).getField("keep").as("gk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_total"),
+          sum("nt").as("n_tokens_total"),
+          countDistinct("lang").as("n_langs"),
+          sum("q10").as("quality_decisum"),
+          sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher_keep"))
+        .orderBy("source")),
+
     // Gopher quality-rule battery (Rae et al. 2021 A1.1) — per-rule
     // booleans plus the keep conjunction, all integer-arithmetic
     // thresholds (no IEEE division) so every rule is hash-checked
@@ -1160,6 +1180,30 @@ object PipelineQueries {
         s"SELECT c_custkey, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '$phone')) AS INTEGER) AS n_phones, " +
         s"regexp_replace(t2, '$phone', '<PHONE>', 'g') AS redacted FROM i ORDER BY c_custkey"
     },
+
+    // the Gopher keep CTE mirrors q99's rule arithmetic verbatim
+    "q107_data_card" ->
+      (s"WITH t AS (SELECT doc_id, source, lang, n_chars, $Toks AS tk, " +
+        "string_split(text, chr(10)) AS ln, text FROM documents), " +
+        "g AS (SELECT doc_id, source, lang, n_chars, CAST(len(tk) AS BIGINT) AS nw, " +
+        "CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sl, " +
+        "CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS nh, " +
+        "CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS ne, " +
+        "CAST(len(ln) AS BIGINT) AS nl, " +
+        "CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS nb, " +
+        "CAST(len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS nel, " +
+        "CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(tk, s))) AS BIGINT) AS ns, " +
+        s"CAST(round($QualityExpr * 10) AS BIGINT) AS q10 FROM t) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total, " +
+        "CAST(sum(nw) AS BIGINT) AS n_tokens_total, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(q10) AS BIGINT) AS quality_decisum, " +
+        "CAST(sum(CASE WHEN ((nw >= 50 AND nw <= 100000) AND (sl >= 3 * nw AND sl <= 10 * nw) AND " +
+        "(10 * (nh + ne) < nw) AND (10 * nb < 9 * nl) AND (10 * nel < 3 * nl) AND " +
+        "(5 * na >= 4 * nw) AND (ns >= 2)) THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep " +
+        "FROM g GROUP BY source ORDER BY source"),
 
     "q99_gopher_rules" ->
       (s"WITH t AS (SELECT doc_id, text, $Toks AS tk, string_split(text, chr(10)) AS ln FROM documents), " +

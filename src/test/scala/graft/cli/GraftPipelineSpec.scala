@@ -287,6 +287,26 @@ class GraftPipelineSpec extends SparkSpec {
     assert(bad.swap.toOption.get.contains("benchmark.path"))
   }
 
+  test("dedup_cluster_keeper: best-quality member survives even with a larger id") {
+    import spark.implicits._
+    val out = tmpDir("pipe_keeper")
+    val base = "the of " + (1 to 30).map(i => s"word$i").mkString(" ")
+    val spam = base + " " + ("..... " * 6).trim // punct ratio > 0.1 -> quality drops
+    // id 1 = degraded copy, id 2 = clean copy: min-id would keep the WRONG one
+    Seq((1L, spam, "en", "src"), (2L, base, "en", "src"),
+        (3L, "totally unrelated fresh content here with the of stopwords", "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = s"$out/in", table = "documents", outputDir = s"$out/shards",
+      steps = Seq("dedup_cluster_keeper"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"quality keeper must beat min-id: $kept")
+  }
+
   test("dedup_seen: shard-over-shard incremental dedup through the persisted store") {
     import spark.implicits._
     val out = tmpDir("pipe5")
