@@ -274,7 +274,49 @@ object CurationQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("max_freq") / col("n_tokens"), 6).as("rep_ratio"),
           round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Gopher A1.2 repetition battery (q62 covers unigram repetition; this
+    // adds the structural rules): duplicate-LINE character fraction <= 0.2
+    // and most-frequent-BIGRAM character fraction <= 0.2, both as
+    // integer-arithmetic booleans. Line stats are per-row HOFs (lines per
+    // doc are few); the bigram top is the SCALE-RIGHT shape — explode +
+    // two-level hash aggregate (q62's), never a per-doc O(tokens²) HOF
+    // scan, so a 100k-token doc costs its token count, not its square.
+    // Tie rule: max count, then max char mass — max(struct(k, mass)) on
+    // the Spark side, the identical ORDER BY pair in the oracle; only
+    // (k, mass) are emitted, so equal-key ties cannot diverge.
+    "q108_repetition_rules" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val n1 = greatest(size(toks) - 1, lit(0))
+      val bgs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))
+      val lines = split(col("text"), "\n")
+      val lineStats = docs.select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        TextAnalysis.lineChars(col("text")).as("n_line_chars"),
+        TextAnalysis.dupLineChars(col("text")).as("n_dup_line_chars"),
+        length(col("text")).cast("long").as("n_chars"))
+      val top = docs.select(col("doc_id"), explode(bgs).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("k"),
+          (col("k") * length(col("bg")).cast("long")).as("mass"))).as("best"))
+        .select(col("doc_id"), col("best.k").as("top2_count"),
+          col("best.mass").as("top2_mass"))
+      lineStats.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"), col("n_line_chars"),
+          col("n_dup_line_chars"),
+          coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+          coalesce(col("top2_mass"), lit(0L)).as("top2_mass"),
+          col("n_chars"),
+          (lit(10L) * col("n_dup_line_chars") <= lit(2L) * col("n_line_chars"))
+            .as("ok_dup_lines"),
+          (lit(5L) * coalesce(col("top2_mass"), lit(0L)) <= col("n_chars"))
+            .as("ok_top_bigram"))
+        .orderBy("doc_id")
+    })
   )
 
   private val Toks = "string_split_regex(trim(text), '\\s+')"
@@ -342,6 +384,25 @@ object CurationQueries {
         "SELECT d.doc_id, d.lang, d.source, s.stratum_n, s.stratum_n >= 25 AS is_kept " +
         "FROM documents d JOIN s ON d.lang IS NOT DISTINCT FROM s.lang " +
         "AND d.source IS NOT DISTINCT FROM s.source ORDER BY d.doc_id"),
+    "q108_repetition_rules" ->
+      (s"WITH d AS (SELECT doc_id, text, $Toks AS tk, string_split(text, chr(10)) AS ln FROM documents), " +
+        "ls AS (SELECT doc_id, CAST(len(ln) AS BIGINT) AS n_lines, " +
+        "CAST(list_sum(list_transform(ln, l -> length(l))) AS BIGINT) AS n_line_chars, " +
+        "CAST(list_sum(list_transform(ln, l -> CASE WHEN len(list_filter(ln, x -> x = l)) >= 2 THEN length(l) ELSE 0 END)) AS BIGINT) AS n_dup_line_chars, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM d), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END) AS bg FROM d), " +
+        "c AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY doc_id, bg), " +
+        "t AS (SELECT doc_id, k AS top2_count, k * length(bg) AS top2_mass, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY k DESC, k * length(bg) DESC) AS rn FROM c) " +
+        "SELECT ls.doc_id, n_lines, n_line_chars, n_dup_line_chars, " +
+        "CAST(coalesce(top2_count, 0) AS BIGINT) AS top2_count, " +
+        "CAST(coalesce(top2_mass, 0) AS BIGINT) AS top2_mass, n_chars, " +
+        "(10 * n_dup_line_chars <= 2 * n_line_chars) AS ok_dup_lines, " +
+        "(5 * coalesce(top2_mass, 0) <= n_chars) AS ok_top_bigram " +
+        "FROM ls LEFT JOIN (SELECT doc_id, top2_count, top2_mass FROM t WHERE rn = 1) USING (doc_id) " +
+        "ORDER BY doc_id"),
+
     "q62_repetition" ->
       (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
         "c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) " +

@@ -173,6 +173,24 @@ object TextAnalysis {
         okAlpha && okStopwords).as("keep"))
   }
 
+  /** Total characters across a document's newline-split lines (excludes
+    * the newlines themselves). Per-row HOF — lines per doc are few. */
+  def lineChars(c: Column): Column =
+    aggregate(transform(split(c, "\n"), l => length(l).cast("long")),
+      lit(0L), _ + _)
+
+  /** Characters contained in lines that occur 2+ times within the doc
+    * (ALL occurrences counted — Gopher A1.2's duplicate-line character
+    * fraction numerator). O(lines²) per row; lines per doc are few, and
+    * the corpus pass stays map-only. */
+  def dupLineChars(c: Column): Column = {
+    val lines = split(c, "\n")
+    aggregate(
+      transform(lines, l => when(size(filter(lines, x => x === l)) >= 2,
+        length(l).cast("long")).otherwise(0L)),
+      lit(0L), _ + _)
+  }
+
   /** Per-(doc, token) unigram log-frequency mass: `count_in_doc ×
     * log10(corpus_count)`. Summed per doc and divided by the doc's token
     * count it is the mean log corpus frequency — the cheap unigram-LM

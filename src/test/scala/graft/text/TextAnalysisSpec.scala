@@ -54,6 +54,16 @@ class TextAnalysisSpec extends SparkSpec {
       "ok_stopwords").foreach(f => assert(g.getAs[Boolean](f), f))
   }
 
+  test("dupLineChars: all occurrences of repeated lines counted, unique lines not") {
+    // "aa" repeats (2x2 chars), "bbb" and "c" unique -> dup=4, total=8
+    assert(one[Long](T.dupLineChars(col("text")), "aa\nbbb\naa\nc") == 4L)
+    assert(one[Long](T.lineChars(col("text")), "aa\nbbb\naa\nc") == 8L)
+    // single-line doc: nothing repeats
+    assert(one[Long](T.dupLineChars(col("text")), "just one line") == 0L)
+    // empty lines repeat too (zero chars, zero mass)
+    assert(one[Long](T.dupLineChars(col("text")), "x\n\n\ny") == 0L)
+  }
+
   test("unigramLogMass: count x log10(corpus freq), closed form") {
     val got = Seq((3L, 100L)).toDF("c", "cf")
       .select(T.unigramLogMass(col("c"), col("cf"))).head().getDouble(0)
