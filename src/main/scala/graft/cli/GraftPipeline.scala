@@ -52,6 +52,8 @@ import graft.text.TextAnalysis
   *    near-dup graph at `minhash_threshold`; keep the best-quality member
   *    per component (ties to min id), drop the rest (q106's shape)
   *  - `quality_filter` — drop docs under `quality_min`
+  *  - `gopher_filter` — drop docs failing the Gopher rule battery
+  *    (Rae et al. 2021 A1.1, q99's `keep` conjunction)
   *  - `bigram_filter` — statistical-LM coherence: drop docs whose mean
   *    corpus-bigram probability (q90's score) falls under `bigram_min`;
   *    unscorable docs (< 2 tokens) also drop
@@ -90,6 +92,10 @@ import graft.text.TextAnalysis
   *    (query_id, neighbor_id, cos, rank); must be the final step
   *  - `bm25_query` — probe it: input is the (query_id, term) relation,
   *    output (query_id, doc_id, rank, score_u, n_hit_terms); must be last
+  *  - `data_card` — post-write per-source corpus report (q107's shape:
+  *    docs/chars/tokens, language spread, quality mass, Gopher keep-rate)
+  *    written to `data_card.path` (default `<output.path>_card`) — the
+  *    documentation artifact shipped beside the shards
   *  - `compact` — post-write small-file maintenance of every configured
   *    persisted store (seen / fingerprint / IVF / BM25): read-coalesce-
   *    atomic-swap, probe results unchanged, file count bounded again
@@ -124,7 +130,12 @@ object GraftPipeline {
       pqIndexPath: String = "", pqMode: String = "overwrite",
       pqM: Int = 8, pqKCodes: Int = 32,
       bm25IndexPath: String = "", bm25K: Int = 5,
-      bm25Mode: String = "overwrite") {
+      bm25Mode: String = "overwrite",
+      dataCardPath: String = "") {
+    /** Where the `data_card` step writes; sibling of the shard root by
+      * default so `spark.read.parquet(output)` never picks the card up. */
+    def cardPath: String =
+      if (dataCardPath.nonEmpty) dataCardPath else s"${outputDir}_card"
     /** Replay-guard key for the fingerprint store: one fold per shard. */
     def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
   }
@@ -262,7 +273,8 @@ object GraftPipeline {
       annProbe = kv.get("ann.n_probe").flatMap(_.toIntOption).getOrElse(4),
       bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
       bm25K = kv.get("bm25.k").flatMap(_.toIntOption).getOrElse(5),
-      bm25Mode = kv.getOrElse("bm25_index.mode", "overwrite"))
+      bm25Mode = kv.getOrElse("bm25_index.mode", "overwrite"),
+      dataCardPath = kv.getOrElse("data_card.path", ""))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -372,6 +384,10 @@ object GraftPipeline {
     }),
     "quality_filter" -> ((c, df) =>
       df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),
+    "gopher_filter" -> ((_, df) =>
+      df.filter(TextAnalysis.gopherRules(col("text")).getField("keep"))),
+    // post-write corpus report (q107 shape) — no transform at plan time
+    "data_card" -> ((_, df) => df),
     // statistical-LM coherence filter (q90's score as a step): keep docs
     // whose mean corpus-bigram probability reaches bigram_min — the
     // integer-sum comparison sum_cab >= min*sum_ca avoids the quantised
@@ -563,6 +579,22 @@ object GraftPipeline {
       else // overwrite, or append's very first shard (nothing to fold into)
         graft.text.Retrieval.buildBm25Index(written, "text", "doc_id",
           cfg.bm25IndexPath, shardId = cfg.shardId)
+    }
+    if (cfg.steps.contains("data_card")) {
+      written
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          round(TextAnalysis.qualityScore(col("text")) * 10).cast("long").as("q10"),
+          TextAnalysis.gopherRules(col("text")).getField("keep").as("gk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_total"),
+          sum("nt").as("n_tokens_total"),
+          countDistinct("lang").as("n_langs"),
+          sum("q10").as("quality_decisum"),
+          sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher_keep"))
+        .coalesce(1) // per-source rows: tiny by construction
+        .write.mode("overwrite").parquet(cfg.cardPath)
     }
     if (cfg.steps.contains("compact")) {
       if (cfg.seenStorePath.nonEmpty)

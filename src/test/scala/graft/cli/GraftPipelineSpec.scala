@@ -287,6 +287,31 @@ class GraftPipelineSpec extends SparkSpec {
     assert(bad.swap.toOption.get.contains("benchmark.path"))
   }
 
+  test("gopher_filter drops rule-failing docs; data_card lands beside the shards") {
+    import spark.implicits._
+    val out = tmpDir("pipe_card")
+    val good = "the of " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val short = "the of too short" // fails the 50-word rule
+    Seq((1L, good, "en", "web", good.length.toLong),
+        (2L, short, "en", "web", short.length.toLong),
+        (3L, good + " extra", "fr", "news", good.length + 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = s"$out/in", table = "documents", outputDir = s"$out/shards",
+      steps = Seq("gopher_filter", "data_card"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert((nIn, nOut) == ((3L, 2L))) // the short doc fails the battery
+    assert(spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val card = spark.read.parquet(s"$out/shards_card")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_gopher_keep"))).toMap
+    // the card describes the WRITTEN relation: survivors only, all keepers
+    assert(card == Map("web" -> ((1L, 1L)), "news" -> ((1L, 1L))))
+  }
+
   test("dedup_cluster_keeper: best-quality member survives even with a larger id") {
     import spark.implicits._
     val out = tmpDir("pipe_keeper")
