@@ -532,7 +532,14 @@ object Dedup {
     // docs carry zeros (NULL-id rows are outside the report's contract —
     // stats are keyed by id, and the filter keeps both aggregate branches
     // plan-identical, see above)
+    // merge hint: BOTH sides are corpus-sized here, but the pruned 1-column
+    // doc_id scan compile-time-estimates under the broadcast threshold and
+    // the static planner then builds a corpus-wide broadcast hash table —
+    // the x30 trend run OOM'd exactly there (driver heap shared with the
+    // explode pass). A corpus↔corpus 1:1 join-back must be a shuffle join
+    // by construction, not by estimate.
     df.select(col(idCol).as("doc_id")).filter(col("doc_id").isNotNull)
+      .hint("merge")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
@@ -605,8 +612,12 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s("tok"))).as("clean_text"))
+    // merge hint: same corpus↔corpus join-back hazard as duplicateSpanStats
+    // (the 1-column side's compile-time estimate invites a corpus-wide
+    // broadcast build at scale)
     base.select(col("doc_id"),
         size(TextAnalysis.tokens(col("__text"))).as("__n_tokens"))
+      .hint("merge")
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__n_tokens").isNull, lit(null).cast("string"))
