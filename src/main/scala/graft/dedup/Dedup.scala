@@ -523,7 +523,10 @@ object Dedup {
     val perDoc = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val hstats = perDoc.groupBy("h")
       .agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
-    val agg = perDoc.join(hstats, "h")
+    // merge hint: hstats is distinct-span-hash-sized — corpus-scale, but
+    // its compile-time estimate descends from the pruned scan and invites
+    // a broadcast build (the x30 OOM class); shuffle join by construction
+    val agg = perDoc.hint("merge").join(hstats, "h")
       .groupBy("doc_id")
       .agg(sum("c").as("n_windows"),
         sum(when(col("n_occ") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
@@ -597,7 +600,10 @@ object Dedup {
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("__n_occ"))
       .filter(col("__n_occ") >= 2)
       .select("h")
-    val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
+    // merge hints on both pathological-corpus-sized sides: dupHashes and
+    // covered grow with the duplicated mass — the exact corpora this
+    // operator targets — so neither may ever be a broadcast build
+    val dupStarts = wins.hint("merge").join(dupHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), col("start"))
     val covered = dupStarts
       .select(col("doc_id"),
@@ -606,7 +612,7 @@ object Dedup {
     val toks = base
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("__text"))).as(Seq("pos", "tok")))
-    val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val clean = toks.hint("merge").join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("__n_kept"),
         concat_ws(" ", transform(

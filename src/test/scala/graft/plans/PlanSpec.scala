@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("q92/q93: corpus join-backs are shuffle joins, never estimate-driven broadcasts") {
+    // the pruned one-column doc_id scan estimates under the broadcast
+    // threshold, and the static planner then builds a corpus-wide
+    // broadcast hash table — the x30 trend OOM'd exactly there. The merge
+    // hint makes the join strategy structural; this guard keeps it that way.
+    for (q <- Seq("q92_dup_spans", "q93_strip_dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q plans a broadcast join over corpus-sized relations:\n" + p.take(1500))
+    }
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
