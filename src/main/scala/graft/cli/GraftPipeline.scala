@@ -97,7 +97,8 @@ import graft.text.TextAnalysis
   *    written to `data_card.path` (default `<output.path>_card`) — the
   *    documentation artifact shipped beside the shards
   *  - `compact` — post-write small-file maintenance of every configured
-  *    persisted store (seen / fingerprint / IVF / BM25): read-coalesce-
+  *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25):
+  *    read-coalesce-
   *    atomic-swap, probe results unchanged, file count bounded again
   *
   * At 100 TB each step keeps the scale shape its catalog query proved
