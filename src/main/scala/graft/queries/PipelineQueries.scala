@@ -713,6 +713,33 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    // Corpus DEDUP REPORT — the one-row measurement summary a dedup run
+    // ships before anything is dropped: how much exact duplication, how
+    // many docs carry a verified near-dup, how many contain a
+    // corpus-duplicated span. Composes the three dedup families' counting
+    // sides (exact groups, verified LSH pairs, span-hash stats) into
+    // 1-row aggregates cross-joined at the end (each build side is one
+    // row — the bounded-crossJoin pattern). maxBucket=0 keeps the
+    // near-dup count on the exact gate contract (q100's reasoning).
+    "q109_dedup_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val totals = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      val exactDup = Dedup.exactGroups(docs, "text", "doc_id")
+        .filter(col("n_dups") >= 2)
+        .agg(coalesce(sum("n_dups"), lit(0L)).as("n_exact_dup_docs"))
+      val nearDocs = Dedup.verifiedNearDupPairs(docs, "text", "doc_id",
+          minJaccard = 0.8, maxBucket = 0)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .agg(countDistinct(col("id")).as("n_neardup_docs"))
+      val spanDocs = Dedup.duplicateSpanStats(docs, "doc_id", "text", w = 8)
+        .filter(col("n_dup_windows") > 0)
+        .agg(count(lit(1)).as("n_span_dup_docs"))
+      totals.crossJoin(exactDup).crossJoin(nearDocs).crossJoin(spanDocs)
+        .select("n_docs", "n_distinct_texts", "n_exact_dup_docs",
+          "n_neardup_docs", "n_span_dup_docs")
+    }),
+
     // Per-source corpus DATA CARD — the dataset-documentation artifact a
     // curation run ships alongside the shards: volume (docs, chars,
     // tokens), language spread, quality mass (decisum = Σ round(q×10),
@@ -1180,6 +1207,22 @@ object PipelineQueries {
         s"SELECT c_custkey, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '$phone')) AS INTEGER) AS n_phones, " +
         s"regexp_replace(t2, '$phone', '<PHONE>', 'g') AS redacted FROM i ORDER BY c_custkey"
     },
+
+    "q109_dedup_report" ->
+      (s"WITH ${PortableSql.shingleNearDupCtes(0.8)}, " +
+        "tot AS (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts FROM documents), " +
+        "ex AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_exact_dup_docs FROM " +
+        "(SELECT count(*) AS c FROM documents GROUP BY text HAVING count(*) >= 2)), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_docs FROM " +
+        "(SELECT DISTINCT id FROM (SELECT id_a AS id FROM ndpairs UNION ALL SELECT id_b FROM ndpairs))), " +
+        s"d0 AS (SELECT doc_id, $Toks AS tk FROM documents WHERE doc_id IS NOT NULL), " +
+        "w AS (SELECT doc_id, " +
+        "unnest(CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) ELSE [] END) AS win FROM d0), " +
+        s"h AS (SELECT doc_id, ${PortableSql.hex15("md5(win)")} AS h FROM w), " +
+        "hs AS (SELECT h FROM (SELECT h, count(*) AS c FROM h GROUP BY h) WHERE c >= 2), " +
+        "sp AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_span_dup_docs FROM h JOIN hs USING (h)) " +
+        "SELECT n_docs, n_distinct_texts, n_exact_dup_docs, n_neardup_docs, n_span_dup_docs " +
+        "FROM tot, ex, nd, sp"),
 
     // the Gopher keep CTE mirrors q99's rule arithmetic verbatim
     "q107_data_card" ->
