@@ -40,6 +40,19 @@ object AtomicStore {
     if (fs.exists(store)) Some(spark.read.parquet(path)) else None
   }
 
+  /** [[read]] for a data tree that the store's META says must exist: the
+    * adopt-completed-tmp recovery runs (so a crash between the delete and
+    * the rename inside [[replaceVia]] — a torn compact — self-heals on the
+    * next read instead of throwing until someone renames `_tmp` by hand),
+    * and a tree that is GONE (no completed tmp either) fails loudly with
+    * the store path in the message. Every store whose data tree is swapped
+    * by a compactor must read through this, not bare `spark.read.parquet`
+    * (round-6 advice #3). */
+  def readRequired(spark: SparkSession, path: String): DataFrame =
+    read(spark, path).getOrElse(throw new IllegalStateException(
+      s"store data tree at $path is missing (no completed ${path}_tmp to " +
+        "adopt) — the store meta references data that is gone"))
+
   /** Atomically replace the store with `df`. `df` may lazily read the
     * current store (incremental merge shapes do): the tmp write
     * materialises it BEFORE the old store is deleted. */

@@ -35,6 +35,13 @@ object GraftSession {
     // part=199605 into an int on read-back and break verdict joins.
     c.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // structural corpus-join broadcast guard (round-7): every entry point
+    // that tunes a session gets the rule — per-site merge hints are no
+    // longer the only thing between a pruned-scan size estimate and a
+    // corpus-wide broadcast build
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DemoteCorpusBroadcast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DemoteCorpusBroadcast
     spark
   }
 

@@ -32,8 +32,18 @@ object Tables {
   def invalidate(dir: String): Unit =
     cache.keys.filter(_._2 == dir).foreach(cache.remove)
 
+  /** Fixture tables whose row count tracks the corpus (at 100 TB: the fact
+    * tables and the document/embedding corpora). Their scans are
+    * registered with [[graft.plans.CorpusScale]] so the
+    * DemoteCorpusBroadcast rule strips broadcast eligibility from
+    * corpus↔corpus joins regardless of what compile-time estimates claim.
+    * Dimensions (region/nation/customer/supplier/part) stay unregistered —
+    * corpus ⋈ dimension broadcasts are correct and wanted. */
+  private val CorpusTables = Set("documents", "embeddings", "events", "lineitem", "orders")
+
   /** Load a fixture table. `dir` is e.g. "/root/testdata/sf0.01". */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (CorpusTables(name)) graft.plans.CorpusScale.register(s"$dir/$name.parquet")
     cache.getOrElseUpdate((spark, dir, name), {
       // Runtime-settable; required before first read of events.parquet (ns ts).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,6 +51,7 @@ object Tables {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") normalizeEventTs(df) else df
     })
+  }
 
   /** Normalize `events.ts` to session-zone TimestampType regardless of the
     * fixture's physical encoding. The fixture generator has shipped two

@@ -523,10 +523,13 @@ object Dedup {
     val perDoc = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val hstats = perDoc.groupBy("h")
       .agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
-    // merge hint: hstats is distinct-span-hash-sized — corpus-scale, but
-    // its compile-time estimate descends from the pruned scan and invites
-    // a broadcast build (the x30 OOM class); shuffle join by construction
-    val agg = perDoc.hint("merge").join(hstats, "h")
+    // hstats is distinct-span-hash-sized — corpus-scale, but its
+    // compile-time estimate descends from the pruned scan and invites a
+    // broadcast build (the x30 OOM class). Both sides carry the corpus
+    // scan, so the DemoteCorpusBroadcast rule strips broadcast
+    // eligibility structurally (round-7; was a per-site merge hint) —
+    // plan-guarded in PlanSpec/CatalogPlanSpec.
+    val agg = perDoc.join(hstats, "h")
       .groupBy("doc_id")
       .agg(sum("c").as("n_windows"),
         sum(when(col("n_occ") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
@@ -535,14 +538,13 @@ object Dedup {
     // docs carry zeros (NULL-id rows are outside the report's contract —
     // stats are keyed by id, and the filter keeps both aggregate branches
     // plan-identical, see above)
-    // merge hint: BOTH sides are corpus-sized here, but the pruned 1-column
-    // doc_id scan compile-time-estimates under the broadcast threshold and
-    // the static planner then builds a corpus-wide broadcast hash table —
-    // the x30 trend run OOM'd exactly there (driver heap shared with the
-    // explode pass). A corpus↔corpus 1:1 join-back must be a shuffle join
-    // by construction, not by estimate.
+    // BOTH sides are corpus-sized here, but the pruned 1-column doc_id
+    // scan compile-time-estimates under the broadcast threshold and the
+    // static planner then builds a corpus-wide broadcast hash table — the
+    // x30 trend run OOM'd exactly there (driver heap shared with the
+    // explode pass). The corpus↔corpus 1:1 join-back is a shuffle join by
+    // construction via the DemoteCorpusBroadcast optimizer rule.
     df.select(col(idCol).as("doc_id")).filter(col("doc_id").isNotNull)
-      .hint("merge")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
@@ -600,10 +602,12 @@ object Dedup {
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("__n_occ"))
       .filter(col("__n_occ") >= 2)
       .select("h")
-    // merge hints on both pathological-corpus-sized sides: dupHashes and
-    // covered grow with the duplicated mass — the exact corpora this
-    // operator targets — so neither may ever be a broadcast build
-    val dupStarts = wins.hint("merge").join(dupHashes, Seq("h"), "left_semi")
+    // dupHashes and covered grow with the duplicated mass — the exact
+    // corpora this operator targets — so neither may ever be a broadcast
+    // build: the DemoteCorpusBroadcast rule strips eligibility from every
+    // join here (both sides carry the corpus scan), replacing the
+    // per-site merge hints of round 6
+    val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), col("start"))
     val covered = dupStarts
       .select(col("doc_id"),
@@ -612,18 +616,17 @@ object Dedup {
     val toks = base
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("__text"))).as(Seq("pos", "tok")))
-    val clean = toks.hint("merge").join(covered, Seq("doc_id", "pos"), "left_anti")
+    val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("__n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s("tok"))).as("clean_text"))
-    // merge hint: same corpus↔corpus join-back hazard as duplicateSpanStats
-    // (the 1-column side's compile-time estimate invites a corpus-wide
-    // broadcast build at scale)
+    // same corpus↔corpus join-back hazard as duplicateSpanStats (the
+    // 1-column side's compile-time estimate invites a corpus-wide
+    // broadcast build at scale) — demoted structurally by the rule
     base.select(col("doc_id"),
         size(TextAnalysis.tokens(col("__text"))).as("__n_tokens"))
-      .hint("merge")
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__n_tokens").isNull, lit(null).cast("string"))

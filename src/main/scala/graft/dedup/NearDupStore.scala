@@ -62,9 +62,14 @@ object NearDupStore {
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val ids = shardIds(spark, path)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(sigsPath(path))
-      .filter(col("shard").isin(ids.toSeq: _*))
-      .select("id", "sig", "ts"))
+    else {
+      // corpus-scale store tree: register for the broadcast demotion rule;
+      // readRequired so a torn compact self-heals on the next read
+      graft.plans.CorpusScale.register(sigsPath(path))
+      Some(graft.core.AtomicStore.readRequired(spark, sigsPath(path))
+        .filter(col("shard").isin(ids.toSeq: _*))
+        .select("id", "sig", "ts"))
+    }
   }
 
   /** Shard ids whose survivors are already folded in. */
@@ -157,7 +162,7 @@ object NearDupStore {
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))
       writeMeta(spark, path, ids + CompactedShard)
-    val live = spark.read.parquet(sigsPath(path))
+    val live = graft.core.AtomicStore.readRequired(spark, sigsPath(path))
       .filter(col("shard").isin(ids.toSeq: _*))
       .select("id", "sig", "ts")
       .withColumn("shard", lit(CompactedShard))

@@ -69,9 +69,16 @@ object SeenStore {
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val ids = shardIds(spark, path)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(hashesPath(path))
-      .filter(col("shard").isin(ids.toSeq: _*))
-      .select("content_hash"))
+    else {
+      // the store grows with the corpus: its scans must never be a
+      // broadcast build in a join against another corpus relation
+      graft.plans.CorpusScale.register(hashesPath(path))
+      // readRequired: a torn compact (crash inside the tree swap) heals
+      // here instead of throwing on every read until manual repair
+      Some(graft.core.AtomicStore.readRequired(spark, hashesPath(path))
+        .filter(col("shard").isin(ids.toSeq: _*))
+        .select("content_hash"))
+    }
   }
 
   /** Shard ids whose survivors are already folded in. */
@@ -115,7 +122,7 @@ object SeenStore {
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))
       writeMeta(spark, path, ids + CompactedShard)
-    val live = spark.read.parquet(hashesPath(path))
+    val live = graft.core.AtomicStore.readRequired(spark, hashesPath(path))
       .filter(col("shard").isin(ids.toSeq: _*))
       .select("content_hash").distinct()
       .withColumn("shard", lit(CompactedShard))

@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // BETWEEN-join → bucketed equi-join (gated on spark.graft.rangeJoin.binSize)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // corpus↔corpus equi-joins must never broadcast-hash (see the rule doc)
+    ext.injectOptimizerRule(_ => DemoteCorpusBroadcast)
   }
 }
 
@@ -173,5 +175,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(DemoteCorpusBroadcast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DemoteCorpusBroadcast
   }
 }

@@ -195,6 +195,15 @@ object Similarity {
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a REBUILD over a previously-used path must not inherit stale
+    // partitions: the shard write below uses dynamic partition overwrite
+    // (replaces only (shard, centroid) dirs present in the NEW
+    // assignment), so a centroid that catches no new rows would keep its
+    // old subtree visible under the same shard id — probes would silently
+    // return rows of the previous build (round-6 advice #2)
+    val assignedRoot = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    assignedRoot.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(assignedRoot, true)
     // assign against the centroids just WRITTEN, not the lazy plan that
     // produced them: re-evaluating `cents` would re-run every Lloyd pass
     // (double build cost) and make on-disk ≡ assignment hold only by
@@ -275,7 +284,7 @@ object Similarity {
     // shard ids stay recorded so append's replay guard survives
     if (!ids.contains(IvfCompactedShard))
       writeIvfMeta(spark, path, ids + IvfCompactedShard)
-    val live = spark.read.parquet(s"$path/assigned")
+    val live = graft.core.AtomicStore.readRequired(spark, s"$path/assigned")
       .filter(col("shard").isin(ids.toSeq: _*))
       .drop("shard").withColumn("shard", lit(IvfCompactedShard))
     graft.core.AtomicStore.replaceVia(spark, s"$path/assigned") { tmp =>
@@ -301,7 +310,10 @@ object Similarity {
     // carries — ids are generic (long, string, …), not always long
     val idType = cents.schema("centroid_id").dataType
     val committed = ivfShardIds(spark, path)
-    val corpusAssigned = spark.read.parquet(s"$path/assigned")
+    // corpus-scale assigned tree: register for the broadcast demotion
+    // rule; readRequired heals a torn compact swap on the next probe
+    graft.plans.CorpusScale.register(s"$path/assigned")
+    val corpusAssigned = graft.core.AtomicStore.readRequired(spark, s"$path/assigned")
       // orphan subtrees of torn appends stay invisible until replayed
       .filter(col("shard").isin(committed.toSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast(idType))
@@ -659,7 +671,8 @@ object Similarity {
       k: Int = 10): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebooks")
     val committed = ivfShardIds(spark, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    graft.plans.CorpusScale.register(s"$path/codes")
+    val codes = graft.core.AtomicStore.readRequired(spark, s"$path/codes")
       .filter(col("shard").isin(committed.toSeq: _*))
       .select(col("id").as("neighbor_id"), col("codes"))
     val lutArr = pqLut(cb, queries, idCol, vecCol)
@@ -677,7 +690,7 @@ object Similarity {
     if (ids.isEmpty) return
     if (!ids.contains(IvfCompactedShard))
       writeIvfMeta(spark, path, ids + IvfCompactedShard)
-    val live = spark.read.parquet(s"$path/codes")
+    val live = graft.core.AtomicStore.readRequired(spark, s"$path/codes")
       .filter(col("shard").isin(ids.toSeq: _*))
       .select("id", "codes").withColumn("shard", lit(IvfCompactedShard))
     graft.core.AtomicStore.replaceVia(spark, s"$path/codes") { tmp =>

@@ -163,7 +163,7 @@ object Retrieval {
           meta.shards + CompactedShard))
     else // meta relation itself still benefits from a coalesce pass
       graft.core.AtomicStore.compact(spark, s"$path/meta")
-    val live = spark.read.parquet(s"$path/postings")
+    val live = graft.core.AtomicStore.readRequired(spark, s"$path/postings")
       .filter(col("shard").isin(meta.shards.toSeq: _*))
       .drop("shard")
       .withColumn("shard", lit(CompactedShard))
@@ -338,7 +338,10 @@ object Retrieval {
     val bucketPred = terms
       .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(meta.buckets)).cast("string"))
       .reduce(_ || _)
-    val postings = spark.read.parquet(s"$path/postings")
+    // postings are corpus-scale (register for the broadcast demotion
+    // rule); readRequired heals a torn compact swap on the next probe
+    graft.plans.CorpusScale.register(s"$path/postings")
+    val postings = graft.core.AtomicStore.readRequired(spark, s"$path/postings")
       .filter(col("shard").isin(meta.shards.toSeq: _*) &&
         bucketPred && col("tok").isin(terms: _*))
     val tf = postings.join(broadcast(q), postings("tok") === q("term"))

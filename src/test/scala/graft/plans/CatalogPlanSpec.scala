@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Catalog-WIDE physical-plan lint (round-7 task #1, second half): every
+  * SparkEntry query's plan at sf0.001 is swept for the three 100 TB
+  * scale-killers —
+  *
+  *  - `CartesianProduct`: never legitimate in this engine;
+  *  - `BroadcastNestedLoopJoin`: legitimate ONLY with a bounded build
+  *    side (1-row stats relations, the broadcast centroid array, a
+  *    ≤8-row query set) or in a gate-only all-pairs ORACLE EMISSION —
+  *    whitelisted per query with the bound stated;
+  *  - `Window`: legitimate ONLY for per-entity windows whose partition is
+  *    bounded by the entity (per-customer order history, per-user
+  *    session, per-(source, shard) pack prefix) — whitelisted per query.
+  *
+  * Per-query PlanSpec tests assert what a plan MUST contain; this sweep
+  * asserts what NO plan may contain, so the next query added to the
+  * catalog is linted by default instead of by authorial discipline.
+  *
+  * Queries whose emission is localCheckpoint-materialised (streams, index
+  * round trips) expose only the checkpoint scan here; their inner plans
+  * are guarded by their own specs (PlanSpec, RetrievalSpec, …).
+  */
+class CatalogPlanSpec extends SparkSpec {
+
+  /** BNLJ whitelist — every entry's build side is bounded by construction:
+    *  - knn queries (q34/q35/q36/q54/q66/q74/q83/q101/q102/q104/q105):
+    *    the broadcast side is the ≤8-row query set (non-equi
+    *    `neighbor_id =!= query_id` join), the 1-row centroid array
+    *    (assignProbes), or the Q-row ADC LUT;
+    *  - q63: 1-row pooled-centroid relation;
+    *  - q66: additionally the all-pairs EXACT check is the gate's oracle
+    *    emission (`b.vec_id < a.vec_id` inequality join) — gate-only,
+    *    documented in the query;
+    *  - q27/q75/q84: 1-row sketch/stats branches crossJoined for free;
+    *  - q77: scalar subquery → 1-row broadcast;
+    *  - q81: the hour spine is bounded by the time RANGE (one row per
+    *    hour), never by the event count;
+    *  - q91/q109: 1-row corpus-stats cross joins.
+    */
+  private val bnljOk: Set[String] = Set(
+    "q27_approx_sketches", "q34_knn_bruteforce", "q35_knn_lsh",
+    "q36_embedding_neardup", "q54_knn_ivf", "q63_embed_pool",
+    "q66_semantic_dedup", "q74_quantized_knn", "q75_hll_union",
+    "q77_scalar_subquery", "q81_gap_fill", "q83_ivf_index", "q84_drift_report",
+    "q91_bm25", "q101_ivf_append", "q102_pq_knn",
+    "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report")
+
+  /** Window whitelist — per-entity partitions, bounded by the entity:
+    * q18/q47 per-customer order history, q29 per-user as-of matching
+    * ([[graft.operators.AsOfJoin]] windows on the join keys), q46
+    * per-user event history, q58 per-(source, shard-prefix) running sum
+    * (two-level offsets; the per-shard base window runs over the
+    * ~|corpus|/shardSize aggregate rows, not the corpus). */
+  private val windowOk: Set[String] = Set(
+    "q18_window", "q29_asof_join", "q46_sessionize", "q47_window_frames",
+    "q58_seq_packing")
+
+  test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
+    val windowOp = "Window(GroupLimit)? \\[".r
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p =
+        try fn(spark, sf001).queryExecution.executedPlan.toString
+        catch {
+          case e: Throwable =>
+            failures += s"$name: planning failed: ${e.getMessage}"
+            ""
+        }
+      if (p.contains("CartesianProduct"))
+        failures += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+        failures += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+      if (windowOp.findFirstIn(p).isDefined && !windowOk(name))
+        failures += s"$name: unwhitelisted Window"
+    }
+    assert(failures.isEmpty, "scale-killer operators in catalog plans:\n" +
+      failures.mkString("\n"))
+  }
+}
