@@ -306,11 +306,39 @@ object ScaleBench {
       val skewed = run(q, skewDir, "skew")
       (q, clean, skewed, skewed / math.max(clean, 1e-9))
     }
-    val qJson = results.map { case (q, c, s, r) =>
+    // (c) GIANT-SOURCE cell (round-6 verdict weak #1): ~90% of docs
+    // collapse onto ONE source — the real-corpus shape where a single
+    // crawl dominates the mix. The pre-fix per-source pack window made
+    // this a one-task sort of most of the corpus; the two-level
+    // (source, shard) offsets must hold the skewed/clean ratio near 1.
+    val giantResult =
+      if (wanted.nonEmpty && !wanted.exists("q58_seq_packing".contains)) None
+      else {
+        val giantDir = s"tmp/scale_giant_x$factor"
+        if (!Files.exists(Paths.get(s"$giantDir/_BUILT"))) {
+          System.err.println(s"[skew] building giant-source corpus at $giantDir")
+          graft.core.Fs.deleteRecursively(Paths.get(giantDir))
+          Files.createDirectories(Paths.get(giantDir))
+          writeSingle(raw(spark, scaledDir, "documents")
+            .withColumn("source",
+              when(pmod(xxhash64(col("doc_id"), lit("giant")), lit(10)) < 9,
+                lit("giantsrc")).otherwise(col("source"))),
+            giantDir, "documents")
+          Files.writeString(Paths.get(s"$giantDir/_BUILT"),
+            s"giant-source from=$scaledDir pct=90\n")
+        }
+        run("q58_seq_packing", scaledDir, "warm")
+        val clean = run("q58_seq_packing", scaledDir, "clean")
+        val giant = run("q58_seq_packing", giantDir, "giant")
+        Some((clean, giant, giant / math.max(clean, 1e-9)))
+      }
+    val qJson = (results.map { case (q, c, s, r) =>
       f""""$q":{"clean":$c%.3f,"skewed":$s%.3f,"ratio":$r%.2f}"""
-    }.mkString("{", ",", "}")
+    } ++ giantResult.map { case (c, g, r) =>
+      f""""q58_seq_packing_giant_source":{"clean":$c%.3f,"skewed":$g%.3f,"ratio":$r%.2f}"""
+    }).mkString("{", ",", "}")
     val line =
-      f"""{"metric":"skew_trend","factor":$factor,"span_copies":$SpanDupCopies,"hot_key_pct":$HotKeyPct,"queries":$qJson,"clean_dir":"$scaledDir"}"""
+      f"""{"metric":"skew_trend","factor":$factor,"span_copies":$SpanDupCopies,"hot_key_pct":$HotKeyPct,"giant_source_pct":90,"queries":$qJson,"clean_dir":"$scaledDir"}"""
     if (wanted.isEmpty) try {
       Files.createDirectories(Paths.get("tmp"))
       Files.writeString(Paths.get(s"tmp/bench_skew_x$factor.json"), line + "\n")

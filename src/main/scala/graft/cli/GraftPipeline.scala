@@ -76,7 +76,11 @@ import graft.text.TextAnalysis
   *  - `ann_index` — post-write build of a persisted IVF ANN index at
   *    `ann_index.path` over the written relation's `ann.vec_column`;
   *    `ann_index.mode: append` folds the shipped shard in at O(shard)
-  *    against the frozen centroids (first shard auto-builds)
+  *    against the frozen centroids (first shard auto-builds);
+  *    `ann_index.mode: rebalance` additionally retrains the centroids on
+  *    the index's own vectors and re-assigns, committed through the
+  *    generation-pointer meta swap (drift maintenance — old index
+  *    readable until the flip)
   *  - `ann_query` — probe a persisted IVF index: the input relation is the
   *    query set, the output is (query_id, neighbor_id, cos, rank); must be
   *    the final step
@@ -196,9 +200,9 @@ object GraftPipeline {
         kv.getOrElse("bm25_index.mode", "overwrite")))
       Left(s"bm25_index.mode must be overwrite or append, " +
         s"got '${kv("bm25_index.mode")}'")
-    else if (!Seq("overwrite", "append").contains(
+    else if (!Seq("overwrite", "append", "rebalance").contains(
         kv.getOrElse("ann_index.mode", "overwrite")))
-      Left(s"ann_index.mode must be overwrite or append, " +
+      Left(s"ann_index.mode must be overwrite, append or rebalance, " +
         s"got '${kv("ann_index.mode")}'")
     else if (steps.contains("compact") && Seq("seen_store.path",
         "neardup_store.path", "fingerprint_store.path", "ann_index.path",
@@ -472,14 +476,13 @@ object GraftPipeline {
           .when(b < c.testPct * 20, "val")
           .otherwise("train")
       })),
-    "pack" -> ((c, df) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      df.withColumn("__n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-        .withColumn("pack_id",
-          floor(coalesce(sum("__n_tokens").over(w), lit(0L)) / c.packBudget).cast("long"))
-        .drop("__n_tokens")
-    }))
+    // two-level (source, shard) offsets — one giant source cannot become
+    // a single-task sort (CurationQueries.packIds, q58's shape)
+    "pack" -> ((c, df) =>
+      CurationQueries.packIds(
+        df.withColumn("__n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
+        "source", "doc_id", "__n_tokens", c.packBudget)
+        .drop("__n_tokens")))
 
   /** Compose the configured steps over the input table (lazy — one plan). */
   def plan(spark: SparkSession, cfg: PipelineConfig): DataFrame =
@@ -530,12 +533,13 @@ object GraftPipeline {
             "pass a new shard_id to reprocess as a fresh shard.")
       System.err.println(s"[$Name] shard ${cfg.shardId} already processed — skipping")
       val committed = spark.read.parquet(cfg.outputDir)
-      if (cfg.steps.contains("dedup_seen") && !seenRecorded)
-        graft.dedup.SeenStore.update(
-          spark, cfg.seenStorePath, committed, "text", cfg.shardId)
-      if (cfg.steps.contains("dedup_neardup") && !nearRecorded)
-        graft.dedup.NearDupStore.update(spark, cfg.nearDupStorePath,
-          committed, "text", "doc_id", cfg.shardId)
+      // the short-circuit must still run EVERY idempotent post-write
+      // maintenance step against the committed output (round-6 advice #1):
+      // a crash after the dedup-store update but before the later folds
+      // would otherwise leave the shard permanently missing from the
+      // indexes/fingerprints/card — the appends' own shard-id guards make
+      // healed-already cases a no-op, so replaying them here is free.
+      postWrite(spark, cfg, committed)
       return (in, committed.count())
     }
     val out = plan(spark, cfg)
@@ -543,6 +547,16 @@ object GraftPipeline {
     (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
       .parquet(cfg.outputDir)
     val written = spark.read.parquet(cfg.outputDir)
+    postWrite(spark, cfg, written)
+    (in, written.count())
+  }
+
+  /** Every post-write maintenance step, each idempotent per shard id (or
+    * a pure function of the committed output), so [[run]] can execute the
+    * same sequence on the first pass AND on a replay short-circuit — a
+    * crash between any two of these heals on the next run. */
+  private def postWrite(spark: SparkSession, cfg: PipelineConfig,
+      written: DataFrame): Unit = {
     if (cfg.steps.contains("fingerprint_store")) {
       graft.fp.FingerprintStore.fold(spark, cfg.fingerprintStorePath,
         cfg.shardId, written, Seq("source" -> col("source")),
@@ -554,11 +568,17 @@ object GraftPipeline {
       graft.dedup.NearDupStore.update(spark, cfg.nearDupStorePath,
         written, "text", "doc_id", cfg.shardId)
     if (cfg.steps.contains("ann_index")) {
-      if (cfg.annMode == "append" &&
-          graft.core.Fs.exists(spark, s"${cfg.annIndexPath}/meta"))
+      val hasIndex = graft.core.Fs.exists(spark, s"${cfg.annIndexPath}/meta")
+      if (cfg.annMode != "overwrite" && hasIndex) {
         graft.sim.Similarity.appendIvfIndex(written, cfg.annIdCol,
           cfg.annVecCol, cfg.annIndexPath, cfg.shardId)
-      else // overwrite, or append's very first shard (nothing to fold into)
+        // rebalance: fold the shard in (replay-guarded), then retrain on
+        // the index's own vectors and flip generations — the drift
+        // maintenance a frozen-centroid deployment schedules periodically
+        if (cfg.annMode == "rebalance")
+          graft.sim.Similarity.rebalanceIvfIndex(spark, cfg.annIndexPath,
+            cfg.annCentroids)
+      } else // overwrite, or the very first shard (nothing to fold into)
         graft.sim.Similarity.buildIvfIndex(written, cfg.annIdCol, cfg.annVecCol,
           cfg.annIndexPath, cfg.annCentroids, shardId = cfg.shardId)
     }
@@ -582,7 +602,7 @@ object GraftPipeline {
           cfg.bm25IndexPath, shardId = cfg.shardId)
     }
     if (cfg.steps.contains("data_card")) {
-      written
+      val card = written
         .select(col("source"), col("lang"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
           round(TextAnalysis.qualityScore(col("text")) * 10).cast("long").as("q10"),
@@ -595,7 +615,10 @@ object GraftPipeline {
           sum("q10").as("quality_decisum"),
           sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher_keep"))
         .coalesce(1) // per-source rows: tiny by construction
-        .write.mode("overwrite").parquet(cfg.cardPath)
+      // atomic replace (round-6 advice #5): a crash mid-write must never
+      // leave a torn card, and — the card being a pure function of the
+      // committed output — the replay short-circuit re-derives it here
+      graft.core.AtomicStore.replace(spark, cfg.cardPath, card)
     }
     if (cfg.steps.contains("compact")) {
       if (cfg.seenStorePath.nonEmpty)
@@ -613,7 +636,6 @@ object GraftPipeline {
           graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
         graft.text.Retrieval.compactBm25Index(spark, cfg.bm25IndexPath)
     }
-    (in, written.count())
   }
 
   def main(args: Array[String]): Unit = {

@@ -169,6 +169,30 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Guard-truncation counters for [[minhashPairs]]'s `maxBucket` — the
+    * "no silent caps" rule applied to the guard itself: ONE row of
+    * (n_buckets, n_overflow_buckets, n_rows_dropped) quantifying the
+    * candidate mass the cap removes, shipped next to a guarded run's
+    * pair output so recall loss is measured, not assumed. Same fused
+    * signature + [[bandKeys]] split as the miner. xxhash-derived, so the
+    * external gate is the planted-degenerate-bucket spec (DedupSpec);
+    * the portable-family counters (q111, [[simhashBandOverflow]]) carry
+    * the bit-for-bit oracle. */
+  def minhashBandOverflow(
+      df: DataFrame, contentCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxBucket > 0, "counters are about an ENABLED guard: maxBucket > 0")
+    df.select(col(idCol).as("id"),
+        graft.functions.expressions.TextHashExpressions
+          .minhashShingled(col(contentCol), shingleN, k).as("sig"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, k)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_overflow_buckets"),
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L)).as("n_rows_dropped"))
+  }
+
   /** LSH-accelerated near-duplicate pairs with EXACT shingle-Jaccard
     * verification — the production two-stage shape (candidates from
     * [[minhashPairs]] banding, then the exact intersect only on
@@ -270,9 +294,14 @@ object Dedup {
     *                must satisfy maxHamming < b <= bits
     * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
     */
-  def simhashPairsOf(
-      sigs: DataFrame, bits: Int, maxHamming: Int = 3,
-      maxBucket: Int = 0, nBlocks: Int = 0): DataFrame = {
+  /** The block-combination banding geometry shared by the pair miner, the
+    * guard-counter report, AND the DuckDB oracle generator (q111 derives
+    * its SQL from this same plan, so the two sides cannot drift). */
+  private[graft] final case class BandPlan(
+      bits: Int, nBlocks: Int, width: Int, keep: Int, combos: Seq[Seq[Int]])
+
+  private[graft] def bandPlan(bits: Int, maxHamming: Int,
+      nBlocks: Int = 0): BandPlan = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val nb =
@@ -282,7 +311,15 @@ object Dedup {
     require(nb > maxHamming && nb <= bits,
       s"nBlocks must be in (maxHamming, bits] = ($maxHamming, $bits], got $nb")
     val width = (bits + nb - 1) / nb
-    val keep = nb - maxHamming // blocks per combination key
+    BandPlan(bits, nb, width, nb - maxHamming,
+      (0 until nb).combinations(nb - maxHamming).toSeq)
+  }
+
+  /** The (id, sig, blk, v) banded relation for a plan — one packed key per
+    * block combination per doc. Null signatures yield null keys (they
+    * never pair; [[simhashBandOverflow]] filters them out up front). */
+  private def bandedKeys(sigs: DataFrame, plan: BandPlan): DataFrame = {
+    val width = plan.width
     // block j = bits [j*width, min((j+1)*width, bits)) of the signature.
     // ceil-division can leave trailing blocks short (never empty for the
     // widths used here); short blocks only AGREE more often, so recall is
@@ -296,16 +333,43 @@ object Dedup {
     // shift out — that only MERGES keys, i.e. extra candidates for the
     // popcount filter; recall is unaffected (equal combinations always
     // pack equal).
-    val combos = (0 until nb).combinations(keep).toSeq
-    val comboKeys = combos.zipWithIndex.map { case (blkIdxs, c) =>
+    val comboKeys = plan.combos.zipWithIndex.map { case (blkIdxs, c) =>
       val packed = blkIdxs.zipWithIndex.map { case (j, pos) =>
         shiftleft(blockVal(j), pos * width)
       }.reduce(_.bitwiseOR(_))
       struct(lit(c).as("blk"), packed.as("v"))
     }
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
         explode(array(comboKeys: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
+  }
+
+  /** Guard-TRUNCATION counters for [[simhashPairsOf]]'s `maxBucket` (the
+    * "no silent caps" rule applied to the guard itself — round-7 task
+    * #5): per combination table, how many buckets exist, how many exceed
+    * the cap, and how many banded rows the guard would drop. Recall loss
+    * from the cap stops being invisible: a run that enables the guard
+    * ships these counters next to its pair output. Derived from the SAME
+    * [[bandPlan]]/[[bandedKeys]] construction the miner uses, and (over
+    * the portable signature family) DuckDB-recomputable bit-for-bit —
+    * q111 gates it externally. One 16-byte-row aggregate, no pair join. */
+  def simhashBandOverflow(
+      sigs: DataFrame, bits: Int, maxHamming: Int = 3,
+      maxBucket: Int = 1, nBlocks: Int = 0): DataFrame = {
+    require(maxBucket > 0, "counters are about an ENABLED guard: maxBucket > 0")
+    val plan = bandPlan(bits, maxHamming, nBlocks)
+    bandedKeys(sigs.filter(col("sig").isNotNull), plan)
+      .groupBy("blk", "v").agg(count(lit(1)).as("c"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_overflow_buckets"),
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L)).as("n_rows_dropped"))
+  }
+
+  def simhashPairsOf(
+      sigs: DataFrame, bits: Int, maxHamming: Int = 3,
+      maxBucket: Int = 0, nBlocks: Int = 0): DataFrame = {
+    val banded = bandedKeys(sigs, bandPlan(bits, maxHamming, nBlocks))
     val guarded =
       if (maxBucket <= 0) banded
       else {
@@ -586,13 +650,27 @@ object Dedup {
     *     bounded by the doc itself)
     *
     * Returns every id-carrying row: (doc_id, clean_text, n_tokens,
-    * n_tokens_removed); NULL text stays NULL with zero counts.
+    * n_tokens_removed, span_skipped); NULL text stays NULL with zero
+    * counts.
+    *
+    * `maxDocTokens` makes the per-doc reassembly bound ENFORCED instead of
+    * assumed (round-6 advisory #2): step 3 buffers one document's
+    * surviving (pos, tok) structs in a single aggregation buffer — bounded
+    * by the doc itself, but a pathological 100 MB single document would
+    * materialise whole in one task's memory. Docs over the ceiling are
+    * SKIPPED-AND-FLAGGED: their text passes through with only the
+    * whitespace normalisation every output row gets (rebuilt from the
+    * token stream map-side — no aggregation buffer), `n_tokens_removed` =
+    * 0 and `span_skipped` = true. Their windows still count toward the
+    * corpus-wide duplicated-hash relation, so OTHER docs' removal
+    * decisions are unaffected by the skip.
     *
     * A doc whose every window is duplicated collapses to the empty string —
     * pair this with a min-length filter downstream, exactly as the paper
     * does. */
   def removeDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8,
+      maxDocTokens: Int = DefaultMaxDocTokens): DataFrame = {
     val base = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val wins = base
@@ -614,6 +692,10 @@ object Dedup {
         explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
       .distinct()
     val toks = base
+      // the maxDocTokens guard: over-ceiling docs never reach the
+      // per-doc reassembly buffer (NULL-text rows drop here too — they
+      // re-enter via the left join below, exactly as before)
+      .filter(size(TextAnalysis.tokens(col("__text"))) <= maxDocTokens)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("__text"))).as(Seq("pos", "tok")))
     val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -624,17 +706,30 @@ object Dedup {
           s => s("tok"))).as("clean_text"))
     // same corpus↔corpus join-back hazard as duplicateSpanStats (the
     // 1-column side's compile-time estimate invites a corpus-wide
-    // broadcast build at scale) — demoted structurally by the rule
-    base.select(col("doc_id"),
-        size(TextAnalysis.tokens(col("__text"))).as("__n_tokens"))
+    // broadcast build at scale) — demoted structurally by the rule.
+    // __skip_text: for over-ceiling docs only, the whitespace-normalised
+    // original — a MAP-SIDE single-row rebuild (when() evaluates lazily),
+    // never an aggregation buffer
+    val nt = size(TextAnalysis.tokens(col("__text")))
+    base.select(col("doc_id"), nt.as("__n_tokens"),
+        when(nt > maxDocTokens,
+          concat_ws(" ", TextAnalysis.tokens(col("__text")))).as("__skip_text"))
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__n_tokens").isNull, lit(null).cast("string"))
+          .when(col("__skip_text").isNotNull, col("__skip_text"))
           .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
         coalesce(col("__n_tokens"), lit(0)).cast("long").as("n_tokens"),
-        (coalesce(col("__n_tokens"), lit(0)) -
-          coalesce(col("__n_kept"), lit(0L))).cast("long").as("n_tokens_removed"))
+        when(col("__skip_text").isNotNull, lit(0L))
+          .otherwise(coalesce(col("__n_tokens"), lit(0)) -
+            coalesce(col("__n_kept"), lit(0L))).cast("long").as("n_tokens_removed"),
+        col("__skip_text").isNotNull.as("span_skipped"))
   }
+
+  /** Default [[removeDuplicateSpans]] reassembly ceiling: 500k tokens
+    * (~3 MB of text) — far above any legitimate training document, far
+    * below what strains one task's aggregation buffer. */
+  val DefaultMaxDocTokens = 500000
 
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after

@@ -373,6 +373,17 @@ object PipelineQueries {
       graft.streaming.StreamingReconcile.seenDedupStream(s, dir)
         .orderBy("doc_id")),
 
+    // streaming shard ingest dedup'd against the PERSISTED near-dup store
+    // (round-7 task #3 — the dedup_neardup step as a live stream):
+    // history pre-folded, the stream carries fresh odd docs plus history
+    // texts redelivered under new odd ids, in THREE id-arithmetic
+    // micro-batches (doc_id % 6) so the order-dependent odd↔odd near-dup
+    // survivorship is deterministic; the oracle simulates the same
+    // sequential store fold with chained NOT-EXISTS levels
+    "q110_streaming_neardup" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.neardupDedupStream(s, dir)
+        .orderBy("doc_id")),
+
     // persisted IVF index round trip: build (centroid-partitioned corpus on
     // disk) then probe — the build-once/probe-many ANN shape. Gate emission
     // is the parity invariant "probing the on-disk index returns EXACTLY
@@ -482,6 +493,23 @@ object PipelineQueries {
         graft.text.Retrieval.appendBm25Index(shard(2), "text", "doc_id",
           idxDir.toString, "shard2")
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+
+    // q91 through the persisted index WITH block-max pruning (round-7
+    // task #6): per-(term, block) score ceilings cut the posting blocks
+    // that cannot reach the top-k, and the emission must STILL match the
+    // exhaustive-scan oracle bit-for-bit — the pruning's exactness proof,
+    // certified externally (same oracle SQL as q91/q95/q97).
+    "q112_bm25_blockmax" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_blockmax")
+      try {
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
+        graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s),
+            k = 5, blockMax = true)
           .orderBy("query_id", "rank")
           .localCheckpoint(true) // materialise before the index dir dies
       } finally graft.core.Fs.deleteRecursively(idxDir)
@@ -653,6 +681,46 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // IVF index REBALANCE (round-7 task #4): build on one shard, append
+    // the rest against the FROZEN centroids (the drift state), then
+    // rebalance — retrain + full re-assignment committed through the
+    // generation-pointer meta swap. The rebalanced index must probe
+    // BIT-IDENTICALLY to the direct ivfKnn over the full corpus (same
+    // seeding/Lloyd discipline over the same rows), which certifies the
+    // whole maintenance path — retrain, re-encode, atomic generation
+    // flip — externally (q83/q101 parity discipline). The drift-recall
+    // restoration itself is spec'd on a planted drifted corpus
+    // (RebalanceSpec).
+    "q113_ivf_rebalance" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      def shard(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_rebalance")
+      val viaRebalanced = try {
+        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding",
+          idxDir.toString, nCentroids = 16)
+        Similarity.appendIvfIndex(shard(1), "vec_id", "embedding", idxDir.toString, "s1")
+        Similarity.appendIvfIndex(shard(2), "vec_id", "embedding", idxDir.toString, "s2")
+        Similarity.rebalanceIvfIndex(s, idxDir.toString, nCentroids = 16)
+        Similarity.queryIvfIndex(s, idxDir.toString, q,
+            "vec_id", "embedding", k = 10, nProbe = 4)
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      val direct = Similarity.ivfKnn(q, emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+      val a = viaRebalanced.select(col("query_id"), col("neighbor_id"), col("rank"))
+      val b = direct.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_d"))
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_results"),
+          max(when(col("rank").isNull || col("rank_d").isNull ||
+            col("rank") =!= col("rank_d"), 1).otherwise(0)).as("mm"))
+        .select(col("query_id"), col("n_results"),
+          (col("mm") === 0).as("rebalance_parity_ok"))
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL near-dup dedup via the persisted NearDupStore (the
     // MinHash-LSH sibling of q88's exact seen-store): even-id docs are the
     // accepted history folded into the store, odd-id docs the incoming
@@ -678,6 +746,21 @@ object PipelineQueries {
           .localCheckpoint(true) // materialise before the store dir dies
       } finally graft.core.Fs.deleteRecursively(storeDir)
     }),
+
+    // Band-guard TRUNCATION counters (round-7 task #5): what the
+    // maxBucket cap would silently remove, per combination table, over
+    // the 48-bit portable simhash banding — n_buckets / overflow buckets
+    // at cap 1 / rows dropped. maxBucket=1 flags every shared bucket, so
+    // the fixture's planted duplicate cliques light the counters up. The
+    // oracle's packed-key SQL is GENERATED from the same BandPlan the
+    // miner bands with, so the two sides cannot drift.
+    "q111_band_guard_counters" -> ((s, dir) =>
+      Dedup.simhashBandOverflow(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            Dedup.portableSimhash(col("text")).as("sig")),
+        bits = 48, maxHamming = 3, maxBucket = 1)
+        .orderBy("blk")),
 
     "q98_pii_redact" -> ((s, dir) => {
       val key = col("c_custkey")
@@ -1112,6 +1195,8 @@ object PipelineQueries {
     // and so must the three-shard incremental build — one oracle, three
     // access paths (direct scan, one-shot index, appended index)
     "q97_bm25_append" -> Bm25OracleSql,
+    // …and the block-max-pruned probe: a fourth access path, same answer
+    "q112_bm25_blockmax" -> Bm25OracleSql,
 
     // stride-1 8-token windows; slice bounds are INCLUSIVE in DuckDB, so
     // tk[i:i+7] is the 8-token window starting at i (1-based)
@@ -1171,13 +1256,70 @@ object PipelineQueries {
         "SELECT d0.doc_id, " +
         "CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(clean_text, '') END AS clean_text, " +
         "CAST(coalesce(len(tk), 0) AS BIGINT) AS n_tokens, " +
-        "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed " +
+        "CAST(coalesce(len(tk), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_tokens_removed, " +
+        // the maxDocTokens skip flag: no fixture doc approaches the default
+        // ceiling, so the oracle recomputes the same always-false predicate
+        s"(coalesce(len(tk), 0) > ${Dedup.DefaultMaxDocTokens}) AS span_skipped " +
         "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
 
     "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
+    "q113_ivf_rebalance" -> knnInvariantOracle(Seq("rebalance_parity_ok")),
     "q102_pq_knn" -> knnInvariantOracle(),
     "q104_ivfpq_knn" -> knnInvariantOracle(),
     "q105_pq_index" -> knnInvariantOracle(Seq("index_parity_ok")),
+
+    // the streamed near-dup ingest: inc = odd docs + redelivered history
+    // under shifted odd ids; survival is the SEQUENTIAL fold — batch 0
+    // checks history only, batch k checks history plus every earlier
+    // batch's survivors (within-batch pairs never drop, per the
+    // NearDupStore.filterNew contract); batch = pure doc_id % 6
+    // arithmetic, mirrored bit-for-bit by the Spark side's file split
+    "q110_streaming_neardup" -> {
+      val sh = "list_distinct(CASE WHEN len(tk) >= 3 THEN " +
+        "list_transform(range(1, len(tk)-1), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+        "ELSE [] END)"
+      def jacc(a: String, b: String) =
+        s"len($a.ts) + len($b.ts) - len(list_intersect($a.ts, $b.ts)) > 0 AND " +
+          s"CAST(len(list_intersect($a.ts, $b.ts)) AS DOUBLE) / " +
+          s"(len($a.ts) + len($b.ts) - len(list_intersect($a.ts, $b.ts))) >= 0.8"
+      "WITH inc AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 1 " +
+        "UNION ALL SELECT doc_id + 1000001, text, lang, n_chars FROM documents WHERE doc_id % 2 = 0), " +
+        s"sh_i AS (SELECT doc_id, $sh AS ts FROM " +
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM inc)), " +
+        s"sh_h AS (SELECT doc_id, $sh AS ts FROM " +
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents WHERE doc_id % 2 = 0)), " +
+        s"p_ih AS (SELECT DISTINCT a.doc_id AS i FROM sh_i a JOIN sh_h h ON ${jacc("a", "h")}), " +
+        s"p_ii AS (SELECT a.doc_id AS i, b.doc_id AS j FROM sh_i a JOIN sh_i b ON a.doc_id <> b.doc_id AND ${jacc("a", "b")}), " +
+        "bk AS (SELECT doc_id, CASE doc_id % 6 WHEN 1 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS b FROM inc), " +
+        "s0 AS (SELECT bk.doc_id FROM bk WHERE b = 0 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id)), " +
+        "s1 AS (SELECT bk.doc_id FROM bk WHERE b = 1 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id) " +
+        "AND NOT EXISTS (SELECT 1 FROM p_ii JOIN s0 ON p_ii.j = s0.doc_id WHERE p_ii.i = bk.doc_id)), " +
+        "s01 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1), " +
+        "s2 AS (SELECT bk.doc_id FROM bk WHERE b = 2 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id) " +
+        "AND NOT EXISTS (SELECT 1 FROM p_ii JOIN s01 ON p_ii.j = s01.doc_id WHERE p_ii.i = bk.doc_id)), " +
+        "keep AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2) " +
+        "SELECT inc.doc_id, lang, n_chars FROM inc JOIN keep USING (doc_id) ORDER BY doc_id"
+    },
+
+    // packed combination keys regenerated from the SAME BandPlan the
+    // Spark side bands with (block shifts, widths, combination order)
+    "q111_band_guard_counters" -> {
+      val plan = Dedup.bandPlan(48, 3)
+      val mask = (1L << math.min(plan.width, 62)) - 1
+      val arms = plan.combos.zipWithIndex.map { case (blkIdxs, c) =>
+        val packed = blkIdxs.zipWithIndex.map { case (j, pos) =>
+          s"(((simhash_p >> ${j * plan.width}) & $mask) << ${pos * plan.width})"
+        }.mkString(" | ")
+        s"SELECT doc_id, $c AS blk, $packed AS v FROM sh WHERE simhash_p IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"WITH sh AS (${PortableSql.simhashOracle()}), " +
+        s"kx AS ($arms), " +
+        "b AS (SELECT blk, v, count(*) AS c FROM kx GROUP BY blk, v) " +
+        "SELECT blk, count(*) AS n_buckets, " +
+        "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_buckets, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rows_dropped " +
+        "FROM b GROUP BY blk ORDER BY blk"
+    },
 
     "q100_neardup_seen" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +

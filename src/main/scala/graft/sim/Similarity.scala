@@ -184,32 +184,56 @@ object Similarity {
     * assign against the frozen centroids, land the shard's own subtree,
     * swap the tiny meta — shard-decomposition invariant (spec'd:
     * build+append+append probes bit-identically to build+append-rest). */
-  def buildIvfIndex(
-      corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nCentroids: Int = 16, lloydIters: Int = 0,
-      lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit = {
+  /** The deterministic centroid-training pass shared by build and
+    * rebalance: hash-min seeds + optional Lloyd refinement. */
+  private def trainIvfCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, lloydIters: Int,
+      lloydSamplePct: Int): DataFrame = {
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
-    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
+    (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
+  }
+
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCentroids: Int = 16, lloydIters: Int = 0,
+      lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit = {
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids,
+      lloydIters, lloydSamplePct)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // a REBUILD over a previously-used path must not inherit stale
     // partitions: the shard write below uses dynamic partition overwrite
     // (replaces only (shard, centroid) dirs present in the NEW
     // assignment), so a centroid that catches no new rows would keep its
     // old subtree visible under the same shard id — probes would silently
-    // return rows of the previous build (round-6 advice #2)
-    val assignedRoot = new org.apache.hadoop.fs.Path(s"$path/assigned")
-    assignedRoot.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(assignedRoot, true)
+    // return rows of the previous build (round-6 advice #2). Stale
+    // rebalance generations die with the rebuild too.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
+    deleteGenDirs(corpus.sparkSession, path, keep = "")
     // assign against the centroids just WRITTEN, not the lazy plan that
     // produced them: re-evaluating `cents` would re-run every Lloyd pass
     // (double build cost) and make on-disk ≡ assignment hold only by
     // recomputation determinism instead of by construction
     writeAssignedShard(corpus, idCol, vecCol, path, shardId)
     writeIvfMeta(corpus.sparkSession, path, Set(shardId))
+  }
+
+  /** Delete every `gen-*` generation dir under `path` except `keep` —
+    * build resets to the base layout; rebalance clears superseded
+    * generations after its meta commit. */
+  private def deleteGenDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath).filter(p =>
+        p.getName.startsWith("gen-") && p.getName != keep)
+        .foreach(fs.delete(_, true))
   }
 
   /** Fold a new shard of vectors into a built index — O(shard): one
@@ -225,28 +249,55 @@ object Similarity {
       path: String, shardId: String): Unit = {
     require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
     val spark = newRows.sparkSession
-    val ids = ivfShardIds(spark, path)
-    require(ids.nonEmpty, s"no IVF index at $path — build before append")
-    if (ids.contains(shardId)) return
-    writeAssignedShard(newRows, idCol, vecCol, path, shardId)
-    writeIvfMeta(spark, path, ids + shardId)
+    val meta = readIvfMeta(spark, path)
+    require(meta.shards.nonEmpty, s"no IVF index at $path — build before append")
+    if (meta.shards.contains(shardId)) return
+    writeAssignedShard(newRows, idCol, vecCol, genRoot(path, meta.gen), shardId)
+    writeIvfMeta(spark, path, meta.shards + shardId, meta.gen)
   }
 
   private val IvfCompactedShard = "__compacted"
 
-  private def ivfShardIds(spark: org.apache.spark.sql.SparkSession,
-      path: String): Set[String] =
+  /** Committed shard ids + the GENERATION the index's data trees live
+    * under. `gen` is the [[rebalanceIvfIndex]] indirection: "" (the
+    * pre-rebalance layout, trees directly under `path`) or "gen-<n>"
+    * (trees under `path/gen-<n>`). The meta swap — already atomic — is
+    * thereby the commit point for a WHOLE-INDEX swap: centroids and
+    * assignment flip together or not at all, and the old generation
+    * stays readable until the flip. */
+  private final case class IvfMeta(shards: Set[String], gen: String)
+
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfMeta =
     graft.core.AtomicStore.read(spark, s"$path/meta") match {
-      case Some(df) => df.select("shard_id").collect().map(_.getString(0)).toSet
-      case None => Set.empty
+      case Some(df) =>
+        val gen =
+          if (!df.columns.contains("gen")) ""
+          else df.select("gen").head() match {
+            case r if r.isNullAt(0) => ""
+            case r => r.getString(0)
+          }
+        IvfMeta(df.select("shard_id").collect().map(_.getString(0)).toSet, gen)
+      case None => IvfMeta(Set.empty, "")
     }
 
+  private def ivfShardIds(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = readIvfMeta(spark, path).shards
+
+  /** The directory the index's data trees (centroids/assigned resp.
+    * codebooks/codes) live under for a generation. */
+  private def genRoot(path: String, gen: String): String =
+    if (gen.isEmpty) path else s"$path/$gen"
+
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: Set[String]): Unit = {
+      path: String, ids: Set[String], gen: String = ""): Unit = {
     import org.apache.spark.sql.{Row, types => T}
     val rel = spark.createDataFrame(
-      spark.sparkContext.parallelize(ids.toSeq.sorted.map(Row(_)), 1),
-      T.StructType(Seq(T.StructField("shard_id", T.StringType))))
+      spark.sparkContext.parallelize(
+        ids.toSeq.sorted.map(Row(_, gen)), 1),
+      T.StructType(Seq(
+        T.StructField("shard_id", T.StringType),
+        T.StructField("gen", T.StringType))))
     graft.core.AtomicStore.replace(spark, s"$path/meta", rel)
   }
 
@@ -276,18 +327,19 @@ object Similarity {
     * before/after (spec'd); partition pruning on `centroid_id` is
     * untouched because the directory layout is. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    graft.core.AtomicStore.compact(spark, s"$path/centroids")
-    val ids = ivfShardIds(spark, path)
-    if (ids.isEmpty) return
+    val meta = readIvfMeta(spark, path)
+    val root = genRoot(path, meta.gen)
+    graft.core.AtomicStore.compact(spark, s"$root/centroids")
+    if (meta.shards.isEmpty) return
     // meta first (the SeenStore.compact discipline): a crash before the
     // swap leaves reads on the old subtrees — still correct; historical
     // shard ids stay recorded so append's replay guard survives
-    if (!ids.contains(IvfCompactedShard))
-      writeIvfMeta(spark, path, ids + IvfCompactedShard)
-    val live = graft.core.AtomicStore.readRequired(spark, s"$path/assigned")
-      .filter(col("shard").isin(ids.toSeq: _*))
+    if (!meta.shards.contains(IvfCompactedShard))
+      writeIvfMeta(spark, path, meta.shards + IvfCompactedShard, meta.gen)
+    val live = graft.core.AtomicStore.readRequired(spark, s"$root/assigned")
+      .filter(col("shard").isin(meta.shards.toSeq: _*))
       .drop("shard").withColumn("shard", lit(IvfCompactedShard))
-    graft.core.AtomicStore.replaceVia(spark, s"$path/assigned") { tmp =>
+    graft.core.AtomicStore.replaceVia(spark, s"$root/assigned") { tmp =>
       live.repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("shard", "centroid_id").parquet(tmp)
     }
@@ -300,7 +352,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val meta = readIvfMeta(spark, path)
+    val root = genRoot(path, meta.gen)
+    val cents = spark.read.parquet(s"$root/centroids")
     val centArr = cents.agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     val queryProbes = assignProbes(
@@ -309,11 +363,11 @@ object Similarity {
     // session-wide); restore whatever id type the centroids relation
     // carries — ids are generic (long, string, …), not always long
     val idType = cents.schema("centroid_id").dataType
-    val committed = ivfShardIds(spark, path)
+    val committed = meta.shards
     // corpus-scale assigned tree: register for the broadcast demotion
     // rule; readRequired heals a torn compact swap on the next probe
-    graft.plans.CorpusScale.register(s"$path/assigned")
-    val corpusAssigned = graft.core.AtomicStore.readRequired(spark, s"$path/assigned")
+    graft.plans.CorpusScale.register(s"$root/assigned")
+    val corpusAssigned = graft.core.AtomicStore.readRequired(spark, s"$root/assigned")
       // orphan subtrees of torn appends stay invisible until replayed
       .filter(col("shard").isin(committed.toSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast(idType))
@@ -322,6 +376,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     topKRank(scored, k)
+  }
+
+  /** Index-drift maintenance (round-7 task #4): RETRAIN the centroids on
+    * the index's own committed vectors and re-assign everything — the
+    * remedy for the recall decay a FROZEN-centroid index suffers when the
+    * corpus drifts away from its build distribution (appends assign
+    * against build-time centroids by design, for q101's append parity;
+    * after enough drift, probed clusters stop containing the true
+    * neighbours).
+    *
+    * Atomicity via the GENERATION pointer in the meta relation: the new
+    * centroids + full re-assignment land COMPLETELY under
+    * `path/gen-<n+1>/` while probes keep reading the old generation; the
+    * (already-atomic) meta swap then flips both trees at once — there is
+    * no window where new centroids pair with the old assignment (the
+    * silent-wrong-results torn state a two-relation swap would allow).
+    * A crash before the swap leaves the old index intact and the replay
+    * rewrites the half-built generation; superseded generation dirs are
+    * deleted after the commit (and by the next build/rebalance if that
+    * cleanup itself crashed).
+    *
+    * Shard ids stay in meta (append replays still short-circuit); the
+    * re-assignment lands as one `__compacted` subtree. Training follows
+    * the exact [[buildIvfIndex]] seeding/Lloyd discipline over the union
+    * corpus, so a rebalanced index probes BIT-IDENTICALLY to a fresh
+    * build over the same rows — q113 gates that equivalence externally. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nCentroids: Int = 16, lloydIters: Int = 0,
+      lloydSamplePct: Int = 100): Unit = {
+    val meta = readIvfMeta(spark, path)
+    require(meta.shards.nonEmpty, s"no IVF index at $path — nothing to rebalance")
+    val oldRoot = genRoot(path, meta.gen)
+    val vectors = graft.core.AtomicStore.readRequired(spark, s"$oldRoot/assigned")
+      .filter(col("shard").isin(meta.shards.toSeq: _*))
+      .select(col("neighbor_id").as("__rid"), col("cv").as("__rv"))
+    val nextGen = "gen-" + (meta.gen match {
+      case "" => 1
+      case g => g.stripPrefix("gen-").toInt + 1
+    })
+    val newRoot = s"$path/$nextGen"
+    val fs = new org.apache.hadoop.fs.Path(newRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true) // torn prior attempt
+    trainIvfCentroids(vectors, "__rid", "__rv", nCentroids, lloydIters,
+        lloydSamplePct)
+      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/centroids")
+    writeAssignedShard(vectors, "__rid", "__rv", newRoot, IvfCompactedShard)
+    // COMMIT: probes flip to the new generation here, atomically
+    writeIvfMeta(spark, path, meta.shards + IvfCompactedShard, nextGen)
+    // post-commit cleanup of the superseded generation (base-layout trees
+    // when gen was ""); failure here is garbage, not corruption
+    if (meta.gen.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
+    }
+    deleteGenDirs(spark, path, keep = nextGen)
   }
 
   /** Nearest `topN` centroids per row, computed entirely map-side against
@@ -630,10 +740,17 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, m: Int = 8, kCodes: Int = 32, lloydIters: Int = 1,
       shardId: String = "shard0"): Unit = {
+    val spark = corpus.sparkSession
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // a rebuild must not inherit stale code partitions or generations
+    // (the buildIvfIndex reasoning, round-6 advice #2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    deleteGenDirs(spark, path, keep = "")
     writePqShard(corpus, idCol, vecCol, path, shardId)
-    writeIvfMeta(corpus.sparkSession, path, Set(shardId))
+    writeIvfMeta(spark, path, Set(shardId))
   }
 
   /** Fold a new shard's codes in at O(shard) against the frozen
@@ -643,11 +760,46 @@ object Similarity {
       path: String, shardId: String): Unit = {
     require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
     val spark = newRows.sparkSession
-    val ids = ivfShardIds(spark, path)
-    require(ids.nonEmpty, s"no PQ index at $path — build before append")
-    if (ids.contains(shardId)) return
-    writePqShard(newRows, idCol, vecCol, path, shardId)
-    writeIvfMeta(spark, path, ids + shardId)
+    val meta = readIvfMeta(spark, path)
+    require(meta.shards.nonEmpty, s"no PQ index at $path — build before append")
+    if (meta.shards.contains(shardId)) return
+    writePqShard(newRows, idCol, vecCol, genRoot(path, meta.gen), shardId)
+    writeIvfMeta(spark, path, meta.shards + shardId, meta.gen)
+  }
+
+  /** PQ drift maintenance — [[rebalanceIvfIndex]]'s contract for the
+    * compression leg: retrain the per-block codebooks and re-encode,
+    * committing through the same generation-pointer meta swap (old codes
+    * readable until the flip, no torn codebook/codes pairing). Unlike
+    * IVF, the index stores only CODES — the compression is the point —
+    * so the caller supplies the corpus (the vectors) to retrain over;
+    * it must cover exactly the indexed rows. Shard ids stay recorded
+    * (append replays still short-circuit); the re-encoding lands as one
+    * `__compacted` subtree. Same training discipline as a fresh build,
+    * so the rebalanced index probes like one. */
+  def rebalancePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, kCodes: Int = 32,
+      lloydIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val meta = readIvfMeta(spark, path)
+    require(meta.shards.nonEmpty, s"no PQ index at $path — nothing to rebalance")
+    val nextGen = "gen-" + (meta.gen match {
+      case "" => 1
+      case g => g.stripPrefix("gen-").toInt + 1
+    })
+    val newRoot = s"$path/$nextGen"
+    val fs = new org.apache.hadoop.fs.Path(newRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true) // torn prior attempt
+    trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/codebooks")
+    writePqShard(corpus, idCol, vecCol, newRoot, IvfCompactedShard)
+    writeIvfMeta(spark, path, meta.shards + IvfCompactedShard, nextGen) // COMMIT
+    if (meta.gen.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codebooks"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    }
+    deleteGenDirs(spark, path, keep = nextGen)
   }
 
   private def writePqShard(rows: DataFrame, idCol: String, vecCol: String,
@@ -669,10 +821,12 @@ object Similarity {
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
-    val committed = ivfShardIds(spark, path)
-    graft.plans.CorpusScale.register(s"$path/codes")
-    val codes = graft.core.AtomicStore.readRequired(spark, s"$path/codes")
+    val meta = readIvfMeta(spark, path)
+    val root = genRoot(path, meta.gen)
+    val cb = spark.read.parquet(s"$root/codebooks")
+    val committed = meta.shards
+    graft.plans.CorpusScale.register(s"$root/codes")
+    val codes = graft.core.AtomicStore.readRequired(spark, s"$root/codes")
       .filter(col("shard").isin(committed.toSeq: _*))
       .select(col("id").as("neighbor_id"), col("codes"))
     val lutArr = pqLut(cb, queries, idCol, vecCol)
@@ -685,15 +839,16 @@ object Similarity {
     * discipline (meta first, atomic swap, historical ids kept). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       nFiles: Int = 1): Unit = {
-    graft.core.AtomicStore.compact(spark, s"$path/codebooks")
-    val ids = ivfShardIds(spark, path)
-    if (ids.isEmpty) return
-    if (!ids.contains(IvfCompactedShard))
-      writeIvfMeta(spark, path, ids + IvfCompactedShard)
-    val live = graft.core.AtomicStore.readRequired(spark, s"$path/codes")
-      .filter(col("shard").isin(ids.toSeq: _*))
+    val meta = readIvfMeta(spark, path)
+    val root = genRoot(path, meta.gen)
+    graft.core.AtomicStore.compact(spark, s"$root/codebooks")
+    if (meta.shards.isEmpty) return
+    if (!meta.shards.contains(IvfCompactedShard))
+      writeIvfMeta(spark, path, meta.shards + IvfCompactedShard, meta.gen)
+    val live = graft.core.AtomicStore.readRequired(spark, s"$root/codes")
+      .filter(col("shard").isin(meta.shards.toSeq: _*))
       .select("id", "codes").withColumn("shard", lit(IvfCompactedShard))
-    graft.core.AtomicStore.replaceVia(spark, s"$path/codes") { tmp =>
+    graft.core.AtomicStore.replaceVia(spark, s"$root/codes") { tmp =>
       live.coalesce(nFiles)
         .write.mode("overwrite").partitionBy("shard").parquet(tmp)
     }

@@ -206,6 +206,22 @@ object StreamingReconcile {
       val sink = s"$scratch/out"
       try {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
+        // Gate-fixture invariant (round-6 advice #4): the oracle equals
+        // "exactly the odd docs" ONLY because no two odd docs share a
+        // text. A repeated odd text's survivor would depend on how
+        // repartition(3) splits the pair across micro-batches (the store
+        // fold drops later occurrences) — fixture- and partitioning-
+        // fragile. Assert the invariant loudly instead of flaking; a
+        // fixture that breaks it should compose dropExact upstream, per
+        // the SeenStore contract.
+        val inv = docs.filter(col("doc_id") % 2 === 1)
+          .agg(count(col("text")).as("n"), countDistinct(col("text")).as("d"),
+            count(lit(1)).as("all")).head()
+        require(inv.getLong(0) == inv.getLong(2) && inv.getLong(0) == inv.getLong(1),
+          s"q103 fixture invariant broken: ${inv.getLong(2)} odd docs, " +
+            s"${inv.getLong(0)} non-null texts, ${inv.getLong(1)} distinct — " +
+            "odd-id texts must be unique and non-null for the oracle to be " +
+            "partitioning-independent")
         graft.dedup.SeenStore.update(spark, store,
           docs.filter(col("doc_id") % 2 === 0), "text", "history")
         val redelivered = docs.filter(col("doc_id") % 2 === 0)
@@ -227,6 +243,83 @@ object StreamingReconcile {
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch").parquet(sink)
               graft.dedup.SeenStore.update(bs, store, survivors, "text", shard)
+            }
+          }
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+            spark.read.parquet(sink)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            docs.schema.add("batch", StringType))
+        out.select("doc_id", "lang", "n_chars").localCheckpoint(true)
+      } finally graft.core.Fs.deleteRecursively(scratch)
+    }
+
+  /** Streaming shard ingest with PERSISTED near-dup dedup (q110) — the
+    * `dedup_neardup` pipeline step as a live stream, the MinHash-LSH
+    * sibling of [[seenDedupStream]]: each micro-batch probes the
+    * [[graft.dedup.NearDupStore]] read FRESH inside foreachBatch (so the
+    * folds of EARLIER batches of the same run are visible), survivors
+    * commit downstream under the batch-id partition, then fold into the
+    * store under the batch-id shard key — the same exactly-once-from-
+    * at-least-once protocol (dynamic-overwrite sink + `processedShards`
+    * short-circuit).
+    *
+    * Gate shape: history (even ids) pre-folded; the stream carries the
+    * odd docs plus every history text REDELIVERED under a new odd id.
+    * Unlike q103, near-dup SURVIVAL IS ORDER-DEPENDENT (odd docs can be
+    * near-dups of each other: whichever lands first survives), so the
+    * micro-batches are pure ID ARITHMETIC — batch k = ids with
+    * doc_id % 6 = 2k+1, written as one file each with pinned ascending
+    * mtimes so admission order (oldest-first) IS batch order — and the
+    * DuckDB oracle simulates the same three-step sequential fold with
+    * chained NOT-EXISTS CTEs. maxBucket=0: exact gate contract (q100). */
+  def neardupDedupStream(spark: SparkSession, dir: String): DataFrame =
+    withStateWidth(spark, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = scratchDir("graft_neardup_stream")
+      val store = s"$scratch/store"
+      val inDir = s"$scratch/in"
+      val sink = s"$scratch/out"
+      try {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        graft.dedup.NearDupStore.update(spark, store,
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", "history")
+        val redelivered = docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000001L) // stays odd
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(redelivered)
+        (0 until 3).foreach { k =>
+          val d = s"$inDir/b$k"
+          incoming.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1)
+            .coalesce(1).write.mode("overwrite").parquet(d)
+          // admission is oldest-modification-first; sequential writes can
+          // land in the same clock tick — pin strictly ascending mtimes
+          // so micro-batch order IS k order (the oracle's fold order)
+          val t = 1700000000000L + k * 60000L
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .foreach(_.setLastModified(t))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").parquet(inDir)
+        val q = stream.writeStream.queryName("q110_streaming_neardup")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val bs = b.sparkSession
+            val shard = s"batch_$id"
+            if (!graft.dedup.NearDupStore.processedShards(bs, store).contains(shard)) {
+              val survivors = graft.dedup.NearDupStore.filterNew(bs, store, b,
+                  "text", "doc_id", minJaccard = 0.8, maxBucket = 0)
+                .localCheckpoint(true)
+              survivors.withColumn("batch", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch").parquet(sink)
+              graft.dedup.NearDupStore.update(bs, store, survivors,
+                "text", "doc_id", shard)
             }
           }
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()

@@ -105,9 +105,11 @@ object Retrieval {
     val spark = docs.sparkSession
     // a rebuild over a previously-used path must not inherit stale shard
     // subtrees (the shard write replaces only its OWN partitions)
-    val postingsRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
-    postingsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(postingsRoot, true)
+    for (tree <- Seq("postings", "impacts")) {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
     writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
     val df = shardDf(spark, path, shardId)
     val stats = shardStats(docs, textCol)
@@ -171,6 +173,20 @@ object Retrieval {
       live.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
     }
+    // the impacts tree compacts the same way: per-(tok, block) maxima
+    // MERGE under max/min, so folding every live subtree into one is
+    // probe-identical (absent on pre-block-max indexes → skip)
+    if (graft.core.Fs.exists(spark, s"$path/impacts")) {
+      val liveImp = graft.core.AtomicStore.readRequired(spark, s"$path/impacts")
+        .filter(col("shard").isin(meta.shards.toSeq: _*))
+        .groupBy("tok", "block", "bucket")
+        .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+        .withColumn("shard", lit(CompactedShard))
+      graft.core.AtomicStore.replaceVia(spark, s"$path/impacts") { tmp =>
+        liveImp.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
+      }
+    }
   }
 
   /** Reserved shard id the compactor rewrites the whole tree under. */
@@ -184,13 +200,27 @@ object Retrieval {
   private final case class IndexMeta(
       df: DataFrame, stats: IndexStats, buckets: Int, shards: Set[String])
 
+  /** Hash-blocks per term's posting space: `block = xxhash64(doc_id) %
+    * PostingBlocks`. The SAME block id for a doc across all terms — the
+    * property the block-max pruning's soundness proof needs (a doc's
+    * total-score upper bound is the sum of its one block's per-term
+    * ceilings). */
+  private[text] val PostingBlocks = 16
+
   /** One shard's postings, clustered by bucket before the partitioned
     * write (without the repartition every shuffle task writes a sliver
     * into every bucket directory — tasks × buckets small files, measured
     * 2.5x the build cost at sf0.1; at cluster scale it is also the
     * metadata bomb). Dynamic partition overwrite: only THIS shard's
     * (shard, bucket) partitions are replaced, so a replayed torn write
-    * self-heals and other shards are never touched. */
+    * self-heals and other shards are never touched.
+    *
+    * Beside the postings, an `impacts/` relation lands per shard: per
+    * (tok, block) the max tf and min dl — the block-max metadata
+    * ([[queryBm25Index]]'s `blockMax` pruning derives exact per-block
+    * score CEILINGS from it at query time, since scoreU is monotone up
+    * in tf and down in dl and df/N/avgdl are per-term constants). Shard
+    * merge is a query-time max/min — appends stay O(shard). */
   private[text] def writeShardPostings(
       docs: DataFrame, textCol: String, idCol: String, path: String,
       buckets: Int, shardId: String): Unit = {
@@ -202,13 +232,30 @@ object Retrieval {
     toks.groupBy("doc_id", "tok", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
+      .withColumn("block", pmod(xxhash64(col("doc_id")), lit(PostingBlocks)))
       .withColumn("shard", lit(shardId))
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
+    // impacts from the postings just WRITTEN (build-once discipline, as
+    // shardDf); vocabulary × PostingBlocks rows, bucket-partitioned so a
+    // probe prunes them exactly like postings
+    spark(docs).read.parquet(s"$path/postings")
+      .filter(col("shard") === shardId)
+      .groupBy("tok", "block")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
+      .withColumn("shard", lit(shardId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "bucket")
+      .parquet(s"$path/impacts")
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** Per-term document frequencies of ONE shard, from the postings just
     * WRITTEN (not the lazy plan — same build-once rationale as
@@ -285,11 +332,34 @@ object Retrieval {
     * query's own size (a handful of terms, never corpus data), and the
     * literal predicate is what lets Spark prune non-probed bucket
     * directories at the scan. */
+  /** `blockMax = true` enables EXACT block-max pruning (round-7 task #6
+    * — the general-top-k complement of the df-ceiling): without it every
+    * posting of every query term is scored; with it the probe
+    *
+    *  1. derives per-(term, block) score CEILINGS from the stored
+    *     impacts (scoreU(max_tf, df, min_dl, …) — monotone up in tf,
+    *     down in dl, so a valid upper bound for every posting in the
+    *     block; shard maxima merge under max/min);
+    *  2. pass 1: scores ONLY each term's single highest-ceiling block
+    *     and takes the k-th best PARTIAL total as threshold T — partial ≤
+    *     true, so T lower-bounds the true k-th best score;
+    *  3. pass 2: a block survives iff Σ_terms ceiling(term, block) ≥ T.
+    *     `block = hash(doc_id) % B` is the same for a doc under every
+    *     term, so a skipped block's docs have true score ≤ the skipped
+    *     ceiling sum < T ≤ the final k-th score — they cannot place, and
+    *     surviving docs keep ALL their postings, so emitted scores,
+    *     ranks and tie-breaks are BIT-IDENTICAL to the exhaustive scan
+    *     (q112 gates that against the same oracle as q91/q95).
+    *
+    * The win is posting-row reduction (logged per probe): high-idf terms
+    * concentrate their mass in few blocks and the long tail of
+    * low-impact blocks is never scored. Requires an index whose every
+    * shard carries the impacts relation (rebuild legacy indexes). */
   def queryBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, blockMax: Boolean = false): DataFrame = {
     val meta = readMeta(spark, path)
     // distinct: a duplicated (query_id, term) row would otherwise duplicate
     // scored rows (doubling score_u/n_hit_terms) and break the documented
@@ -344,14 +414,26 @@ object Retrieval {
     val postings = graft.core.AtomicStore.readRequired(spark, s"$path/postings")
       .filter(col("shard").isin(meta.shards.toSeq: _*) &&
         bucketPred && col("tok").isin(terms: _*))
-    val tf = postings.join(broadcast(q), postings("tok") === q("term"))
-      .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
     val dfq = broadcast(meta.df.filter(col("tok").isin(terms: _*)))
     // stats as a literal 1-row relation; avgdl derives from the exact
     // stored longs with the same single long→double-cast division the
     // one-shot aggregate performs (bit-identical, see IndexStats.avgdl)
     val stats = broadcast(spark.range(1).select(
       lit(meta.stats.nDocs).as("n_docs"), lit(meta.stats.avgdl).as("avgdl")))
+    val tf =
+      if (!blockMax)
+        postings.join(broadcast(q), postings("tok") === q("term"))
+          .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
+      else {
+        require(postings.columns.contains("block"),
+          s"index at $path predates block-max postings — rebuild it (or probe with blockMax = false)")
+        val tfAll = postings.join(broadcast(q), postings("tok") === q("term"))
+          .select(col("query_id"), col("doc_id"), col("tok"), col("dl"),
+            col("tf"), col("block"))
+        blockMaxPrune(spark, path, meta, q, terms, bucketPred, tfAll,
+            dfq, stats, k, k1, b)
+          .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
+      }
     val scored = tf.join(dfq, "tok").crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
         scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),
@@ -360,6 +442,81 @@ object Retrieval {
       .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
     rankTopK(agg, k)
   }
+
+  /** The block-max pruning pass — see [[queryBm25Index]]'s scaladoc for
+    * the soundness argument. Returns the surviving tf rows (a doc's
+    * block survives → ALL its tf rows survive, so downstream scores are
+    * exact). Every relation here is bounded by |terms| × PostingBlocks
+    * or |queries| — broadcast-scale by construction. */
+  private def blockMaxPrune(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: IndexMeta, q: DataFrame, terms: Seq[String],
+      bucketPred: org.apache.spark.sql.Column, tfAll: DataFrame,
+      dfq: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    // soundness precondition: the ceilings must cover EVERY live shard's
+    // postings — an index whose older shards predate the impacts relation
+    // would under-bound and prune real hits. "Live" = shard dirs present
+    // in the postings tree AND meta-committed (after compaction only
+    // __compacted remains on disk, and its impacts cover everything).
+    def shardDirs(tree: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=")).toSet
+    }
+    val live = shardDirs("postings").intersect(meta.shards)
+    val impactShards = shardDirs("impacts")
+    require(live.subsetOf(impactShards),
+      s"block-max needs impacts for every live shard at $path — " +
+        s"missing: ${(live -- impactShards).mkString(", ")} (rebuild the index)")
+    val ub = graft.core.AtomicStore.readRequired(spark, s"$path/impacts")
+      .filter(col("shard").isin(meta.shards.toSeq: _*) &&
+        bucketPred && col("tok").isin(terms: _*))
+      .groupBy("tok", "block") // shard ceilings merge under max/min
+      .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+      .join(broadcast(q), col("tok") === col("term"))
+      .join(dfq, "tok").crossJoin(stats)
+      .select(col("query_id"), col("tok"), col("block"),
+        scoreU(col("max_tf"), col("df"), col("min_dl"),
+          col("n_docs"), col("avgdl"), k1, b).as("ub"))
+      .localCheckpoint(true) // |terms| × blocks rows; read twice below
+    // pass 1: each term's single highest-ceiling block, scored exactly
+    val probe = ub.groupBy("query_id", "tok")
+      .agg(max(struct(col("ub"), col("block"))).as("m"))
+      .select(col("query_id"), col("tok"), col("m.block").as("block"))
+    val partial = tfAll.join(broadcast(probe), Seq("query_id", "tok", "block"))
+      .join(dfq, "tok").crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        scoreU(col("tf"), col("df"), col("dl"), col("n_docs"), col("avgdl"),
+          k1, b).as("s"))
+      .groupBy("query_id", "doc_id").agg(sum("s").as("ps"))
+    // threshold T = k-th best PARTIAL total (valid lower bound on the
+    // true k-th best); fewer than k partials → no pruning for that query
+    val thresh = partial.groupBy("query_id")
+      .agg(TopKAggregate.topK(struct(col("ps"), col("doc_id")), k).as("tk"))
+      .select(col("query_id"),
+        when(size(col("tk")) >= k, element_at(col("tk"), k).getField("ps"))
+          .otherwise(lit(Long.MinValue)).as("__t"))
+    val surviving = ub.groupBy("query_id", "block")
+      .agg(sum("ub").as("__ub_total"))
+      .join(thresh, Seq("query_id"), "left")
+      .filter(col("__ub_total") >= coalesce(col("__t"), lit(Long.MinValue)))
+      .select(col("query_id"), col("block"))
+      .localCheckpoint(true) // |queries| × blocks bound; counted + joined
+    val nBlocks = ub.select("query_id", "block").distinct().count()
+    val nSurvive = surviving.count()
+    lastBlockMaxStats = Some((nSurvive, nBlocks))
+    System.err.println(s"[bm25] block-max: $nSurvive of $nBlocks " +
+      "(query, block) cells survive the ceiling cut")
+    tfAll.join(broadcast(surviving), Seq("query_id", "block"))
+  }
+
+  /** (surviving, total) (query, block) cells of the LAST block-max probe
+    * on this JVM — the measured-reduction observable (spec/ops aid; the
+    * same numbers go to stderr per probe). */
+  @volatile private[text] var lastBlockMaxStats: Option[(Long, Long)] = None
 
   /** Top-`k` documents per query by quantised-BM25 score.
     *

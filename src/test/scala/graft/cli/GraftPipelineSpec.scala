@@ -489,6 +489,32 @@ class GraftPipelineSpec extends SparkSpec {
     assert(GraftPipeline.run(spark, cfg(s"$out/committed")) == ((1L, 1L)))
   }
 
+  test("replay short-circuit heals every post-write artifact from the committed output") {
+    import spark.implicits._
+    val root = tmpDir("pipe_heal")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = sf001, table = "documents", outputDir = s"$root/shards",
+      steps = Seq("dedup_seen", "bm25_index", "data_card"),
+      qualityMin = 0.0, minhashThreshold = 0.7, packBudget = 512, testPct = 1,
+      seenStorePath = s"$root/seen", bm25IndexPath = s"$root/bm25",
+      dataCardPath = s"$root/card", shardIdOverride = "s0")
+    val (_, n1) = GraftPipeline.run(spark, cfg)
+    assert(n1 > 0)
+    // round-6 advice #1 crash window: the seen store recorded the shard
+    // but the later post-write folds (index, card) never landed — before
+    // the fix, the replay returned at the short-circuit and the shard was
+    // silently never indexed
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(s"$root/bm25"))
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(s"$root/card"))
+    val (_, n2) = GraftPipeline.run(spark, cfg) // short-circuits on the store
+    assert(n2 == n1)
+    assert(graft.core.Fs.exists(spark, s"$root/bm25/meta"), "index not healed")
+    assert(spark.read.parquet(s"$root/card").count() > 0, "card not healed")
+    val q = Seq((1L, "dup")).toDF("query_id", "term")
+    assert(graft.text.Retrieval.queryBm25Index(spark, s"$root/bm25", q, k = 3)
+      .count() > 0)
+  }
+
   test("ann_index mode append: shard-over-shard index probes like a one-shot ingest") {
     val out = tmpDir("pipe_ivf_append")
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")

@@ -366,6 +366,56 @@ class DedupSpec extends SparkSpec {
     assert(rows(6L)._1 == null && rows(6L)._2 == 0 && rows(6L)._3 == 0)
   }
 
+  test("removeDuplicateSpans: maxDocTokens skips-and-flags the mega-doc, others unaffected") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val uniq = (1 to 20).map(i => s"a$i").mkString(" ")
+    val mega = (1 to 40).map(i => s"m$i").mkString("  ") + s"  $span" // double spaces
+    val d = Seq(
+      (1L, s"$uniq $span"), // shares the span with the mega-doc
+      (2L, mega),           // 52 tokens > ceiling -> skipped
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 8, maxDocTokens = 45)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // the mega-doc passes through whitespace-normalised, nothing removed
+    val megaNorm = mega.split("\\s+").mkString(" ")
+    assert(rows(2L) == ((megaNorm, 52L, 0L, true)), rows(2L))
+    // its windows STILL count corpus-wide: doc 1 loses the shared span
+    assert(rows(1L)._1 == uniq && rows(1L)._3 == 12 && !rows(1L)._4, rows(1L))
+    assert(!rows(3L)._4 && rows(3L)._3 == 0)
+    // default ceiling: nothing skipped, flag uniformly false
+    val noSkip = Dedup.removeDuplicateSpans(d, "doc_id", "text", w = 8)
+    assert(noSkip.filter(col("span_skipped")).count() == 0)
+  }
+
+  test("guard counters: a planted degenerate bucket is counted exactly, and matches what the guard drops") {
+    // 60-doc boilerplate clique + 20 unique docs; cap 50 → exactly the
+    // clique's 8 shared band keys overflow, 60 banded rows each
+    val clique = (1 to 60).map(i =>
+      (i.toLong, "the same boilerplate spam text repeated across every clique member"))
+    val uniq = (61 to 80).map(i =>
+      (i.toLong, (1 to 12).map(j => s"u${i}t$j").mkString(" ")))
+    val d = (clique ++ uniq).toDF("doc_id", "text")
+    val r = Dedup.minhashBandOverflow(d, "text", "doc_id", maxBucket = 50).head()
+    assert(r.getLong(1) == 8, s"overflow buckets: $r")
+    assert(r.getLong(2) == 480, s"rows dropped: $r")
+    // the counters describe REAL truncation: with the guard on, the
+    // clique mines zero pairs; off, it mines the full clique
+    val guarded = Dedup.minhashPairs(d, "text", "doc_id", maxBucket = 50)
+      .filter(col("id_a") <= 60 && col("id_b") <= 60).count()
+    val open = Dedup.minhashPairs(d, "text", "doc_id", maxBucket = 0)
+      .filter(col("id_a") <= 60 && col("id_b") <= 60).count()
+    assert(guarded == 0 && open == 60L * 59 / 2, s"guarded=$guarded open=$open")
+    // simhash family: identical docs share every combination key — all 20
+    // tables report the clique bucket at cap 1
+    val sigs = d.select(col("doc_id").as("id"), Dedup.portableSimhash(col("text")).as("sig"))
+    val sh = Dedup.simhashBandOverflow(sigs, bits = 48, maxHamming = 3, maxBucket = 1)
+    assert(sh.count() == 20)
+    assert(sh.filter(col("n_overflow_buckets") < 1).count() == 0)
+    assert(sh.filter(col("n_rows_dropped") < 60).count() == 0)
+  }
+
   test("span stats and span removal agree on the fixture corpus") {
     val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", w = 8)
       .select(col("doc_id"), col("n_dup_windows"))

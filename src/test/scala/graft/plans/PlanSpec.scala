@@ -141,6 +141,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58: the corpus-wide pack window partitions on (source, shard), never source alone") {
+    // one dominant source must not become a one-task sort: the running
+    // sum over the CORPUS partitions on (source, __shard); the only
+    // source-alone window runs over the per-shard AGGREGATE (bounded by
+    // corpus/shardSize rows)
+    val p = plan("q58_seq_packing")
+    assert("Window \\[[^\\]]*\\], \\[source#\\d+, __shard#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      "corpus pack window must partition on (source, __shard):\n" + p.take(3000))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))

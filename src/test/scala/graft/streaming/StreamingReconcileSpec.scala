@@ -171,6 +171,69 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(graft.dedup.SeenStore.read(spark, store).get.count() == 3)
   }
 
+  test("neardupDedupStream protocol: cross-batch NEAR-dup fold, second run drops redeliveries") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the q110 protocol on a controlled two-file ingest: file2 carries a
+    // NEAR-dup (one token appended, exact Jaccard ≥ 0.8) of file1's doc —
+    // the store fold across micro-batches must drop it, while unique docs
+    // and the first-seen member survive; a full second run over the same
+    // files is all redeliveries and must change nothing.
+    val scratch = tmpDir("neardup_stream_spec")
+    val store = s"$scratch/store"
+    val inDir = s"$scratch/in"
+    val sink = s"$scratch/out"
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    val schema = Seq(doc(0, "x")).toDF("doc_id", "text", "lang", "source", "n_chars").schema
+    Seq(doc(1, base), doc(2, (1 to 12).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$inDir/f1")
+    Seq(doc(3, s"$base tail"), doc(4, (1 to 12).map(i => s"fresh$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$inDir/f2")
+    // pin admission order: f1's batch must fold before f2 probes
+    Option(new java.io.File(s"$inDir/f1").listFiles()).getOrElse(Array.empty)
+      .foreach(_.setLastModified(1700000000000L))
+    Option(new java.io.File(s"$inDir/f2").listFiles()).getOrElse(Array.empty)
+      .foreach(_.setLastModified(1700000060000L))
+    def runStream(tag: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      val q = stream.writeStream.queryName(s"neardup_stream_spec_$tag")
+        .option("checkpointLocation", s"$scratch/ckpt_$tag")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val bs = b.sparkSession
+          val shard = s"${tag}_batch_$id"
+          if (!graft.dedup.NearDupStore.processedShards(bs, store).contains(shard)) {
+            val survivors = graft.dedup.NearDupStore.filterNew(bs, store, b,
+                "text", "doc_id", minJaccard = 0.8, maxBucket = 0)
+              .localCheckpoint(true)
+            survivors.withColumn("batch", lit(s"${tag}_$id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch").parquet(sink)
+            graft.dedup.NearDupStore.update(bs, store, survivors,
+              "text", "doc_id", shard)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runStream("r1")
+    val kept1 = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(1L, 2L, 4L), s"kept=$kept1") // 3 is 1's near-dup
+    assert(graft.dedup.NearDupStore.read(spark, store).get.count() == 3)
+    // run 2 (fresh checkpoint, same store): every doc is now a near-dup
+    // of stored history — nothing new lands, the store is unchanged
+    runStream("r2")
+    val kept2 = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept1, s"run 2 must drop every redelivery: $kept2")
+    assert(graft.dedup.NearDupStore.read(spark, store).get.count() == 3)
+  }
+
   test("checkpoint resume: killed dedup stream restarts exactly-once (q65 shape)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._

@@ -224,6 +224,68 @@ class RetrievalSpec extends SparkSpec {
     assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) == before)
   }
 
+  test("bm25 block-max: probe is bit-identical to exhaustive, and actually skips blocks") {
+    // impact-skewed corpus: one 8x-tf short doc carries almost all of the
+    // term's scoring mass; 199 long tf=1 docs are the low-impact tail the
+    // ceiling cut should never read
+    val docs = ((0 to 0).map(i => (i.toLong, Array.fill(8)("hot").mkString(" "))) ++
+      (1 to 199).map(i => (i.toLong,
+        "hot " + (1 to 50).map(j => s"f${i}x$j").mkString(" ")))).toDF("doc_id", "text")
+    val idx = tmpDir("bm25_blockmax")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", idx)
+    for (kk <- Seq(1, 3, 10)) {
+      val full = Retrieval.queryBm25Index(spark, idx, q(1L -> "hot"), k = kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+      val pruned = Retrieval.queryBm25Index(spark, idx, q(1L -> "hot"), k = kk,
+          blockMax = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+      assert(pruned == full, s"k=$kk: $pruned vs $full")
+    }
+    // measured reduction at k=1: only the hot doc's block can reach T
+    Retrieval.queryBm25Index(spark, idx, q(1L -> "hot"), k = 1, blockMax = true)
+      .write.format("noop").mode("overwrite").save()
+    val (survive, total) = Retrieval.lastBlockMaxStats.get
+    assert(survive < total, s"block-max pruned nothing: $survive of $total")
+    // multi-term fixture query set on the gate corpus: parity again
+    val fixture = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx2 = tmpDir("bm25_blockmax_fix")
+    Retrieval.buildBm25Index(fixture, "text", "doc_id", idx2)
+    val qs = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 2L -> "query", 2L -> "fast")
+    val a = Retrieval.queryBm25Index(spark, idx2, qs, k = 5).collect()
+      .map(_.toSeq).toSet
+    val bq = Retrieval.queryBm25Index(spark, idx2, qs, k = 5, blockMax = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == bq)
+  }
+
+  test("bm25 block-max: appended shards merge ceilings; legacy index without impacts is refused") {
+    val docs = (0 to 99).map(i => (i.toLong,
+      s"zz " + (1 to 10).map(j => s"w${i}y$j").mkString(" "))).toDF("doc_id", "text")
+    val idx = tmpDir("bm25_blockmax_app")
+    Retrieval.buildBm25Index(docs.filter(col("doc_id") < 50), "text", "doc_id", idx,
+      shardId = "s0")
+    Retrieval.appendBm25Index(docs.filter(col("doc_id") >= 50), "text", "doc_id",
+      idx, "s1")
+    val full = Retrieval.queryBm25Index(spark, idx, q(1L -> "zz"), k = 7)
+      .collect().map(_.toSeq).toSet
+    val pruned = Retrieval.queryBm25Index(spark, idx, q(1L -> "zz"), k = 7,
+      blockMax = true).collect().map(_.toSeq).toSet
+    assert(pruned == full)
+    // compacted index still prunes and still agrees
+    Retrieval.compactBm25Index(spark, idx)
+    val afterCompact = Retrieval.queryBm25Index(spark, idx, q(1L -> "zz"), k = 7,
+      blockMax = true).collect().map(_.toSeq).toSet
+    assert(afterCompact == full)
+    // an index missing impacts for a committed shard must refuse to
+    // prune (under-bounded ceilings would silently drop real hits)
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(s"$idx/impacts"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.queryBm25Index(spark, idx, q(1L -> "zz"), k = 7, blockMax = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("impacts"))
+  }
+
   test("bm25: per-term ranking agrees with the textbook log-idf weights") {
     // single-term queries: quantised odds-idf and log-idf are monotone
     // transforms of the same (tf, dl) ordering -> identical rankings
