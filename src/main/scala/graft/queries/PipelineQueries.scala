@@ -953,6 +953,46 @@ object PipelineQueries {
         Map("build" -> build, "probe" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
+    // q102/q104 are train + encode + scan + rerank in one number; the
+    // split shows whether codebook TRAINING (amortisable across batches —
+    // pqKnn takes a precomputed codebook for exactly that) or the PROBE
+    // leg (encode + ADC scan + rerank, the per-batch cost) moved
+    "q102_pq_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val shortlist = math.max(100L, emb.count() / 20).toInt
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var cb: DataFrame = null
+      val train = timed {
+        cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          m = 8, kCodes = 32, lloydIters = 1).localCheckpoint(true)
+      }
+      val probe = timed(Similarity.pqKnnRerank(q, emb, "vec_id", "embedding",
+          k = 10, shortlist = shortlist, m = 8, kCodes = 32,
+          codebooks = Some(cb))
+        .write.format("noop").mode("overwrite").save())
+      Map("train" -> train, "probe" -> probe)
+    }),
+    "q104_ivfpq_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val shortlist = math.max(100L, emb.count() / 20).toInt
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var cb: DataFrame = null
+      val train = timed {
+        cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          m = 8, kCodes = 32, lloydIters = 1).localCheckpoint(true)
+      }
+      val probe = timed(Similarity.ivfPqKnn(q, emb, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 8, shortlist = shortlist,
+          m = 8, kCodes = 32, codebooks = Some(cb))
+        .write.format("noop").mode("overwrite").save())
+      Map("train" -> train, "probe" -> probe)
+    }),
     // q101 times TWO index ingests plus probes in its gate form; the
     // user-facing costs are one build, one O(shard) append, one probe
     "q101_ivf_append" -> ((s, dir) => {

@@ -588,11 +588,14 @@ object Similarity {
     * compose with IVF pruning for the candidate-bounded leg). */
   def pqKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, m: Int = 4, kCodes: Int = 16,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0, codebooks: Option[DataFrame] = None): DataFrame = {
     // m*kCodes rows, re-read by encode + LUT: materialise the (possibly
-    // Lloyd-refined) codebook once
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
-      .localCheckpoint(true)
+    // Lloyd-refined) codebook once. A caller-supplied codebook skips the
+    // training pass — the batch-over-batch production shape (and what
+    // lets Bench time train and probe apart).
+    val cb = codebooks.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+        .localCheckpoint(true))
     val codes = pqEncode(corpus, idCol, vecCol, cb)
       .withColumnRenamed("id", "neighbor_id")
     val lutArr = pqLut(cb, queries, idCol, vecCol)
@@ -658,9 +661,11 @@ object Similarity {
     * surfaced candidates is EXACT by construction. */
   def pqKnnRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, shortlist: Int = 100, m: Int = 4,
-      kCodes: Int = 16, lloydIters: Int = 0): DataFrame = {
+      kCodes: Int = 16, lloydIters: Int = 0,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     val cands = pqKnn(queries, corpus, idCol, vecCol,
-      k = shortlist, m = m, kCodes = kCodes, lloydIters = lloydIters)
+      k = shortlist, m = m, kCodes = kCodes, lloydIters = lloydIters,
+      codebooks = codebooks)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -689,7 +694,7 @@ object Similarity {
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
       shortlist: Int = 100, m: Int = 4, kCodes: Int = 16,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0, codebooks: Option[DataFrame] = None): DataFrame = {
     val seeds = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
@@ -708,8 +713,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
     // PQ codebooks + codes over the corpus; ADC-score ONLY the candidates
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
-      .localCheckpoint(true)
+    val cb = codebooks.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
+        .localCheckpoint(true))
     val codes = pqEncode(corpus, idCol, vecCol, cb)
       .withColumnRenamed("id", "neighbor_id")
     val lutArr = pqLut(cb, queries, idCol, vecCol)
@@ -913,11 +919,12 @@ object Similarity {
     * an oracle) should pin the count explicitly.
     *
     * Returns every corpus row: (id, centroid_id, is_kept). */
-  def semanticDedup(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, threshold: Double = 0.9,
-      lloydIters: Int = 0, lloydSamplePct: Int = 100,
-      maxCluster: Int = 100000, guardPlanes: Int = 8): DataFrame = {
+  /** The cluster-assignment pass shared by [[semanticDedup]] and its
+    * guard-counter report — one construction, so the counters describe
+    * exactly the clustering the dedup runs on. */
+  private def semanticAssigned(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, lloydIters: Int,
+      lloydSamplePct: Int): DataFrame = {
     val k =
       if (nCentroids > 0) nCentroids
       else math.min(65536L, math.max(16L, corpus.count() / 1024L)).toInt
@@ -929,8 +936,36 @@ object Similarity {
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
     val centArr = cents.agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
-    val assigned = assignProbes(
+    assignProbes(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centArr, "__v", 1)
+  }
+
+  /** Guard-truncation counters for [[semanticDedup]]'s `maxCluster` (the
+    * "no silent caps" rule, round-7 task #5): ONE row of (n_clusters,
+    * n_fat_clusters, n_rows_subbucketed) — how many clusters exceeded the
+    * cap and how many rows therefore compare only within their (cluster,
+    * LSH sub-bucket) instead of the whole cluster. Unlike the band
+    * guards, the fat-cluster guard loses no EXACT duplicates (identical
+    * vectors share every sign bit), so the counters quantify where the
+    * NEAR-dup scope narrowed. Same assignment pass as the dedup itself. */
+  def fatClusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, lloydIters: Int = 0, lloydSamplePct: Int = 100,
+      maxCluster: Int = 100000): DataFrame = {
+    require(maxCluster > 0, "counters are about an ENABLED guard: maxCluster > 0")
+    semanticAssigned(corpus, idCol, vecCol, nCentroids, lloydIters, lloydSamplePct)
+      .groupBy("centroid_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("c") > maxCluster, 1L).otherwise(0L)).as("n_fat_clusters"),
+        sum(when(col("c") > maxCluster, col("c")).otherwise(0L)).as("n_rows_subbucketed"))
+  }
+
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, threshold: Double = 0.9,
+      lloydIters: Int = 0, lloydSamplePct: Int = 100,
+      maxCluster: Int = 100000, guardPlanes: Int = 8): DataFrame = {
+    val assigned = semanticAssigned(corpus, idCol, vecCol, nCentroids,
+      lloydIters, lloydSamplePct)
     // fat-cluster guard: cluster sizes are an nCentroids-row broadcast; only
     // oversized clusters pay the extra LSH signature projection
     val grouped =

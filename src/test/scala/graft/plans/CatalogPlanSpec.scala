@@ -46,7 +46,8 @@ class CatalogPlanSpec extends SparkSpec {
     "q66_semantic_dedup", "q74_quantized_knn", "q75_hll_union",
     "q77_scalar_subquery", "q81_gap_fill", "q83_ivf_index", "q84_drift_report",
     "q91_bm25", "q101_ivf_append", "q102_pq_knn",
-    "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report")
+    "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report",
+    "q113_ivf_rebalance")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching

@@ -144,6 +144,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows == offRows)
   }
 
+  test("fatClusterStats: planted dense cluster counted; healthy corpus reports zero") {
+    // 60 near-identical vectors (one semantic cluster) + 30 spread ones;
+    // cap 40 → exactly one fat cluster of ≥60 sub-bucketed rows
+    val dense = (0 until 60).map(i =>
+      (i.toLong, Seq(10f, 0.001f * i, 0f, 0f)))
+    val spread = (100 until 130).map(i =>
+      (i.toLong, Seq(0.1f * (i - 100), 10f - 0.1f * (i - 100), 1f * (i % 3), 0.5f * (i % 5))))
+    val df = (dense ++ spread).toDF("vec_id", "embedding")
+    // 60 dense rows over ≤3 clusters: pigeonhole guarantees one cluster
+    // ≥ 20 rows whatever the hash seeding does
+    val r = Similarity.fatClusterStats(df, "vec_id", "embedding",
+      nCentroids = 3, maxCluster = 15).head()
+    assert(r.getLong(1) >= 1L, s"fat cluster not counted: $r")
+    assert(r.getLong(2) >= 20L, s"sub-bucketed rows undercounted: $r")
+    // counters describe the SAME clustering the dedup guard runs on: with
+    // a cap high enough, nothing is fat and nothing sub-buckets
+    val quiet = Similarity.fatClusterStats(df, "vec_id", "embedding",
+      nCentroids = 3, maxCluster = 90).head()
+    assert(quiet.getLong(1) == 0L && quiet.getLong(2) == 0L, quiet)
+  }
+
   test("semanticDedup auto cluster count: verdict for every row, duplicate still dropped") {
     // nCentroids=0 -> auto ~count/1024 clamped to >=16: on this small
     // fixture that resolves to the 16 floor; the semantics contract
