@@ -71,6 +71,8 @@ import graft.text.TextAnalysis
   *    `benchmark.path`/`benchmark.table` held-out set
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
   *    (`web:0.25,news:1.0`) for training-mixture reweighting
+  *  - `mix_temperature` — α=0.5 temperature sampling: each source keeps
+  *    rate √(n_ref/n_s) (smallest source keeps all), no config needed
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *  - `ann_index` — post-write build of a persisted IVF ANN index at
@@ -468,6 +470,26 @@ object GraftPipeline {
         case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
       }
       df.filter(pmod(xxhash64(col("doc_id"), lit("mix")), lit(1000)) < rate * 1000)
+    }),
+    // temperature-based source mixing (q115's recipe as a step, XLM-R
+    // α = 0.5): each source keeps rate √(n_ref/n_s) with n_ref the
+    // smallest source — the tempered-mass profile multilingual corpora
+    // sample with. α pinned at 0.5 (sqrt is IEEE-exact; a general pow is
+    // not engine-portable). The per-source size aggregate is a bounded
+    // driver action at plan-composition time (|sources| rows — the
+    // dedup_seen store read precedent); the keep decision is map-side
+    // Knuth-hash arithmetic salted independently of split/mix.
+    "mix_temperature" -> ((_, df) => {
+      val sizes = df.groupBy("source").agg(count(lit(1)).as("__n"))
+      val nRef = sizes.agg(min("__n")).head().getLong(0)
+      val rated = sizes.withColumn("__rate_u",
+          floor(lit(1e6) * sqrt(lit(nRef.toDouble) / col("__n").cast("double")))
+            .cast("long"))
+        .select(col("source").as("__m_source"), col("__rate_u"))
+      df.join(broadcast(rated), col("source") <=> col("__m_source"))
+        .filter(pmod(col("doc_id") * lit(2654435761L) + lit(7L), lit(1000000L))
+          < col("__rate_u"))
+        .drop("__m_source", "__rate_u")
     }),
     "split" -> ((c, df) =>
       df.withColumn("split", {

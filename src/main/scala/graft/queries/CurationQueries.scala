@@ -153,6 +153,71 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // benchmark contamination on HASHED shingles — the production form of
+    // q60: the join/broadcast key is the 8-byte portable hash of the
+    // shingle, not the string, so at 100 TB the benchmark set broadcast
+    // and the probe shuffle carry 8 bytes per shingle instead of ~20-char
+    // strings (q60's own scale note, now a first-class oracle-gated
+    // path). md5-prefix family → DuckDB recomputes the keys bit-for-bit;
+    // per-doc-distinct shingles make n_hits identical to q60's.
+    "q114_contamination_hashed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def hashed(d: DataFrame) = d.select(col("doc_id"),
+          explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("sh"))
+        .select(col("doc_id"), Dedup.portableHash(col("sh")).as("h"))
+      val bench = hashed(docs.filter(col("doc_id") % BenchMod === 0))
+        .select("h").distinct()
+      hashed(docs.filter(col("doc_id") % BenchMod =!= 0))
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // temperature-based source mixing (the multilingual-sampling recipe,
+    // XLM-R style at α = 0.5): a source keeps rate √(n_ref/n_s) — the
+    // smallest source keeps everything, larger sources downsample toward
+    // the α-tempered mass profile. α is PINNED at 0.5 because sqrt is
+    // IEEE-correctly-rounded (bit-identical in Spark and DuckDB) where a
+    // general pow is a libm call with no cross-engine guarantee; rates
+    // are 1e-6-quantised before the keep decision so the acceptance
+    // threshold is an exact integer on both engines. One tiny per-source
+    // aggregate broadcast back; the keep decision is map-side Knuth-hash
+    // arithmetic (salted independently of split/mix).
+    "q115_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val nRef = sizes.agg(min("n_docs")).head().getLong(0) // 1-row collect
+      val rated = sizes.withColumn("rate_u",
+        floor(lit(1e6) * sqrt(lit(nRef.toDouble) / col("n_docs").cast("double")))
+          .cast("long"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(rated), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("rate_u")).as("rate_u"), // functional on source
+          sum(when(pmod(col("doc_id") * lit(2654435761L) + lit(7L), lit(1000000L))
+            < col("rate_u"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // length-bucketed batching efficiency — the padding-waste report a
+    // training-batch planner needs: docs bucket by 64-token width bands
+    // (integer arithmetic, capped at band 16) and each bucket reports how
+    // many pad tokens batching-to-the-bucket-max would burn. Map-side
+    // bucket assignment + one partial+final aggregate.
+    "q116_length_buckets" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(TextAnalysis.tokenCount(col("text")).cast("long"), lit(0L)).as("nt"))
+        .withColumn("bucket", least(floor(col("nt") / 64), lit(16L)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("sum_tokens"),
+          max("nt").as("max_tokens"),
+          (count(lit(1)) * max("nt") - sum("nt")).as("pad_waste"))
+        .orderBy("bucket")),
+
     // stratified deterministic sample: 3 docs per (lang, source) stratum,
     // ordered by the multiplicative hash (a reproducible shuffle). Uses the
     // k-bounded top-k aggregate — ≤3 rows per task per stratum cross the
@@ -412,6 +477,37 @@ object CurationQueries {
         "WHEN (doc_id * 2654435761) % 1000 < 20 THEN 'val' ELSE 'train' END AS split, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY 1 ORDER BY split"),
+    // the hashed-key form: identical shingle stream, but matched on the
+    // 15-hex-digit md5 prefix — DuckDB recomputes the exact join keys
+    "q114_contamination_hashed" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN " +
+        "list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) " +
+        "ELSE [] END)) AS s FROM toks), " +
+        s"hh AS (SELECT doc_id, ${PortableSql.hex15("md5(s)")} AS h FROM sh), " +
+        s"bench AS (SELECT DISTINCT h FROM hh WHERE doc_id % $BenchMod = 0) " +
+        "SELECT c.doc_id, count(*) AS n_hits FROM hh c JOIN bench b ON c.h = b.h " +
+        s"WHERE c.doc_id % $BenchMod <> 0 GROUP BY c.doc_id ORDER BY c.doc_id"),
+
+    "q115_temperature_mix" ->
+      ("WITH sz AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "ref AS (SELECT min(n_docs) AS n_ref FROM sz), " +
+        "r AS (SELECT source, n_docs, CAST(floor(1e6 * sqrt(CAST(n_ref AS DOUBLE) / " +
+        "CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_u FROM sz, ref) " +
+        "SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, rate_u, " +
+        "CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 7) % 1000000 < rate_u " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM documents d JOIN r ON d.source = r.source " +
+        "GROUP BY r.source, r.n_docs, rate_u ORDER BY r.source"),
+
+    "q116_length_buckets" ->
+      (s"WITH t AS (SELECT doc_id, coalesce(CAST(len($Toks) AS BIGINT), 0) AS nt FROM documents), " +
+        "b AS (SELECT CAST(least(floor(nt / 64), 16) AS BIGINT) AS bucket, nt FROM t) " +
+        "SELECT bucket, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens, " +
+        "CAST(max(nt) AS BIGINT) AS max_tokens, " +
+        "CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
+
     "q60_contamination" ->
       (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +
         "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN " +

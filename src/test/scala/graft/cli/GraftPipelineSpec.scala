@@ -242,6 +242,34 @@ class GraftPipelineSpec extends SparkSpec {
       .swap.toOption.get.contains("out of [0,1]"))
   }
 
+  test("mix_temperature keeps the smallest source whole and tempers the big one exactly") {
+    import spark.implicits._
+    val out = tmpDir("pipe_mixt")
+    val rows = (0 until 100).map(i => (i.toLong, s"big doc $i words here", "en", "big")) ++
+      (1000 until 1025).map(i => (i.toLong, s"small doc $i words here", "en", "small"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = out, table = "documents", outputDir = s"$out/shards",
+      steps = Seq("mix_temperature"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source: rate 1e6 → everything survives
+    assert(kept("small") == 25L, kept)
+    // big source: rate floor(1e6·√(25/100)) = 500000 — the exact same
+    // acceptance arithmetic, computed independently here
+    val expectBig = (0 until 100).count(i =>
+      Math.floorMod(i.toLong * 2654435761L + 7L, 1000000L) < 500000L)
+    assert(kept("big") == expectBig.toLong, s"${kept("big")} vs $expectBig")
+    // rerun determinism
+    GraftPipeline.run(spark, cfg)
+    val kept2 = spark.read.parquet(s"$out/shards").count()
+    assert(kept2 == 25L + expectBig)
+  }
+
   test("mix hash is independent of split's hash (downsampled source keeps train docs)") {
     val out = tmpDir("pipe6")
     val cfg = GraftPipeline.PipelineConfig(
