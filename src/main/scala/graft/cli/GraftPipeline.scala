@@ -67,6 +67,9 @@ import graft.text.TextAnalysis
   *    text instead of dropping whole docs (Lee et al. 2022 applied; q93).
   *    Text-MUTATING: ordering guard vs `dedup_seen` applies; output text
   *    is whitespace-normalised by construction
+  *  - `strip_dup_lines` — CCNet paragraph dedup (Wenzek et al. 2020;
+  *    q117): every line keeps its corpus-first occurrence, boilerplate
+  *    repeats vanish in place. Text-MUTATING like `strip_dup_spans`
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
@@ -154,7 +157,7 @@ object GraftPipeline {
     * match any future shard's filter-time hashes, silently disabling
     * incremental dedup. Rejected at config time. */
   private val TextMutatingSteps =
-    Set("strip_html", "normalize", "redact", "strip_dup_spans")
+    Set("strip_html", "normalize", "redact", "strip_dup_spans", "strip_dup_lines")
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -428,6 +431,19 @@ object GraftPipeline {
     // (dedup_spans/dedup_chunks), which also leave such rows alone.
     "strip_dup_spans" -> ((c, df) => {
       val cleaned = Dedup.removeDuplicateSpans(df, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"))
+      df.join(cleaned, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id").isNotNull, col("clean_text")).otherwise(col("text")))
+        .drop("clean_text")
+    }),
+
+    // CCNet paragraph dedup (q117's transform as a step): every line
+    // keeps its corpus-first occurrence; later boilerplate copies vanish
+    // in place. Text-MUTATING (the dedup_seen/neardup ordering guard
+    // applies); same NULL-id passthrough contract as strip_dup_spans.
+    "strip_dup_lines" -> ((c, df) => {
+      val cleaned = Dedup.removeDuplicateLines(df, "doc_id", "text")
         .select(col("doc_id"), col("clean_text"))
       df.join(cleaned, Seq("doc_id"), "left")
         .withColumn("text",

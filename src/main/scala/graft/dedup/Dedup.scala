@@ -731,6 +731,71 @@ object Dedup {
     * below what strains one task's aggregation buffer. */
   val DefaultMaxDocTokens = 500000
 
+  /** Corpus-wide duplicated-LINE removal — CCNet's paragraph
+    * deduplication (Wenzek et al. 2020, arXiv:1911.00359 §3.1: hash
+    * every paragraph, drop repeats corpus-wide before LM filtering; web
+    * boilerplate — nav bars, cookie banners, footers — is exactly
+    * line-shaped). Every line keeps its GLOBALLY FIRST occurrence (min
+    * (doc_id, position)) and loses the rest; survivors rejoin with
+    * newlines in original order.
+    *
+    * Relational shape, the [[removeDuplicateSpans]] discipline:
+    *
+    *  1. one split+posexplode pass; only the 8-byte portable line hash
+    *     and a PACKED (doc_id·2³² + pos) position key reach the
+    *     exchange (the packed long makes "first occurrence" a plain
+    *     min() — map-side partial aggregate, so a boilerplate line with
+    *     10⁸ occurrences is absorbed like q93's hot span hash, never
+    *     buffered in one task; no WindowExec);
+    *  2. the keeper set joins back on the hash (corpus↔corpus —
+    *     broadcast-demoted structurally);
+    *  3. per-doc reassembly sorts the surviving (pos, line) structs
+    *     inside a single-doc group — bounded by the doc itself.
+    *
+    * Returns every id-carrying row: (doc_id, clean_text, n_lines,
+    * n_lines_removed); NULL text stays NULL with zero counts. Empty
+    * lines participate like any other (a run of blank lines keeps only
+    * the corpus-first one — compose with a normalize step when blank
+    * structure matters). Requires doc_id ≥ 0 and < 2³¹ waves… precisely:
+    * the packed key needs doc_id < 2³¹ and per-doc line count < 2³²
+    * (any real corpus; ids beyond that should be densely re-keyed). */
+  def removeDuplicateLines(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lines = base
+      .select(col("doc_id"),
+        posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") * lit(4294967296L) + col("pos")).as("__pk"),
+        portableHash(col("line")).as("h"))
+    val firsts = lines.groupBy("h").agg(min("__pk").as("__first"))
+    val kept = lines.join(firsts, Seq("h"))
+      .filter(col("__pk") === col("__first"))
+      .select("doc_id", "pos")
+    // re-attach line TEXT only for survivors (the join above moved only
+    // 8-byte keys); recompute the split map-side — cheaper than carrying
+    // every line string through both shuffles
+    val keptLines = base
+      .select(col("doc_id"),
+        posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
+      .join(kept, Seq("doc_id", "pos"), "left_semi")
+    val clean = keptLines.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as("clean_text"))
+    base.select(col("doc_id"),
+        size(split(col("__text"), "\n")).as("__n_lines"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__n_lines").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        coalesce(col("__n_lines"), lit(0)).cast("long").as("n_lines"),
+        (coalesce(col("__n_lines"), lit(0)) -
+          coalesce(col("__n_kept"), lit(0L))).cast("long").as("n_lines_removed"))
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair list — the transitive-closure step a dedup pipeline needs after
     * candidate scoring (a~b and b~c must collapse to ONE keeper even when

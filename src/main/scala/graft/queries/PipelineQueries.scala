@@ -550,6 +550,18 @@ object PipelineQueries {
           "doc_id", "text", w = 8)
         .orderBy("doc_id")),
 
+    // CCNet paragraph (LINE) deduplication — Wenzek et al. 2020 §3.1:
+    // every line keeps its corpus-FIRST occurrence (min packed
+    // (doc_id, pos)) and loses the rest; the cleaned text itself is the
+    // emission (q93 discipline: the gate verifies the transform output
+    // string-for-string). The fixture's docs are single-line, so the
+    // operator degenerates to exact-text dedup THERE (later copies empty
+    // out); the multi-line arms are spec'd on crafted docs (DedupSpec).
+    "q117_strip_dup_lines" -> ((s, dir) =>
+      Dedup.removeDuplicateLines(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // PII redaction with per-type counts. The fixture corpus carries no
     // PII (verified: zero regex hits at both gate SFs), so the query
     // derives a deterministic PII-bearing text from `customer` columns on
@@ -1304,6 +1316,24 @@ object PipelineQueries {
 
     "q101_ivf_append" -> knnInvariantOracle(Seq("append_parity_ok")),
     "q113_ivf_rebalance" -> knnInvariantOracle(Seq("rebalance_parity_ok")),
+
+    // packed (doc_id·2³² + pos) min = the corpus-first occurrence; the
+    // 1-based generate_subscripts offset shifts every packed key
+    // uniformly, so the argmin — and hence the kept set — is identical
+    "q117_strip_dup_lines" ->
+      ("WITH d0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM documents WHERE doc_id IS NOT NULL), " +
+        "l AS (SELECT doc_id, unnest(ln) AS line, generate_subscripts(ln, 1) AS pos FROM d0), " +
+        s"hh AS (SELECT doc_id, pos, line, ${PortableSql.hex15("md5(line)")} AS h FROM l), " +
+        "f AS (SELECT h, min(doc_id * 4294967296 + pos) AS first FROM hh GROUP BY h), " +
+        "kept AS (SELECT doc_id, pos, line FROM hh JOIN f USING (h) " +
+        "WHERE doc_id * 4294967296 + pos = first), " +
+        "clean AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) " +
+        "SELECT d0.doc_id, " +
+        "CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(clean_text, '') END AS clean_text, " +
+        "CAST(coalesce(len(ln), 0) AS BIGINT) AS n_lines, " +
+        "CAST(coalesce(len(ln), 0) - coalesce(n_kept, 0) AS BIGINT) AS n_lines_removed " +
+        "FROM d0 LEFT JOIN clean USING (doc_id) ORDER BY doc_id"),
     "q102_pq_knn" -> knnInvariantOracle(),
     "q104_ivfpq_knn" -> knnInvariantOracle(),
     "q105_pq_index" -> knnInvariantOracle(Seq("index_parity_ok")),

@@ -416,6 +416,35 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter(col("n_rows_dropped") < 60).count() == 0)
   }
 
+  test("removeDuplicateLines: corpus-first line survives, repeats vanish, order and blanks preserved") {
+    val d = Seq(
+      (1L, "unique alpha\nshared boilerplate line\nunique beta"),
+      (2L, "shared boilerplate line\nunique gamma\n\nunique delta"),
+      (3L, "unique epsilon\n\nshared boilerplate line"),
+      (4L, "unique zeta"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Dedup.removeDuplicateLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds the FIRST occurrence of the boilerplate: untouched
+    assert(rows(1L) == (("unique alpha\nshared boilerplate line\nunique beta", 3L, 0L)), rows(1L))
+    // doc 2 loses the boilerplate repeat; its blank line is the corpus-
+    // FIRST blank, so it stays; order preserved
+    assert(rows(2L) == (("unique gamma\n\nunique delta", 4L, 1L)), rows(2L))
+    // doc 3 loses the boilerplate AND the now-duplicated blank line
+    assert(rows(3L) == (("unique epsilon", 3L, 2L)), rows(3L))
+    assert(rows(4L) == (("unique zeta", 1L, 0L)))
+    assert(rows(5L)._1 == null && rows(5L)._2 == 0 && rows(5L)._3 == 0)
+    // a doc that is ALL repeats empties out (the min-length-filter
+    // pairing, as with span removal)
+    val d2 = d.unionByName(Seq(
+      (6L, "shared boilerplate line\nunique alpha")).toDF("doc_id", "text"))
+    val r6 = Dedup.removeDuplicateLines(d2, "doc_id", "text")
+      .filter(col("doc_id") === 6L).head()
+    assert(r6.getString(1) == "" && r6.getLong(3) == 2, r6)
+  }
+
   test("span stats and span removal agree on the fixture corpus") {
     val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", w = 8)
       .select(col("doc_id"), col("n_dup_windows"))
