@@ -30,6 +30,21 @@ object AtomicStore {
     * tmp when the store itself is missing), None if the store does not
     * exist yet. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    heal(spark, path)
+    val store = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, store)
+    if (fs.exists(store)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** The crash-recovery half of [[read]] without the read: adopt a
+    * COMPLETED `<path>_tmp` when the store itself is missing (a crash
+    * between [[replaceVia]]'s delete and rename), drop a partial one.
+    * Every dynamic-partition-overwrite APPEND into a compactable tree
+    * must run this FIRST: such a write (re-)creates the tree directory,
+    * after which the recovery in [[read]] would never adopt the orphaned
+    * tmp — silently discarding all pre-compact data while the store meta
+    * still references it (round-7 advice #3, the write-path half). */
+  def heal(spark: SparkSession, path: String): Unit = {
     val store = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
     val fs = fsFor(spark, store)
@@ -37,7 +52,6 @@ object AtomicStore {
       if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, store)
       else fs.delete(tmp, true)
     }
-    if (fs.exists(store)) Some(spark.read.parquet(path)) else None
   }
 
   /** [[read]] for a data tree that the store's META says must exist: the

@@ -144,6 +144,8 @@ object NearDupStore {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val ids = shardIds(spark, path)
     if (ids.contains(shardId)) return
+    // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
+    graft.core.AtomicStore.heal(spark, sigsPath(path))
     signatures(accepted, textCol, idCol, k, shingleN)
       .withColumn("shard", lit(shardId))
       .write.mode("overwrite")

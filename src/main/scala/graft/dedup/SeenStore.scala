@@ -103,6 +103,8 @@ object SeenStore {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val ids = shardIds(spark, path)
     if (ids.contains(shardId)) return
+    // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
+    graft.core.AtomicStore.heal(spark, hashesPath(path))
     Dedup.seenHashes(survivors, contentCol)
       .withColumn("shard", lit(shardId))
       .write.mode("overwrite")

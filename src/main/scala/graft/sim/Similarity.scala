@@ -303,6 +303,8 @@ object Similarity {
 
   private def writeAssignedShard(rows: DataFrame, idCol: String,
       vecCol: String, path: String, shardId: String): Unit = {
+    // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
+    graft.core.AtomicStore.heal(rows.sparkSession, s"$path/assigned")
     val centArr = rows.sparkSession.read.parquet(s"$path/centroids").agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
     // cluster rows by centroid before the partitioned write (the BM25
@@ -810,6 +812,8 @@ object Similarity {
 
   private def writePqShard(rows: DataFrame, idCol: String, vecCol: String,
       path: String, shardId: String): Unit = {
+    // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
+    graft.core.AtomicStore.heal(rows.sparkSession, s"$path/codes")
     val cb = rows.sparkSession.read.parquet(s"$path/codebooks")
     pqEncode(rows, idCol, vecCol, cb)
       .withColumn("shard", lit(shardId))

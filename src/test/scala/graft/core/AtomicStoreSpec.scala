@@ -49,6 +49,18 @@ class AtomicStoreSpec extends SparkSpec {
     assert(readBack(p).contains(Set(5L)))
   }
 
+  test("heal: adopts a completed tmp without reading; no-op when the store exists") {
+    val p = tmpDir("astore") + "/store"
+    (Seq(7L).toDF("v")).write.mode("overwrite").parquet(p + "_tmp")
+    AtomicStore.heal(spark, p)
+    assert(readBack(p).contains(Set(7L)))
+    // store present: a later heal leaves both store and a stray tmp alone
+    // is NOT the contract — the writer deletes tmp itself (replaceVia);
+    // heal just must not clobber the live store
+    AtomicStore.heal(spark, p)
+    assert(readBack(p).contains(Set(7L)))
+  }
+
   test("replace guarantees the _SUCCESS marker even when the committer is configured not to") {
     // object-store tunings disable marksuccessfuljobs; without the
     // explicit marker, a crash between delete and rename would make

@@ -81,4 +81,34 @@ class NearDupStoreSpec extends SparkSpec {
       spark, store, docs.limit(20), "text", "doc_id", 0.8, maxBucket = 0)
       .count() == before)
   }
+
+  test("append over a TORN compact heals first — pre-compact data survives the dynamic-overwrite write") {
+    // the write-path half of the adopt-completed-tmp recovery: a dynamic
+    // partition overwrite (re-)creates the tree directory, after which the
+    // read-side recovery would never adopt the orphaned tmp — every append
+    // must heal BEFORE writing or the whole pre-compact store is silently
+    // discarded while meta still references it
+    val store = tmpDir("neardup_torn_compact")
+    NearDupStore.update(spark, store, docs.filter(col("doc_id") < 4),
+      "text", "doc_id", "s0")
+    assert(NearDupStore.compact(spark, store))
+    // simulate the crash between replaceVia's delete and rename: the
+    // completed new tree sits at sigs_tmp (with its _SUCCESS marker,
+    // carried over from the committed store), the tree itself is gone
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store/sigs"),
+      new org.apache.hadoop.fs.Path(s"$store/sigs_tmp")))
+    // the next shard's append must adopt the tmp before its own write
+    NearDupStore.update(spark, store, docs.filter(col("doc_id") === 9),
+      "text", "doc_id", "s1")
+    assert(NearDupStore.read(spark, store).get.count() == 5)
+    assert(NearDupStore.processedShards(spark, store) == Set("s0", "s1"))
+    // and the healed store still rejects a copy of pre-compact history
+    val replayOld = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(600000L))
+    assert(NearDupStore.filterNew(
+      spark, store, replayOld, "text", "doc_id", 0.8, maxBucket = 0)
+      .count() == 0)
+  }
 }

@@ -199,6 +199,34 @@ class RetrievalSpec extends SparkSpec {
       probeSet(Retrieval.queryBm25Index(spark, full, terms)))
   }
 
+  test("bm25 append over a TORN compact heals first — pre-compact postings survive") {
+    // write-path half of the adopt-completed-tmp recovery: the append's
+    // dynamic overwrite (re-)creates postings/, after which read-side
+    // recovery would orphan the completed tmp holding every pre-compact
+    // shard — meta would still reference them and probes would silently
+    // shrink to the new shard alone
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val idx = tmpDir("bm25_torn_compact")
+    Retrieval.buildBm25Index(even, "text", "doc_id", idx, buckets = 16, shardId = "s0")
+    Retrieval.compactBm25Index(spark, idx)
+    // crash between replaceVia's delete and rename, for BOTH swapped trees
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tree <- Seq("postings", "impacts"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/$tree"),
+        new org.apache.hadoop.fs.Path(s"$idx/${tree}_tmp")))
+    assert(Retrieval.appendBm25Index(odd, "text", "doc_id", idx, "s1"))
+    val full = tmpDir("bm25_torn_compact_full")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", full, buckets = 16)
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms)) ==
+      probeSet(Retrieval.queryBm25Index(spark, full, terms)))
+    assert(probeSet(Retrieval.queryBm25Index(spark, idx, terms, blockMax = true)) ==
+      probeSet(Retrieval.queryBm25Index(spark, full, terms)))
+  }
+
   test("bm25 compact: file count drops, probe identical, old-shard replay still guarded") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 3L -> "stream")
