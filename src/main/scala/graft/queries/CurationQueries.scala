@@ -218,6 +218,43 @@ object CurationQueries {
           (count(lit(1)) * max("nt") - sum("nt")).as("pad_waste"))
         .orderBy("bucket")),
 
+    // DSIR importance weights (Xie et al. 2023): score every doc by how
+    // much likelier its hashed-bigram features are under the TARGET
+    // distribution (here the lang='en' slice — the "make the crawl look
+    // like the high-quality corpus" selector) than under the raw corpus.
+    // Gate-portable quantised-rational variant (exact long arithmetic,
+    // portable md5 bucket hash); the paper's log-space scoring is
+    // Dsir.dsirLogWeights, spec'd for rank agreement (the bm25LogIdf
+    // discipline). Both models are 256-row broadcasts — the only
+    // corpus-sized exchange is the per-doc bucket-count combine.
+    "q119_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.Dsir.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // cross-source near-duplicate OVERLAP MATRIX — the provenance report
+    // behind a mixing decision: which source pairs ship the same
+    // near-duplicated content (a crawl re-crawling another source, a
+    // mirror, a laundered dump). Verified (exact-Jaccard) near-dup pairs
+    // from the q31 machinery, each end joined to its source, counted per
+    // UNORDERED source pair (least/greatest). Candidate-bounded like q31
+    // (banded equi-joins), never all-pairs; the per-pair source join-back
+    // moves only (id, source) rows.
+    "q120_source_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.verifiedNearDupPairs(docs, "text", "doc_id", minJaccard = 0.8,
+          maxBucket = 0)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // stratified deterministic sample: 3 docs per (lang, source) stratum,
     // ordered by the multiplicative hash (a reproducible shuffle). Uses the
     // k-bounded top-k aggregate — ≤3 rows per task per stratum cross the
@@ -507,6 +544,34 @@ object CurationQueries {
         "CAST(max(nt) AS BIGINT) AS max_tokens, " +
         "CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    "q120_source_overlap" ->
+      (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +
+        "SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+        "FROM ndpairs p JOIN documents da ON da.doc_id = p.id_a " +
+        "JOIN documents db ON db.doc_id = p.id_b " +
+        "GROUP BY source_a, source_b ORDER BY source_a, source_b"),
+
+    "q119_dsir_weights" ->
+      (s"WITH t AS (SELECT doc_id, lang, $Toks AS ts FROM documents WHERE text IS NOT NULL), " +
+        "bg AS (SELECT doc_id, lang, unnest(CASE WHEN len(ts) >= 2 THEN " +
+        "list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) " +
+        "ELSE [] END) AS bg FROM t), " +
+        s"bk AS (SELECT doc_id, lang, ${PortableSql.hex15("md5(bg)")} % 256 AS bucket FROM bg), " +
+        "db AS (SELECT doc_id, bucket, count(*) AS n FROM bk GROUP BY doc_id, bucket), " +
+        "ct AS (SELECT bucket, count(*) AS c_t FROM bk WHERE lang = 'en' GROUP BY bucket), " +
+        "cr AS (SELECT bucket, count(*) AS c_r FROM bk GROUP BY bucket), " +
+        "tot AS (SELECT (SELECT count(*) FROM bk WHERE lang = 'en') AS n_t, " +
+        "(SELECT count(*) FROM bk) AS n_r), " +
+        "nd AS (SELECT cr.bucket, (coalesce(c_t, 0) + 1) * (n_r + 256) AS num, " +
+        "(coalesce(c_r, 0) + 1) * (n_t + 256) AS den " +
+        "FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot), " +
+        s"model AS (SELECT bucket, ${graft.text.Dsir.qlog2Sql("num", "//")} - " +
+        s"${graft.text.Dsir.qlog2Sql("den", "//")} AS qlr FROM nd) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(n * qlr) AS BIGINT) AS dsir_u " +
+        "FROM db JOIN model USING (bucket) GROUP BY doc_id ORDER BY doc_id"),
 
     "q60_contamination" ->
       (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +

@@ -875,6 +875,26 @@ object PipelineQueries {
           col("g.ok_alpha_words").as("ok_alpha_words"),
           col("g.ok_stopwords").as("ok_stopwords"),
           col("g.keep").as("keep"))
+        .orderBy("doc_id")),
+
+    // C4 cleaning battery (Raffel et al. 2020 §2.2) — the OTHER canonical
+    // rule set next to Gopher's: line-level filtering (terminal
+    // punctuation + >= 5 words + no javascript mention) with the
+    // line-filtered TEXT itself as part of the emission (q93 discipline),
+    // plus the page-level keep verdict (>= 3 sentences, no lorem ipsum,
+    // no curly brace). The fixture's single-line prose exercises the
+    // always-pass arms; the failure arms ride on crafted multi-line docs
+    // in TextAnalysisSpec.
+    "q118_c4_rules" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.c4Rules(col("text")).as("c"))
+        .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+          col("c.n_kept_lines").as("n_kept_lines"),
+          col("c.n_sentences").as("n_sentences"),
+          col("c.has_lorem_ipsum").as("has_lorem_ipsum"),
+          col("c.has_brace").as("has_brace"),
+          col("c.keep").as("keep"),
+          col("c.clean_text").as("clean_text"))
         .orderBy("doc_id"))
   )
 
@@ -1483,7 +1503,26 @@ object PipelineQueries {
         "((nw >= 50 AND nw <= 100000) AND (sl >= 3 * nw AND sl <= 10 * nw) AND " +
         "(10 * (nh + ne) < nw) AND (10 * nb < 9 * nl) AND (10 * nel < 3 * nl) AND " +
         "(5 * na >= 4 * nw) AND (ns >= 2)) AS keep " +
-        "FROM g ORDER BY doc_id")
+        "FROM g ORDER BY doc_id"),
+
+    "q118_c4_rules" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM documents), " +
+        "c AS (SELECT doc_id, text, ln, " +
+        "list_filter(ln, l -> regexp_matches(rtrim(l), '[.!?\"]$') AND " +
+        "len(string_split_regex(trim(l), '\\s+')) >= 5 AND " +
+        "NOT contains(lower(l), 'javascript')) AS kept, " +
+        "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS nsent, " +
+        "contains(lower(text), 'lorem ipsum') AS lorem, " +
+        "contains(text, '{') AS brace FROM t) " +
+        "SELECT doc_id, CAST(len(ln) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept_lines, " +
+        "nsent AS n_sentences, lorem AS has_lorem_ipsum, brace AS has_brace, " +
+        "(nsent >= 3 AND NOT lorem AND NOT brace) AS keep, " +
+        // array_to_string([]) is NULL in DuckDB where concat_ws of an
+        // empty array is '' in Spark — spell the empty case explicitly
+        "CASE WHEN text IS NULL THEN NULL WHEN len(kept) = 0 THEN '' " +
+        "ELSE array_to_string(kept, chr(10)) END AS clean_text " +
+        "FROM c ORDER BY doc_id")
   )
 }
 

@@ -173,6 +173,48 @@ object TextAnalysis {
         okAlpha && okStopwords).as("keep"))
   }
 
+  /** C4 line-keep predicate (Raffel et al. 2020 §2.2, the line-level half
+    * of the C4 cleaning heuristics): a line survives iff it ends in a
+    * terminal punctuation mark, carries at least `minWords` whitespace
+    * words, and does not mention javascript (the boilerplate marker C4
+    * strips at line level). Whole-line predicate over builtins — stays
+    * inside codegen, mirrorable in DuckDB lambda SQL. */
+  private def c4LineKeep(l: Column, minWords: Int): Column =
+    rtrim(l).rlike("[.!?\"]$") &&
+      size(split(trim(l), "\\s+")) >= minWords &&
+      !lower(l).contains("javascript")
+
+  /** C4 page+line cleaning battery (Raffel et al. 2020 §2.2; the
+    * reference pipeline for the original T5 corpus — the OTHER canonical
+    * rule set next to [[gopherRules]]). Returns a struct of per-doc
+    * counters, per-rule booleans, the page-level keep verdict, and the
+    * line-filtered text itself (q93 discipline: the transform output is
+    * the artifact, not a summary of it):
+    *  - lines ending in terminal punctuation with >= 5 words and no
+    *    javascript mention survive; the rest are dropped in place
+    *  - the PAGE is kept iff it has >= 3 sentences (terminal-punct
+    *    count), no "lorem ipsum", and no curly brace (code marker)
+    * Integer arithmetic only; one line-split + per-line HOFs — a 100 TB
+    * pass stays map-only with only `text` read. */
+  def c4Rules(c: Column, minWords: Int = 5): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l => c4LineKeep(l, minWords))
+    val nSentences = regexp_count(c, lit("[.!?]")).cast("long")
+    val hasLorem = lower(c).contains("lorem ipsum")
+    val hasBrace = c.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_brace"),
+      (nSentences >= 3L && !hasLorem && !hasBrace).as("keep"),
+      // concat_ws treats a NULL array as empty ("") where the oracle's
+      // array_to_string(NULL) is NULL — propagate the null explicitly
+      when(c.isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("\n", kept)).as("clean_text"))
+  }
+
   /** Total characters across a document's newline-split lines (excludes
     * the newlines themselves). Per-row HOF — lines per doc are few. */
   def lineChars(c: Column): Column =

@@ -25,6 +25,34 @@ class TextAnalysisSpec extends SparkSpec {
       "no pii here just words") == "no pii here just words")
   }
 
+  test("c4Rules: line filter keeps punct-terminated 5-word lines; page rules fire") {
+    def rules(text: String): org.apache.spark.sql.Row =
+      one[org.apache.spark.sql.Row](T.c4Rules(col("text")), text)
+    val doc = Seq(
+      "This line has the required five words.", // kept
+      "Too short.",                             // < 5 words
+      "this line has five words no terminal punct", // no terminal punct
+      "Enable javascript to view this page today.", // boilerplate marker
+      "A second proper sentence keeps the page alive!",
+      "Ends with a quoted word count of seven \"").mkString("\n")
+    val r = rules(doc)
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("n_kept_lines") == 3)
+    assert(r.getAs[String]("clean_text") ==
+      "This line has the required five words.\n" +
+      "A second proper sentence keeps the page alive!\n" +
+      "Ends with a quoted word count of seven \"")
+    assert(r.getAs[Boolean]("keep")) // 5 sentences, no lorem, no brace
+    // page-level failure arms
+    assert(!rules("One. Two. Three. lorem ipsum dolor.").getAs[Boolean]("keep"))
+    assert(!rules("One. Two. Three. { code }").getAs[Boolean]("keep"))
+    assert(!rules("Only two. Sentences here.").getAs[Boolean]("keep"))
+    // null text propagates (oracle mirrors NULL, not '')
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(T.c4Rules(col("text")).as("c")).select("c.clean_text").head()
+    assert(n.isNullAt(0))
+  }
+
   test("gopherRules: each rule's failure arm fires on a crafted doc") {
     def rules(text: String): org.apache.spark.sql.Row =
       one[org.apache.spark.sql.Row](T.gopherRules(col("text")), text)
