@@ -529,20 +529,29 @@ object Similarity {
     val d = corpus.select(size(col(vecCol))).head().getInt(0) // 1-row collect
     require(d % m == 0, s"embedding dim $d not divisible by m=$m blocks")
     val sub = d / m
+    // ONE seed job for all m blocks: the per-block seed sets are the same
+    // kCodes corpus rows (minimising (xxhash64(id), id)) sliced per
+    // block, so sorting the corpus once and slicing the collected FULL
+    // vectors driver-side replaces m identical corpus sorts (bounded
+    // collect: kCodes rows). Bit-identical seeds to the per-block form —
+    // same rows, same slice, same float values.
+    val seedVecs = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(kCodes)
+      .select(col(vecCol).cast("array<float>").as("__v"))
+      .collect().map(_.getSeq[Float](0))
     (0 until m).map { b =>
-      val sc = corpus.select(col(idCol).as("__pid"),
-        slice(col(vecCol), b * sub + 1, sub).cast("array<float>").as("__sv"))
-      val seeds = sc.orderBy(xxhash64(col("__pid")), col("__pid"))
-        .limit(kCodes).select("__sv").collect() // kCodes rows — bounded
       import org.apache.spark.sql.{Row, types => T}
       val cents0 = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          seeds.toSeq.zipWithIndex.map { case (r, i) =>
-            Row(i.toLong, r.getSeq[Float](0))
+          seedVecs.toSeq.zipWithIndex.map { case (v, i) =>
+            Row(i.toLong, v.slice(b * sub, (b + 1) * sub))
           }, 1),
         T.StructType(Seq(
           T.StructField("centroid_id", T.LongType, nullable = false),
           T.StructField("centroid_vec", T.ArrayType(T.FloatType)))))
+      val sc = corpus.select(col(idCol).as("__pid"),
+        slice(col(vecCol), b * sub + 1, sub).cast("array<float>").as("__sv"))
       val cents = (1 to lloydIters).foldLeft(cents0)((c, _) =>
         refineCentroids(sc, c, "__pid", "__sv", 100))
       cents.withColumn("block", lit(b))

@@ -79,10 +79,14 @@ object Dsir {
     * arithmetic end-to-end; ties broken downstream by id. */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 256): DataFrame = {
+    // the raw model derives from the SAME per-doc bucket relation the
+    // scoring join consumes (sum of per-doc counts ≡ instance counts), so
+    // the raw corpus tokenizes/explodes once — the shared (id, bucket)
+    // aggregate exchange is reused by both consumers
+    val db = docBuckets(raw, textCol, idCol, buckets)
     val cT = bucketModel(target, textCol, buckets)
       .select(col("bucket"), col("c").as("c_t"))
-    val cR = bucketModel(raw, textCol, buckets)
-      .select(col("bucket"), col("c").as("c_r"))
+    val cR = db.groupBy("bucket").agg(sum("n").as("c_r"))
     // the two models + totals: buckets-bounded relations, broadcast
     val totals = cT.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
       .crossJoin(cR.agg(coalesce(sum("c_r"), lit(0L)).as("n_r")))
@@ -96,8 +100,7 @@ object Dsir {
       .select(col("bucket"),
         expr(s"${qlog2Sql("__num", "div")} - ${qlog2Sql("__den", "div")}")
           .as("qlr"))
-    docBuckets(raw, textCol, idCol, buckets)
-      .join(broadcast(model), Seq("bucket"))
+    db.join(broadcast(model), Seq("bucket"))
       .groupBy("__id")
       .agg(sum("n").as("n_bigrams"),
         sum(col("n") * col("qlr")).as("dsir_u"))

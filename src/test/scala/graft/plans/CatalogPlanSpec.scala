@@ -38,7 +38,9 @@ class CatalogPlanSpec extends SparkSpec {
     *  - q77: scalar subquery → 1-row broadcast;
     *  - q81: the hour spine is bounded by the time RANGE (one row per
     *    hour), never by the event count;
-    *  - q91/q109: 1-row corpus-stats cross joins.
+    *  - q91/q109: 1-row corpus-stats cross joins;
+    *  - q119: 1-row model-totals cross join (the DSIR bucket models
+    *    themselves are 256-row broadcast HASH joins, not BNLJ).
     */
   private val bnljOk: Set[String] = Set(
     "q27_approx_sketches", "q34_knn_bruteforce", "q35_knn_lsh",
@@ -47,7 +49,7 @@ class CatalogPlanSpec extends SparkSpec {
     "q77_scalar_subquery", "q81_gap_fill", "q83_ivf_index", "q84_drift_report",
     "q91_bm25", "q101_ivf_append", "q102_pq_knn",
     "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report",
-    "q113_ivf_rebalance")
+    "q113_ivf_rebalance", "q119_dsir_weights")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
