@@ -70,6 +70,16 @@ import graft.text.TextAnalysis
   *  - `strip_dup_lines` — CCNet paragraph dedup (Wenzek et al. 2020;
   *    q117): every line keeps its corpus-first occurrence, boilerplate
   *    repeats vanish in place. Text-MUTATING like `strip_dup_spans`
+  *  - `c4_clean` — the C4 battery (Raffel et al. 2020 §2.2; q118) as a
+  *    step: lines failing the line rules (terminal punctuation, >= 5
+  *    words, no javascript boilerplate) are removed IN PLACE, and pages
+  *    failing the page rules (>= 3 sentences, lorem ipsum, curly brace)
+  *    drop. Text-MUTATING: ordering guard vs the dedup stores applies
+  *  - `dsir_filter` — DSIR importance selection (Xie et al. 2023; q119):
+  *    keep docs at least as likely under the `dsir.target_path` corpus's
+  *    hashed-bigram model as under this shard's own (quantised-log score
+  *    >= `dsir.min_u`, default 0). Unscorable docs (< 2 tokens) drop,
+  *    the bigram_filter discipline
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
@@ -141,7 +151,9 @@ object GraftPipeline {
       pqM: Int = 8, pqKCodes: Int = 32,
       bm25IndexPath: String = "", bm25K: Int = 5,
       bm25Mode: String = "overwrite",
-      dataCardPath: String = "") {
+      dataCardPath: String = "",
+      dsirTargetDir: String = "", dsirTargetTable: String = "documents",
+      dsirMinU: Long = 0L) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -157,7 +169,8 @@ object GraftPipeline {
     * match any future shard's filter-time hashes, silently disabling
     * incremental dedup. Rejected at config time. */
   private val TextMutatingSteps =
-    Set("strip_html", "normalize", "redact", "strip_dup_spans", "strip_dup_lines")
+    Set("strip_html", "normalize", "redact", "strip_dup_spans",
+      "strip_dup_lines", "c4_clean")
 
   def fromKv(kv: Map[String, String]): Either[String, PipelineConfig] = {
     val steps = kv.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -178,6 +191,8 @@ object GraftPipeline {
         "shard's filter-time hashes — move them before dedup_seen")
     else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
       Left("contamination_filter requires benchmark.path")
+    else if (steps.contains("dsir_filter") && kv.getOrElse("dsir.target_path", "").isEmpty)
+      Left("dsir_filter requires dsir.target_path")
     else if (mutatorsAfterNear.nonEmpty)
       Left(s"text-mutating steps after dedup_neardup (${mutatorsAfterNear.mkString(", ")}) " +
         "would store shingles of rewritten text that can never match a future " +
@@ -284,7 +299,10 @@ object GraftPipeline {
       bm25IndexPath = kv.getOrElse("bm25_index.path", ""),
       bm25K = kv.get("bm25.k").flatMap(_.toIntOption).getOrElse(5),
       bm25Mode = kv.getOrElse("bm25_index.mode", "overwrite"),
-      dataCardPath = kv.getOrElse("data_card.path", ""))
+      dataCardPath = kv.getOrElse("data_card.path", ""),
+      dsirTargetDir = kv.getOrElse("dsir.target_path", ""),
+      dsirTargetTable = kv.getOrElse("dsir.target_table", "documents"),
+      dsirMinU = kv.get("dsir.min_u").flatMap(_.toLongOption).getOrElse(0L))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -396,6 +414,27 @@ object GraftPipeline {
       df.filter(TextAnalysis.qualityScore(col("text")) >= c.qualityMin)),
     "gopher_filter" -> ((_, df) =>
       df.filter(TextAnalysis.gopherRules(col("text")).getField("keep"))),
+    // C4 battery applied (q118): line rules rewrite text in place, page
+    // rules drop the doc. One struct evaluation per row (computed once
+    // into a column, not once per consumer).
+    "c4_clean" -> ((_, df) =>
+      df.withColumn("__c4", TextAnalysis.c4Rules(col("text")))
+        .filter(col("__c4.keep"))
+        .withColumn("text", col("__c4.clean_text"))
+        .drop("__c4")),
+    // DSIR importance selection (q119): keep docs scoring >= dsir.min_u
+    // against the target corpus's hashed-bigram model. Both models are
+    // 256-row broadcasts; the semi-join moves only doc ids. Unscorable
+    // docs (< 2 tokens, no bigrams) drop — the bigram_filter discipline
+    // (run a length filter first if they should survive).
+    "dsir_filter" -> ((c, df) => {
+      val target = graft.core.Tables.load(df.sparkSession,
+        c.dsirTargetDir, c.dsirTargetTable)
+      val keep = graft.text.Dsir.dsirWeights(df, target, "text", "doc_id")
+        .filter(col("dsir_u") >= c.dsirMinU)
+        .select("doc_id")
+      df.join(keep, Seq("doc_id"), "left_semi")
+    }),
     // post-write corpus report (q107 shape) — no transform at plan time
     "data_card" -> ((_, df) => df),
     // statistical-LM coherence filter (q90's score as a step): keep docs

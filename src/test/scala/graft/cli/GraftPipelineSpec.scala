@@ -340,6 +340,65 @@ class GraftPipelineSpec extends SparkSpec {
     assert(card == Map("web" -> ((1L, 1L)), "news" -> ((1L, 1L))))
   }
 
+  test("c4_clean rewrites lines in place and drops rule-failing pages; mutator ordering guarded") {
+    import spark.implicits._
+    val out = tmpDir("pipe_c4")
+    val keepable = "This sentence carries five proper words. " +
+      "And a second full sentence follows here. Third one closes it out."
+    val multiline = keepable + "\nno terminal punctuation on this line\n" +
+      "A final proper closing sentence appears right here."
+    val loremPage = "One full sentence. Two full sentences. lorem ipsum dolor sit amet."
+    Seq((1L, multiline, "en", "web", multiline.length.toLong),
+        (2L, loremPage, "en", "web", loremPage.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = s"$out/in", table = "documents", outputDir = s"$out/shards",
+      steps = Seq("c4_clean"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1)
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert((nIn, nOut) == ((2L, 1L))) // the lorem page drops
+    val text = spark.read.parquet(s"$out/shards")
+      .select("text").head().getString(0)
+    assert(text == keepable + "\nA final proper closing sentence appears right here.")
+    // text-mutating ordering guard extends to c4_clean
+    val bad = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards2",
+      "steps" -> "dedup_seen,c4_clean", "seen_store.path" -> s"$out/seen"))
+    assert(bad.isLeft && bad.swap.exists(_.contains("text-mutating")))
+  }
+
+  test("dsir_filter keeps target-like docs, drops off-target and unscorable ones; config requires target") {
+    import spark.implicits._
+    val out = tmpDir("pipe_dsir")
+    // target model: "alpha beta" world; off-target: "zulu yankee" world
+    val targetText = (1 to 30).map(_ => "alpha beta gamma delta").mkString(" ")
+    val likeTarget = (1 to 10).map(_ => "alpha beta gamma delta").mkString(" ")
+    val offTarget = (1 to 10).map(_ => "zulu yankee xray whiskey").mkString(" ")
+    Seq((100L, targetText, "en", "ref", targetText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/target/documents.parquet")
+    Seq((1L, likeTarget, "en", "web", likeTarget.length.toLong),
+        (2L, offTarget, "en", "web", offTarget.length.toLong),
+        (3L, "single", "en", "web", 6L)) // < 2 tokens: unscorable
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.PipelineConfig(
+      inputDir = s"$out/in", table = "documents", outputDir = s"$out/shards",
+      steps = Seq("dsir_filter"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      dsirTargetDir = s"$out/target")
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert((nIn, nOut) == ((3L, 1L)))
+    assert(spark.read.parquet(s"$out/shards").select("doc_id")
+      .head().getLong(0) == 1L)
+    // config gate
+    val bad = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards2",
+      "steps" -> "dsir_filter"))
+    assert(bad.isLeft && bad.swap.exists(_.contains("dsir.target_path")))
+  }
+
   test("dedup_cluster_keeper: best-quality member survives even with a larger id") {
     import spark.implicits._
     val out = tmpDir("pipe_keeper")
