@@ -45,7 +45,15 @@ object ScaleBench {
     // round 6: PQ ANN (train + encode + ADC scan + rerank) — map-only
     // encode and a broadcast-LUT fold scan; the trend certifies linear
     // growth of the compression leg
-    "q102_pq_knn")
+    "q102_pq_knn",
+    // round 8: DSIR importance weighting — a full-corpus bigram explode
+    // scored against broadcast 256-row models; the trend certifies the
+    // per-doc combine stays the only corpus-sized exchange
+    "q119_dsir_weights",
+    // round 8: cross-source near-dup overlap matrix — the q31 banded pair
+    // mining plus a per-pair source join-back; the trend certifies the
+    // candidate bound (never all-pairs) carries to the report form
+    "q120_source_overlap")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

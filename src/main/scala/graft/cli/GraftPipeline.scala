@@ -106,7 +106,12 @@ import graft.text.TextAnalysis
   *  - `pq_index` — post-write build of a persisted PQ (product
   *    quantisation) index at `pq_index.path` over the written relation's
   *    `ann.vec_column`; `pq_index.mode: append` folds the shipped shard's
-  *    codes in against the FROZEN codebooks (first shard auto-builds)
+  *    codes in against the FROZEN codebooks (first shard auto-builds);
+  *    `pq_index.mode: rebalance` additionally retrains the codebooks and
+  *    re-encodes — the index stores only CODES, so the retrain corpus
+  *    (the accumulated indexed vectors) comes from
+  *    `pq.rebalance_corpus.path`/`pq.rebalance_corpus.table`, committed
+  *    through the generation-pointer meta swap like the IVF form
   *  - `pq_query` — ADC-probe it: input relation is the query set, output
   *    (query_id, neighbor_id, cos, rank); must be the final step
   *  - `bm25_query` — probe it: input is the (query_id, term) relation,
@@ -153,7 +158,9 @@ object GraftPipeline {
       bm25Mode: String = "overwrite",
       dataCardPath: String = "",
       dsirTargetDir: String = "", dsirTargetTable: String = "documents",
-      dsirMinU: Long = 0L) {
+      dsirMinU: Long = 0L,
+      pqRebalanceCorpusDir: String = "",
+      pqRebalanceCorpusTable: String = "embeddings") {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -212,10 +219,14 @@ object GraftPipeline {
     else if ((steps.contains("pq_index") || steps.contains("pq_query")) &&
         kv.getOrElse("pq_index.path", "").isEmpty)
       Left("pq_index / pq_query require pq_index.path")
-    else if (!Seq("overwrite", "append").contains(
+    else if (!Seq("overwrite", "append", "rebalance").contains(
         kv.getOrElse("pq_index.mode", "overwrite")))
-      Left(s"pq_index.mode must be overwrite or append, " +
+      Left(s"pq_index.mode must be overwrite, append or rebalance, " +
         s"got '${kv("pq_index.mode")}'")
+    else if (kv.getOrElse("pq_index.mode", "") == "rebalance" &&
+        kv.getOrElse("pq.rebalance_corpus.path", "").isEmpty)
+      Left("pq_index.mode: rebalance requires pq.rebalance_corpus.path " +
+        "(the index stores only codes — retraining needs the indexed vectors)")
     else if (!Seq("overwrite", "append").contains(
         kv.getOrElse("bm25_index.mode", "overwrite")))
       Left(s"bm25_index.mode must be overwrite or append, " +
@@ -302,7 +313,9 @@ object GraftPipeline {
       dataCardPath = kv.getOrElse("data_card.path", ""),
       dsirTargetDir = kv.getOrElse("dsir.target_path", ""),
       dsirTargetTable = kv.getOrElse("dsir.target_table", "documents"),
-      dsirMinU = kv.get("dsir.min_u").flatMap(_.toLongOption).getOrElse(0L))
+      dsirMinU = kv.get("dsir.min_u").flatMap(_.toLongOption).getOrElse(0L),
+      pqRebalanceCorpusDir = kv.getOrElse("pq.rebalance_corpus.path", ""),
+      pqRebalanceCorpusTable = kv.getOrElse("pq.rebalance_corpus.table", "embeddings"))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -660,11 +673,21 @@ object GraftPipeline {
           cfg.annIndexPath, cfg.annCentroids, shardId = cfg.shardId)
     }
     if (cfg.steps.contains("pq_index")) {
-      if (cfg.pqMode == "append" &&
-          graft.core.Fs.exists(spark, s"${cfg.pqIndexPath}/meta"))
+      val hasPq = graft.core.Fs.exists(spark, s"${cfg.pqIndexPath}/meta")
+      if (cfg.pqMode != "overwrite" && hasPq) {
         graft.sim.Similarity.appendPqIndex(written, cfg.annIdCol,
           cfg.annVecCol, cfg.pqIndexPath, cfg.shardId)
-      else // overwrite, or append's very first shard
+        // rebalance: fold the shard in (replay-guarded), then retrain the
+        // codebooks on the ACCUMULATED corpus (the index stores only
+        // codes, so the vectors come from pq.rebalance_corpus.path) and
+        // flip generations — the drift maintenance of the IVF form
+        if (cfg.pqMode == "rebalance")
+          graft.sim.Similarity.rebalancePqIndex(
+            graft.core.Tables.load(spark, cfg.pqRebalanceCorpusDir,
+              cfg.pqRebalanceCorpusTable),
+            cfg.annIdCol, cfg.annVecCol, cfg.pqIndexPath,
+            cfg.pqM, cfg.pqKCodes)
+      } else // overwrite, or the very first shard (nothing to fold into)
         graft.sim.Similarity.buildPqIndex(written, cfg.annIdCol,
           cfg.annVecCol, cfg.pqIndexPath, cfg.pqM, cfg.pqKCodes,
           lloydIters = 1, shardId = cfg.shardId)

@@ -329,13 +329,17 @@ object Retrieval {
     val rel = graft.core.AtomicStore.read(spark, s"$path/meta").getOrElse(
       throw new IllegalStateException(s"no BM25 index meta at $path/meta"))
     val df = rel.filter(col("kind") === "df").select("tok", "df")
-    // bounded collects: 1 stats row + |shards| guard rows
-    val s = rel.filter(col("kind") === "stats")
-      .select("n_docs", "n_text_docs", "sum_dl", "buckets").head()
-    val shards = rel.filter(col("kind") === "shard").select("shard_id")
-      .collect().map(_.getString(0)).toSet
-    IndexMeta(df, IndexStats(s.getLong(0), s.getLong(1), s.getLong(2)),
-      s.getInt(3), shards)
+    // ONE bounded collect for both tail kinds (1 stats row + |shards|
+    // guard rows) — was two jobs, each a full meta scan
+    val tail = rel.filter(col("kind") =!= "df")
+      .select("kind", "n_docs", "n_text_docs", "sum_dl", "buckets", "shard_id")
+      .collect()
+    val s = tail.find(_.getString(0) == "stats").getOrElse(
+      throw new IllegalStateException(s"BM25 meta at $path/meta has no stats row"))
+    val shards = tail.filter(_.getString(0) == "shard")
+      .map(_.getString(5)).toSet
+    IndexMeta(df, IndexStats(s.getLong(1), s.getLong(2), s.getLong(3)),
+      s.getInt(4), shards)
   }
 
   /** Probe a persisted BM25 index: bit-identical to [[bm25TopK]] on the

@@ -642,6 +642,62 @@ class GraftPipelineSpec extends SparkSpec {
       "ann_index.mode" -> "merge")).swap.toOption.get.contains("ann_index.mode"))
   }
 
+  test("pq_index mode rebalance: shard folds in, codebooks retrain on the accumulated corpus") {
+    val out = tmpDir("pipe_pq_rebalance")
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$out/s1/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/s2/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$out/all/embeddings.parquet")
+    def yaml(in: String, shipped: String, mode: String) =
+      s"""input:
+         |  path: $in
+         |  table: embeddings
+         |output:
+         |  path: $out/$shipped
+         |steps: pq_index
+         |pq_index:
+         |  path: $out/pq
+         |  mode: $mode
+         |pq:
+         |  m: 8
+         |  k_codes: 16
+         |pq.rebalance_corpus:
+         |  path: $out/all
+         |""".stripMargin
+    GraftPipeline.run(spark, GraftPipeline.fromKv(
+      YamlConfig.parse(yaml(s"$out/s1", "ship1", "append"))).toOption.get)
+    // second shard ships with mode: rebalance — fold, then retrain over
+    // the full accumulated corpus and flip generations
+    GraftPipeline.run(spark, GraftPipeline.fromKv(
+      YamlConfig.parse(yaml(s"$out/s2", "ship2", "rebalance"))).toOption.get)
+    // the rebalanced index probes rank-for-rank like a fresh one-shot
+    // build over the same corpus (same seeding/Lloyd discipline)
+    val q = emb.filter(col("vec_id") < 4)
+    val viaIdx = graft.sim.Similarity.queryPqIndex(spark, s"$out/pq",
+      q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val fresh = tmpDir("pipe_pq_rebalance_fresh")
+    // train from the SAME files the rebalance read: identical partition
+    // boundaries keep the Lloyd avg's FP aggregation order identical
+    graft.sim.Similarity.buildPqIndex(
+      spark.read.parquet(s"$out/all/embeddings.parquet"),
+      "vec_id", "embedding", fresh, m = 8, kCodes = 16, lloydIters = 1)
+    val viaFresh = graft.sim.Similarity.queryPqIndex(spark, fresh,
+      q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(viaIdx == viaFresh)
+    // config gates: rebalance without a corpus path, and a bad mode
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "pq_index", "pq_index.path" -> "c",
+      "pq_index.mode" -> "rebalance")).swap.toOption.get
+      .contains("pq.rebalance_corpus.path"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "pq_index", "pq_index.path" -> "c",
+      "pq_index.mode" -> "merge")).swap.toOption.get.contains("pq_index.mode"))
+  }
+
   test("pq_index mode append + pq_query: shard-over-shard codes, probe equals library path") {
     val out = tmpDir("pipe_pq")
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
