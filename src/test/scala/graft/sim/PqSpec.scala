@@ -113,6 +113,23 @@ class PqSpec extends SparkSpec {
     assert(probe(dirB) == before)
   }
 
+  test("appendPqIndex over a TORN compact heals first — pre-compact codes survive") {
+    val dir = tmpDir("pq_torn_compact")
+    val s0 = emb.filter(col("vec_id") % 2 === 0)
+    val s1 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildPqIndex(s0, "vec_id", "embedding", dir,
+      m = 8, kCodes = 16, lloydIters = 1)
+    Similarity.compactPqIndex(spark, dir)
+    // crash between the compact swap's delete and rename
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/codes"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes_tmp")))
+    Similarity.appendPqIndex(s1, "vec_id", "embedding", dir, "s1")
+    assert(spark.read.parquet(s"$dir/codes").count() == emb.count(),
+      "pre-compact codes must survive the append after a torn compact")
+  }
+
   test("ivfPqKnn: full k, recall above the composed floor, deterministic") {
     val queries = emb.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 10)

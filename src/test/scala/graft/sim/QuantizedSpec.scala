@@ -106,6 +106,30 @@ class QuantizedSpec extends SparkSpec {
     assert(e.getMessage.contains("build before append"))
   }
 
+  test("appendIvfIndex over a TORN compact heals first — pre-compact assignment survives") {
+    // write-path half of the adopt-completed-tmp recovery: the append's
+    // dynamic overwrite (re-)creates assigned/, after which read-side
+    // recovery would orphan the completed tmp holding every pre-compact
+    // shard — meta still references them, probes silently shrink
+    val dir = tmpDir("ivf_torn_compact")
+    val queries = emb.filter(col("vec_id") < 8)
+    val s0 = emb.filter(col("vec_id") % 2 === 0)
+    val s1 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfIndex(s0, "vec_id", "embedding", dir, nCentroids = 8)
+    Similarity.compactIvfIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/assigned"),
+      new org.apache.hadoop.fs.Path(s"$dir/assigned_tmp")))
+    Similarity.appendIvfIndex(s1, "vec_id", "embedding", dir, "s1")
+    assert(spark.read.parquet(s"$dir/assigned").count() == emb.count())
+    val parities = Similarity.queryIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(pmod(col("neighbor_id"), lit(2)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(parities == Set(0L, 1L), "probe must reach both shards after the heal")
+  }
+
   test("compactIvfIndex: probe identical before/after, assigned tree no larger") {
     val dir = tmpDir("ivfidx_compact")
     val queries = emb.filter(col("vec_id") < 8)
