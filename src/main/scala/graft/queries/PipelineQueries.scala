@@ -907,6 +907,51 @@ object PipelineQueries {
     * of a persisted index). Each timer runs the same build and probe the
     * catalog query runs, reporting seconds per phase. */
   val phased: Map[String, (SparkSession, String) => Map[String, Double]] = Map(
+    // q112's gate total is dominated by the index build it shares with
+    // q95 — the split shows the BLOCK-MAX PROBE itself stays sub-second
+    "q112_bm25_blockmax" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_blockmax_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(graft.text.Retrieval.buildBm25Index(
+          docs, "text", "doc_id", idxDir.toString))
+        val probe = timed(graft.text.Retrieval
+          .queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5,
+            blockMax = true)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+    // q113's gate folds ingest + rebalance + probe + the direct-path
+    // parity comparator into one number — the split shows the REBALANCE
+    // maintenance cost apart from the ingest and the sub-second probe
+    "q113_ivf_rebalance" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_rebalance_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def shard(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+        val ingest = timed {
+          Similarity.buildIvfIndex(shard(0), "vec_id", "embedding",
+            idxDir.toString, nCentroids = 16)
+          Similarity.appendIvfIndex(shard(1), "vec_id", "embedding", idxDir.toString, "s1")
+          Similarity.appendIvfIndex(shard(2), "vec_id", "embedding", idxDir.toString, "s2")
+        }
+        val rebalance = timed(
+          Similarity.rebalanceIvfIndex(s, idxDir.toString, nCentroids = 16))
+        val probe = timed(Similarity
+          .queryIvfIndex(s, idxDir.toString, q, "vec_id", "embedding",
+            k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save())
+        Map("ingest" -> ingest, "rebalance" -> rebalance, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
     "q95_bm25_index" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_phase")

@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpec {
       "corpus pack window must partition on (source, __shard):\n" + p.take(3000))
   }
 
+  test("q119: the DSIR model joins the per-doc buckets as a BROADCAST hash join") {
+    // the bucket model is 256 rows BY CONSTRUCTION — if the corpus-demote
+    // rule (or a planner regression) ever stripped this broadcast, the
+    // per-doc scoring would shuffle the whole corpus on `bucket` (256
+    // distinct values: a guaranteed-skew exchange) instead of a map-side
+    // join
+    val p = plan("q119_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "DSIR model join must broadcast the 256-row model:\n" + p.take(2000))
+  }
+
   test("q88: incremental dedup plans as an anti-join on the 8-byte hash") {
     val p = plan("q88_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(1200))
