@@ -180,7 +180,8 @@ object Retrieval {
       val liveImp = graft.core.AtomicStore.readRequired(spark, s"$path/impacts")
         .filter(col("shard").isin(meta.shards.toSeq: _*))
         .groupBy("tok", "block", "bucket")
-        .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+        .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"),
+          sum("n").as("n"))
         .withColumn("shard", lit(CompactedShard))
       graft.core.AtomicStore.replaceVia(spark, s"$path/impacts") { tmp =>
         liveImp.repartition(col("bucket"))
@@ -253,13 +254,17 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
-    // impacts from the postings just WRITTEN (build-once discipline, as
-    // shardDf); vocabulary × PostingBlocks rows, bucket-partitioned so a
-    // probe prunes them exactly like postings
+    // impacts from the postings just WRITTEN (build-once discipline);
+    // vocabulary × PostingBlocks rows, bucket-partitioned so a probe
+    // prunes them exactly like postings. `n` (postings rows per block)
+    // makes the shard's df DERIVABLE from this far smaller tree —
+    // [[shardDf]] reads impacts, not postings, saving the second
+    // full-postings re-read per build/append
     spark(docs).read.parquet(s"$path/postings")
       .filter(col("shard") === shardId)
       .groupBy("tok", "block")
-      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"),
+        count(lit(1)).as("n"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
       .withColumn("shard", lit(shardId))
       .repartition(col("bucket"))
@@ -269,15 +274,16 @@ object Retrieval {
       .parquet(s"$path/impacts")
   }
 
-  /** Per-term document frequencies of ONE shard, from the postings just
-    * WRITTEN (not the lazy plan — same build-once rationale as
-    * buildIvfIndex's centroid re-read). Postings are unique per
-    * (doc, tok), so a row count per tok IS the df. */
+  /** Per-term document frequencies of ONE shard, from the impacts tree
+    * just WRITTEN (build-once discipline — derived from what is ON DISK,
+    * not the lazy plan). Postings are unique per (doc, tok), so the sum
+    * of per-block row counts per tok IS the df; impacts is vocabulary ×
+    * blocks rows — far cheaper to re-read than the full postings. */
   private def shardDf(spark: org.apache.spark.sql.SparkSession, path: String,
       shardId: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"$path/impacts")
       .filter(col("shard") === shardId)
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .groupBy("tok").agg(sum("n").as("df"))
 
   private def spark(df: DataFrame) = df.sparkSession
 
