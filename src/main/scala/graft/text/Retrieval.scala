@@ -382,7 +382,8 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0, blockMax: Boolean = false): DataFrame = {
+      maxDfFrac: Double = 1.0, blockMax: Boolean = false,
+      blockMaxStats: Boolean = false): DataFrame = {
     val meta = readMeta(spark, path)
     // distinct: a duplicated (query_id, term) row would otherwise duplicate
     // scored rows (doubling score_u/n_hit_terms) and break the documented
@@ -454,7 +455,7 @@ object Retrieval {
           .select(col("query_id"), col("doc_id"), col("tok"), col("dl"),
             col("tf"), col("block"))
         blockMaxPrune(spark, path, meta, q, terms, bucketPred, tfAll,
-            dfq, stats, k, k1, b)
+            dfq, stats, k, k1, b, blockMaxStats)
           .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
       }
     val scored = tf.join(dfq, "tok").crossJoin(stats)
@@ -476,7 +477,7 @@ object Retrieval {
       meta: IndexMeta, q: DataFrame, terms: Seq[String],
       bucketPred: org.apache.spark.sql.Column, tfAll: DataFrame,
       dfq: DataFrame, stats: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, collectStats: Boolean): DataFrame = {
     // soundness precondition: the ceilings must cover EVERY live shard's
     // postings — an index whose older shards predate the impacts relation
     // would under-bound and prune real hits. "Live" = shard dirs present
@@ -504,7 +505,10 @@ object Retrieval {
       .select(col("query_id"), col("tok"), col("block"),
         scoreU(col("max_tf"), col("df"), col("min_dl"),
           col("n_docs"), col("avgdl"), k1, b).as("ub"))
-      .localCheckpoint(true) // |terms| × blocks rows; read twice below
+      // |terms| × blocks rows; read twice below — one partition keeps the
+      // checkpoint (and every consumer stage) from paying 32-task overhead
+      // for a few hundred rows
+      .coalesce(1).localCheckpoint(true)
     // pass 1: each term's single highest-ceiling block, scored exactly
     val probe = ub.groupBy("query_id", "tok")
       .agg(max(struct(col("ub"), col("block"))).as("m"))
@@ -527,12 +531,19 @@ object Retrieval {
       .join(thresh, Seq("query_id"), "left")
       .filter(col("__ub_total") >= coalesce(col("__t"), lit(Long.MinValue)))
       .select(col("query_id"), col("block"))
-      .localCheckpoint(true) // |queries| × blocks bound; counted + joined
-    val nBlocks = ub.select("query_id", "block").distinct().count()
-    val nSurvive = surviving.count()
-    lastBlockMaxStats = Some((nSurvive, nBlocks))
-    System.err.println(s"[bm25] block-max: $nSurvive of $nBlocks " +
-      "(query, block) cells survive the ceiling cut")
+      // |queries| × blocks bound; maybe-counted + joined (1 partition:
+      // same rationale as the ceilings checkpoint)
+      .coalesce(1).localCheckpoint(true)
+    // the reduction counters are OBSERVABILITY, not semantics (the cut is
+    // exact either way) — two extra count jobs per probe is a real tax on
+    // the latency-facing path, so they run only when asked (specs do)
+    if (collectStats) {
+      val nBlocks = ub.select("query_id", "block").distinct().count()
+      val nSurvive = surviving.count()
+      lastBlockMaxStats = Some((nSurvive, nBlocks))
+      System.err.println(s"[bm25] block-max: $nSurvive of $nBlocks " +
+        "(query, block) cells survive the ceiling cut")
+    }
     tfAll.join(broadcast(surviving), Seq("query_id", "block"))
   }
 

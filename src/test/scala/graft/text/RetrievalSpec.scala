@@ -270,7 +270,8 @@ class RetrievalSpec extends SparkSpec {
       assert(pruned == full, s"k=$kk: $pruned vs $full")
     }
     // measured reduction at k=1: only the hot doc's block can reach T
-    Retrieval.queryBm25Index(spark, idx, q(1L -> "hot"), k = 1, blockMax = true)
+    Retrieval.queryBm25Index(spark, idx, q(1L -> "hot"), k = 1, blockMax = true,
+        blockMaxStats = true)
       .write.format("noop").mode("overwrite").save()
     val (survive, total) = Retrieval.lastBlockMaxStats.get
     assert(survive < total, s"block-max pruned nothing: $survive of $total")
