@@ -86,6 +86,13 @@ import graft.text.TextAnalysis
   *    (`web:0.25,news:1.0`) for training-mixture reweighting
   *  - `mix_temperature` — α=0.5 temperature sampling: each source keeps
   *    rate √(n_ref/n_s) (smallest source keeps all), no config needed
+  *  - `upsample` — epoch replication at `upsample_rates` (`books:2.5`,
+  *    any rate >= 0 — the rate-above-1 half mix cannot express): each
+  *    doc emits floor(r) copies plus one more on a deterministic
+  *    fractional-hash draw, each tagged `copy_idx`. Must be the last
+  *    step (or followed only by `split` — copies share their doc's
+  *    split by construction): a dedup step after it would collapse the
+  *    replicas straight back, and null-id docs drop (no stable key)
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *  - `ann_index` — post-write build of a persisted IVF ANN index at
@@ -160,7 +167,8 @@ object GraftPipeline {
       dsirTargetDir: String = "", dsirTargetTable: String = "documents",
       dsirMinU: Long = 0L,
       pqRebalanceCorpusDir: String = "",
-      pqRebalanceCorpusTable: String = "embeddings") {
+      pqRebalanceCorpusTable: String = "embeddings",
+      upsampleRatesU: Map[String, Long] = Map.empty) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -265,16 +273,31 @@ object GraftPipeline {
     else if (steps.contains("ann_query") && steps.last != "ann_query")
       Left("ann_query replaces the relation with (query_id, neighbor_id, cos, rank) " +
         "and must be the final step")
+    // copies must not feed a dedup/pack/text step: a dedup would collapse
+    // them straight back, and pack's per-source running sum is only
+    // deterministic over unique ids — only `split` (map-side on doc_id,
+    // copies share their doc's label) may follow
+    else if (steps.contains("upsample") &&
+        steps.drop(steps.indexOf("upsample") + 1).exists(_ != "split"))
+      Left("only split may follow upsample (replicated ids break dedup " +
+        "and pack determinism) — move upsample to the end")
     else parseRates(kv.getOrElse("mix_rates", "")) match {
       case Left(err) => Left(err)
       case Right(rates) if steps.contains("mix") && rates.isEmpty =>
         Left("mix requires mix_rates (source:rate, comma-separated)")
-      case Right(rates) => Right(buildConfig(kv, steps, rates))
+      case Right(rates) =>
+        parseUpsampleRates(kv.getOrElse("upsample_rates", "")) match {
+          case Left(err) => Left(err)
+          case Right(uRates) if steps.contains("upsample") && uRates.isEmpty =>
+            Left("upsample requires upsample_rates (source:rate, comma-separated)")
+          case Right(uRates) => Right(buildConfig(kv, steps, rates, uRates))
+        }
     }
   }
 
   private def buildConfig(kv: Map[String, String], steps: Seq[String],
-      rates: Map[String, Double]): PipelineConfig =
+      rates: Map[String, Double],
+      uRates: Map[String, Long] = Map.empty): PipelineConfig =
     PipelineConfig(
       inputDir = kv("input.path"),
       table = kv.getOrElse("input.table", "documents"),
@@ -315,7 +338,8 @@ object GraftPipeline {
       dsirTargetTable = kv.getOrElse("dsir.target_table", "documents"),
       dsirMinU = kv.get("dsir.min_u").flatMap(_.toLongOption).getOrElse(0L),
       pqRebalanceCorpusDir = kv.getOrElse("pq.rebalance_corpus.path", ""),
-      pqRebalanceCorpusTable = kv.getOrElse("pq.rebalance_corpus.table", "embeddings"))
+      pqRebalanceCorpusTable = kv.getOrElse("pq.rebalance_corpus.table", "embeddings"),
+      upsampleRatesU = uRates)
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -330,6 +354,33 @@ object GraftPipeline {
           case None => Left(s"mix_rates: unparseable rate in '$e'")
         }
         case _ => Left(s"mix_rates: expected source:rate, got '$e'")
+      }
+    }
+    parsed.collectFirst { case Left(err) => err }
+      .toLeft(parsed.collect { case Right(kv) => kv }.toMap)
+  }
+
+  /** `books:2.5,crawl:0.8` → Right(Map(books -> 2500000, …)) in exact
+    * MICRO-UNITS (the [[graft.queries.CurationQueries.epochUpsample]]
+    * contract). Unlike [[parseRates]], any rate >= 0 is legal — epoch
+    * replication is the whole point — but a rate that would round to a
+    * different micro-value than the user wrote (more than 6 decimals)
+    * fails loudly rather than silently mis-replicating. */
+  private[cli] def parseUpsampleRates(s: String): Either[String, Map[String, Long]] = {
+    val entries = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = entries.map { e =>
+      e.split(":", 2) match {
+        case Array(k, v) => v.trim.toDoubleOption match {
+          case Some(r) if r >= 0.0 =>
+            val u = math.round(r * 1e6)
+            if (math.abs(u - r * 1e6) > 1e-3)
+              Left(s"upsample_rates: '$k' rate $r has sub-micro precision " +
+                "(max 6 decimals)")
+            else Right(k.trim -> u)
+          case Some(r) => Left(s"upsample_rates: negative rate for '$k': $r")
+          case None => Left(s"upsample_rates: unparseable rate in '$e'")
+        }
+        case _ => Left(s"upsample_rates: expected source:rate, got '$e'")
       }
     }
     parsed.collectFirst { case Left(err) => err }
@@ -539,6 +590,14 @@ object GraftPipeline {
       }
       df.filter(pmod(xxhash64(col("doc_id"), lit("mix")), lit(1000)) < rate * 1000)
     }),
+    // epoch replication (q121's operator as a step): floor(r) copies per
+    // doc + a deterministic fractional-hash extra, each tagged copy_idx.
+    // Null-id docs drop (no stable replication key); config-time ordering
+    // guard keeps dedup/pack from ever seeing replicated ids.
+    "upsample" -> ((c, df) =>
+      graft.queries.CurationQueries.epochUpsample(
+          df.filter(col("doc_id").isNotNull), c.upsampleRatesU)
+        .drop("n_copies")),
     // temperature-based source mixing (q115's recipe as a step, XLM-R
     // α = 0.5): each source keeps rate √(n_ref/n_s) with n_ref the
     // smallest source — the tempered-mass profile multilingual corpora
@@ -555,7 +614,8 @@ object GraftPipeline {
             .cast("long"))
         .select(col("source").as("__m_source"), col("__rate_u"))
       df.join(broadcast(rated), col("source") <=> col("__m_source"))
-        .filter(pmod(col("doc_id") * lit(2654435761L) + lit(7L), lit(1000000L))
+        .filter(pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L)
+            + lit(7L), lit(1000000L))
           < col("__rate_u"))
         .drop("__m_source", "__rate_u")
     }),

@@ -37,10 +37,52 @@ object CurationQueries {
   import ReferenceQueries.Q
 
   /** Multiplicative (Knuth) hash bucket: deterministic, identical in Spark
-    * and DuckDB 64-bit integer arithmetic (no overflow: doc_id ≪ 2^32).
-    * Shared with [[graft.cli.GraftPipeline]]'s split step. */
+    * and DuckDB 64-bit integer arithmetic. Shared with
+    * [[graft.cli.GraftPipeline]]'s split step. The id reduces mod a prime
+    * BEFORE the Knuth multiply so the product stays in long range for ANY
+    * id — the raw `id * 2654435761` overflows (an ANSI-mode error) past
+    * id ≈ 3.5e9, i.e. on exactly the corpus sizes this engine targets.
+    * Value-identical to the raw form for id < 999983 (every gate
+    * fixture); the oracle SQL spells the same reduction. */
   private[graft] def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
-    pmod(id * lit(2654435761L), lit(mod))
+    pmod(pmod(id, lit(999983L)) * lit(2654435761L), lit(mod))
+
+  /** Epoch upsampling — the HALF of mixture reweighting `mix` cannot
+    * express: rates ABOVE 1 replicate docs for multi-epoch exposure
+    * (every published pretraining mixture upsamples its high-quality
+    * sources; e.g. books/wiki at 2-3 epochs while the crawl runs under
+    * 1). Rates are integer MICRO-UNITS (2.5 → 2 500 000) so the whole
+    * decision is exact 64-bit arithmetic both engines share:
+    * `n_copies = rate_u div 1e6 + (knuth_hash(doc_id, salt) < rate_u mod
+    * 1e6)` — deterministic per doc, independent of the mix/split salts.
+    * Fractional rates < 1 degenerate to `mix`'s keep rule, so this is
+    * the general form. Output rows carry `copy_idx` (1-based) as the
+    * replica discriminator; docs with n_copies = 0 drop. Map-only +
+    * explode — the output grows by exactly the configured mass, never
+    * shuffles. Replication keys must be non-null and non-negative
+    * (enforced by callers: a null id cannot hash to a stable keep/copy
+    * decision). The id reduces mod a prime BEFORE the Knuth multiply so
+    * the product stays in long range for ANY doc_id — the raw
+    * `id * 2654435761` overflows (ANSI error) past id ≈ 3.5e9, i.e. on
+    * exactly the corpus sizes this engine targets. */
+  def epochUpsample(df: DataFrame, ratesU: Map[String, Long],
+      salt: Long = 13L): DataFrame = {
+    val rateU = ratesU.foldLeft(lit(1000000L)) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    df.withColumn("__rate_u", rateU)
+      // exact: micro-unit rates are < 2^52, so the double division is
+      // exact and floor recovers the integer quotient
+      .withColumn("__base", floor(col("__rate_u") / lit(1000000L)).cast("long"))
+      .withColumn("__frac", col("__rate_u") - col("__base") * lit(1000000L))
+      .withColumn("n_copies", col("__base") +
+        when(pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L)
+            + lit(salt), lit(1000000L)) < col("__frac"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__rate_u", "__base", "__frac")
+  }
 
   private val PackBudget = 512 // tokens per packed context window
   private val BenchMod = 97    // doc_id % 97 == 0 → held-out benchmark doc
@@ -196,7 +238,8 @@ object CurationQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           max(col("rate_u")).as("rate_u"), // functional on source
-          sum(when(pmod(col("doc_id") * lit(2654435761L) + lit(7L), lit(1000000L))
+          sum(when(pmod(pmod(col("doc_id"), lit(999983L)) * lit(2654435761L)
+            + lit(7L), lit(1000000L))
             < col("rate_u"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")
     }),
@@ -217,6 +260,20 @@ object CurationQueries {
           max("nt").as("max_tokens"),
           (count(lit(1)) * max("nt") - sum("nt")).as("pad_waste"))
         .orderBy("bucket")),
+
+    // epoch UPSAMPLING — mixture reweighting's rate-above-1 half (mix
+    // only downsamples): src0 at 2.5 epochs, src1 at 1.25, src2 at 0.5,
+    // the rest at 1.0, all in exact micro-unit integer arithmetic (see
+    // epochUpsample). The EXPANDED stream itself is the emission
+    // (doc_id, source, n_copies, copy_idx) so the gate verifies the
+    // actual replication, not a summary of it.
+    "q121_epoch_upsample" -> ((s, dir) =>
+      epochUpsample(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("source")),
+        Map("src0" -> 2500000L, "src1" -> 1250000L, "src2" -> 500000L))
+        .orderBy("doc_id", "copy_idx")),
 
     // DSIR importance weights (Xie et al. 2023): score every doc by how
     // much likelier its hashed-bigram features are under the TARGET
@@ -510,8 +567,8 @@ object CurationQueries {
         "SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
         "FROM p GROUP BY source, pack_id ORDER BY source, pack_id"),
     "q59_hash_split" ->
-      ("SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 10 THEN 'test' " +
-        "WHEN (doc_id * 2654435761) % 1000 < 20 THEN 'val' ELSE 'train' END AS split, " +
+      ("SELECT CASE WHEN ((doc_id % 999983) * 2654435761) % 1000 < 10 THEN 'test' " +
+        "WHEN ((doc_id % 999983) * 2654435761) % 1000 < 20 THEN 'val' ELSE 'train' END AS split, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY 1 ORDER BY split"),
     // the hashed-key form: identical shingle stream, but matched on the
@@ -532,7 +589,7 @@ object CurationQueries {
         "r AS (SELECT source, n_docs, CAST(floor(1e6 * sqrt(CAST(n_ref AS DOUBLE) / " +
         "CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_u FROM sz, ref) " +
         "SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, rate_u, " +
-        "CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 7) % 1000000 < rate_u " +
+        "CAST(sum(CASE WHEN ((d.doc_id % 999983) * 2654435761 + 7) % 1000000 < rate_u " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         "FROM documents d JOIN r ON d.source = r.source " +
         "GROUP BY r.source, r.n_docs, rate_u ORDER BY r.source"),
@@ -544,6 +601,19 @@ object CurationQueries {
         "CAST(max(nt) AS BIGINT) AS max_tokens, " +
         "CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    "q121_epoch_upsample" ->
+      ("WITH r AS (SELECT doc_id, source, CASE source " +
+        "WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 1250000 " +
+        "WHEN 'src2' THEN 500000 ELSE 1000000 END AS rate_u " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "c AS (SELECT doc_id, source, " +
+        "CAST(floor(rate_u / 1000000) AS BIGINT) + " +
+        "CASE WHEN ((doc_id % 999983) * 2654435761 + 13) % 1000000 < rate_u % 1000000 " +
+        "THEN 1 ELSE 0 END AS n_copies FROM r) " +
+        "SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies, " +
+        "CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx " +
+        "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
 
     "q120_source_overlap" ->
       (s"WITH ${PortableSql.shingleNearDupCtes(0.8)} " +
@@ -583,13 +653,13 @@ object CurationQueries {
         s"WHERE c.doc_id % $BenchMod <> 0 GROUP BY c.doc_id ORDER BY c.doc_id"),
     "q61_stratified_sample" ->
       ("WITH ranked AS (SELECT lang, source, doc_id, row_number() OVER (PARTITION BY lang, source " +
-        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank FROM documents) " +
+        "ORDER BY ((doc_id % 999983) * 2654435761) % 1000000007, doc_id) AS rank FROM documents) " +
         "SELECT lang, source, doc_id, CAST(rank AS INTEGER) AS rank FROM ranked " +
         "WHERE rank <= 3 ORDER BY lang, source, rank"),
     "q67_quality_sample" ->
       (s"WITH scored AS (SELECT lang, doc_id, ${PipelineQueries.QualityExpr} AS q FROM documents) " +
         "SELECT lang, count(*) AS n_total, " +
-        "CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000 < q * 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "CAST(sum(CASE WHEN ((doc_id % 999983) * 2654435761) % 1000 < q * 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         "FROM scored GROUP BY lang ORDER BY lang"),
     "q68_normalize" ->
       ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents) " +

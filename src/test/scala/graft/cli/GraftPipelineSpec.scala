@@ -399,6 +399,45 @@ class GraftPipelineSpec extends SparkSpec {
     assert(bad.isLeft && bad.swap.exists(_.contains("dsir.target_path")))
   }
 
+  test("upsample replicates by exact fractional rates; ordering and config guarded") {
+    import spark.implicits._
+    val out = tmpDir("pipe_upsample")
+    // 10 docs per source; hash draws make the fractional part exact-able
+    val rows = for (s <- Seq("hq", "crawl"); i <- 0 until 10)
+      yield (s.hashCode.toLong * 100 + i, s"doc $i of $s with words", "en", s, 20L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "upsample,split",
+      "upsample_rates" -> "hq:2.5,crawl:0.5")).toOption.get
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg)
+    assert(nIn == 20L)
+    val got = spark.read.parquet(s"$out/shards")
+    // every hq doc appears 2 or 3 times; every crawl doc 0 or 1 times;
+    // totals follow the deterministic hash draws exactly
+    val perDoc = got.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(perDoc.filter(_._1 == "hq").forall(c => c._2 == 2 || c._2 == 3))
+    assert(perDoc.filter(_._1 == "crawl").forall(_._2 == 1))
+    assert(nOut == got.count())
+    // copy_idx discriminates replicas; split is constant per doc
+    assert(got.columns.contains("copy_idx"))
+    assert(got.groupBy("doc_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // ordering guard: nothing but split may follow
+    val bad = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards2",
+      "steps" -> "upsample,pack", "upsample_rates" -> "hq:2.0"))
+    assert(bad.isLeft && bad.swap.exists(_.contains("follow upsample")))
+    // config gates: missing rates, negative rate
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "upsample")).swap.exists(_.contains("upsample_rates")))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "upsample", "upsample_rates" -> "hq:-1"))
+      .swap.exists(_.contains("negative")))
+  }
+
   test("dedup_cluster_keeper: best-quality member survives even with a larger id") {
     import spark.implicits._
     val out = tmpDir("pipe_keeper")
