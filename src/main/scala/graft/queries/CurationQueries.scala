@@ -261,6 +261,41 @@ object CurationQueries {
           (count(lit(1)) * max("nt") - sum("nt")).as("pad_waste"))
         .orderBy("bucket")),
 
+    // token-budget ALLOCATOR — the planner step between "temperature
+    // weights" (q115: relative masses) and "per-source rates" (mix /
+    // upsample consume them): given a TOKEN budget B, each source gets
+    // alloc ∝ its α=0.5 tempered mass and a keep/replicate rate
+    // alloc/n_tokens. Exactness discipline: sqrt is IEEE-correctly-
+    // rounded so floor(1e6·sqrt(n_tokens)) is deterministic per source;
+    // everything after is exact long arithmetic (sums, divs) — no
+    // cross-source FP sum whose order could diverge between engines.
+    // rate_u may exceed 1e6: that IS the signal to upsample (q121), so
+    // it is reported uncapped alongside the capped keep-rate.
+    "q122_token_budget" -> ((s, dir) => {
+      val budget = 100000L // gate-pinned token budget
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("text").isNotNull,
+            TextAnalysis.tokenCount(col("text")).cast("long"))), lit(0L))
+            .as("n_tokens"))
+        .withColumn("mass_u",
+          floor(lit(1e6) * sqrt(col("n_tokens").cast("double"))).cast("long"))
+        // 1-row total crossJoined back (the q109/q91 bounded-BNLJ shape —
+        // per-source aggregate rows, never corpus data)
+        .transform(bySource => bySource.crossJoin(broadcast(
+          bySource.agg(sum("mass_u").as("total_mass_u")))))
+        .withColumn("alloc_tokens",
+          expr(s"($budget * mass_u) div total_mass_u"))
+        .withColumn("rate_u",
+          when(col("n_tokens") > 0,
+            expr("(alloc_tokens * 1000000) div n_tokens")).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("alloc_tokens"), col("rate_u"),
+          least(col("rate_u"), lit(1000000L)).as("keep_rate_u"))
+        .orderBy("source")
+    }),
+
     // epoch UPSAMPLING — mixture reweighting's rate-above-1 half (mix
     // only downsamples): src0 at 2.5 epochs, src1 at 1.25, src2 at 0.5,
     // the rest at 1.0, all in exact micro-unit integer arithmetic (see
@@ -601,6 +636,20 @@ object CurationQueries {
         "CAST(max(nt) AS BIGINT) AS max_tokens, " +
         "CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    "q122_token_budget" ->
+      (s"WITH t AS (SELECT source, count(*) AS n_docs, " +
+        s"CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN len($Toks) END), 0) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "m AS (SELECT source, n_docs, n_tokens, " +
+        "CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS mass_u FROM t), " +
+        "tot AS (SELECT CAST(sum(mass_u) AS BIGINT) AS total_mass_u FROM m), " +
+        "a AS (SELECT source, n_docs, n_tokens, " +
+        "CAST((100000 * mass_u) // total_mass_u AS BIGINT) AS alloc_tokens FROM m, tot) " +
+        "SELECT source, n_docs, n_tokens, alloc_tokens, " +
+        "CAST(CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS rate_u, " +
+        "CAST(least(CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000000) // n_tokens ELSE 0 END, 1000000) AS BIGINT) AS keep_rate_u " +
+        "FROM a ORDER BY source"),
 
     "q121_epoch_upsample" ->
       ("WITH r AS (SELECT doc_id, source, CASE source " +

@@ -49,7 +49,9 @@ class CatalogPlanSpec extends SparkSpec {
     "q77_scalar_subquery", "q81_gap_fill", "q83_ivf_index", "q84_drift_report",
     "q91_bm25", "q101_ivf_append", "q102_pq_knn",
     "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report",
-    "q113_ivf_rebalance", "q119_dsir_weights")
+    "q113_ivf_rebalance", "q119_dsir_weights",
+    // 1-row total-mass cross join over the per-source aggregate
+    "q122_token_budget")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
