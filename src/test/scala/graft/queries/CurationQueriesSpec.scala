@@ -55,6 +55,37 @@ class CurationQueriesSpec extends SparkSpec {
     sample.unpersist()
   }
 
+  test("epochUpsample invariants: exact expansion accounting, partitioning-independent, large-id safe") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "hq" else "crawl")).toDF("doc_id", "source")
+    val rates = Map("hq" -> 2250000L, "crawl" -> 400000L) // 2.25 and 0.4
+    val out = CurationQueries.epochUpsample(docs, rates)
+    // exact accounting: every hq doc 2 or 3 copies, crawl 0 or 1, and the
+    // totals equal the sum of the deterministic per-doc draws
+    val perDoc = out.groupBy("doc_id").count()
+      .join(docs, Seq("doc_id"))
+      .collect().map(r => (r.getString(2), r.getLong(1)))
+    assert(perDoc.filter(_._1 == "hq").forall(c => c._2 == 2 || c._2 == 3))
+    assert(perDoc.filter(_._1 == "crawl").forall(_._2 == 1))
+    val hqTotal = perDoc.filter(_._1 == "hq").map(_._2).sum
+    assert(hqTotal >= 400 && hqTotal <= 600, s"hq mass $hqTotal out of [2,3]x band")
+    // copy_idx is dense 1..n per doc
+    assert(out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("m"), min("copy_idx").as("lo"))
+      .filter(col("n") =!= col("m") || col("lo") =!= 1).count() == 0)
+    // partitioning-independence: the same rows under a different layout
+    // produce the identical expansion (the decision is per-row arithmetic)
+    val re = CurationQueries.epochUpsample(docs.repartition(7), rates)
+      .collect().map(r => (r.getLong(0), r.getLong(r.length - 1))).toSet
+    assert(re == out.collect().map(r => (r.getLong(0), r.getLong(r.length - 1))).toSet)
+    // ids past the raw-Knuth overflow point neither throw nor destabilise
+    val big = Seq((4000000000L, "hq"), (9000000000000L, "crawl"))
+      .toDF("doc_id", "source")
+    val bigOut = CurationQueries.epochUpsample(big, rates).collect()
+    assert(bigOut.nonEmpty)
+  }
+
   test("q62 repetition ratios bounded and consistent") {
     val rep = run("q62_repetition").cache()
     assert(rep.filter(col("rep_ratio") > 1 || col("rep_ratio") <= 0).count() == 0)
