@@ -87,6 +87,56 @@ object CurationQueries {
   private val PackBudget = 512 // tokens per packed context window
   private val BenchMod = 97    // doc_id % 97 == 0 → held-out benchmark doc
 
+  /** UniMax budget allocation (Chung et al. 2023): spread a token budget
+    * UNIFORMLY over sources, capping each source at `epochs` passes over
+    * its own data — the language-balanced alternative to temperature
+    * sampling (q115/q122 weight by size; UniMax ignores size until the
+    * epoch cap binds, so low-resource sources are never starved and
+    * high-resource sources never dominate). Exact closed form of the
+    * paper's sequential loop (water-filling): sources sorted ascending by
+    * cap are capped exactly while `cap·(remaining sources) ≤ remaining
+    * budget`; the uncapped rest split the remaining budget evenly, with
+    * the integer remainder going one token each to the first `r` uncapped
+    * sources in (cap, source) order. All decisions are exact 64-bit
+    * integer arithmetic — no FP water level — so both engines agree
+    * bit-for-bit, and `Σ alloc = min(budget, Σ cap)` by construction.
+    *
+    * Scale shape: one corpus aggregate to per-source sizes, then a window
+    * + two 1-row cross-joins over the |sources|-row aggregate — bounded
+    * by the source vocabulary, never the corpus (the q58 base-offset
+    * discipline). Overflow: `cap·n` must stay in long range — allocate in
+    * token MILLIONS at planetary scale (documented, not enforced: gate
+    * corpora are ≤2^40 tokens). */
+  private[graft] def unimaxAlloc(sizes: DataFrame, budget: Long,
+      epochs: Long): DataFrame = {
+    val w = Window.orderBy("cap_tokens", "source")
+    val ranked = sizes
+      .withColumn("cap_tokens", col("n_tokens") * epochs)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__pprev", coalesce(
+        sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // 1-row source count cross-joined back (the q122 bounded-BNLJ shape)
+    val flagged = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+      .withColumn("is_capped",
+        col("cap_tokens") * (col("__n") - col("__i") + 1L) + col("__pprev")
+          <= budget)
+    // 1-row capped-prefix stats (count + token mass) cross-joined back
+    val capStats = flagged.agg(
+      sum(when(col("is_capped"), 1L).otherwise(0L)).as("__k"),
+      coalesce(sum(when(col("is_capped"), col("cap_tokens"))), lit(0L)).as("__pk"))
+    flagged.crossJoin(broadcast(capStats))
+      .withColumn("alloc_tokens", when(col("is_capped"), col("cap_tokens"))
+        // guarded: an uncapped row exists only when __n - __k >= 1
+        .otherwise(expr(s"($budget - __pk) div (__n - __k)") +
+          when(col("__i") - col("__k") <= expr(s"($budget - __pk) % (__n - __k)"),
+            1L).otherwise(0L)))
+      .withColumn("epochs_u", when(col("n_tokens") > 0,
+        expr("(alloc_tokens * 1000000) div n_tokens")).otherwise(0L))
+      .drop("__i", "__pprev", "__n", "__k", "__pk")
+  }
+
   /** Docs per (source, shard-prefix) partition in [[packIds]]. At 10¹⁰
     * docs this makes ~150k shard rows for the per-shard base window and
     * a ≲5 MB broadcast for the join-back — both driver-trivial — while
@@ -140,6 +190,38 @@ object CurationQueries {
         floor((coalesce(col("__base"), lit(0L)) +
           coalesce(sum(col(tokensCol)).over(wIn), lit(0L))) / budget).cast("long"))
       .drop("__shard", "__b_source", "__b_shard", "__base")
+  }
+
+  /** Snapshot turnover report between two documents-shaped corpora (see
+    * q125): per source, distinct-text retained/added/removed counts, doc
+    * counts per side, and the text-set Jaccard in micro-units. Each side
+    * reduces to distinct (source, text-hash) rows — one 8-byte-key
+    * shuffle per side — then ONE full-outer hash join on that key and a
+    * |sources|-row aggregate. NULL text hashes as '' (content-identical
+    * to an empty doc for turnover purposes); a NULL source is its own
+    * stream (null-safe join; both engines group NULLs together). */
+  private[graft] def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def snap(d: DataFrame) = d
+      .select(col("source"),
+        Dedup.portableHash(coalesce(col("text"), lit(""))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("n"))
+    val a = snap(snapA).select(
+      col("source").as("sa"), col("h").as("ha"), col("n").as("na"))
+    val b = snap(snapB).select(
+      col("source").as("sb"), col("h").as("hb"), col("n").as("nb"))
+    a.join(b, col("sa") <=> col("sb") && col("ha") === col("hb"), "full_outer")
+      .groupBy(coalesce(col("sa"), col("sb")).as("source"))
+      .agg(
+        sum(when(col("ha").isNotNull, 1L).otherwise(0L)).as("n_texts_a"),
+        sum(when(col("hb").isNotNull, 1L).otherwise(0L)).as("n_texts_b"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("ha").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(coalesce(col("na"), lit(0L))).as("n_docs_a"),
+        sum(coalesce(col("nb"), lit(0L))).as("n_docs_b"))
+      .withColumn("retained_u", expr(
+        "(n_retained * 1000000) div (n_texts_a + n_texts_b - n_retained)"))
   }
 
   val all: Map[String, Q] = Map(
@@ -293,6 +375,81 @@ object CurationQueries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("alloc_tokens"), col("rate_u"),
           least(col("rate_u"), lit(1000000L)).as("keep_rate_u"))
+        .orderBy("source")
+    }),
+
+    // UniMax allocation (Chung et al. 2023) — the language-BALANCED
+    // planner: budget splits uniformly across sources, each capped at 2
+    // epochs of its own tokens (see unimaxAlloc). Budget 52000 makes the
+    // sf0.01 fixture split genuinely (7 small sources hit the epoch cap,
+    // 13 share the rest); at sf0.001 EVERY source caps (leftover budget
+    // regime) and at sf0.1 none does (pure uniform regime) — all three
+    // branches run every round. epochs_u is the per-source consumption
+    // rate q121's upsampler takes as input (alloc/n_tokens in
+    // micro-units).
+    "q123_unimax_alloc" -> ((s, dir) =>
+      unimaxAlloc(
+        Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(coalesce(sum(when(col("text").isNotNull,
+            TextAnalysis.tokenCount(col("text")).cast("long"))), lit(0L))
+            .as("n_tokens")),
+        budget = 52000L, epochs = 2L)
+        .select(col("source"), col("n_tokens"), col("cap_tokens"),
+          col("is_capped"), col("alloc_tokens"), col("epochs_u"))
+        .orderBy("source")),
+
+    // Bloom-filter benchmark decontamination — the 100 TB form of q114:
+    // the membership side is a FIXED 64 KiB bitmap (2^19 bits, k=2
+    // probes of the portable hash), not the benchmark's whole distinct
+    // shingle-hash set, so the broadcast cost is constant no matter how
+    // big the held-out suite grows. No false negatives by construction
+    // (every exact hit bloom-hits — emitted as a per-doc value-checked
+    // pair plus the implication boolean); false positives are the
+    // documented ~(1-e^(-2n/m))^2 tradeoff, and the gate emission makes
+    // them VISIBLE (n_bloom_hits vs n_exact_hits) instead of hiding
+    // them. DuckDB recomputes the bitmap and every probe bit-for-bit —
+    // integer %, //, <<, & arithmetic on both engines.
+    "q124_bloom_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def hashed(d: DataFrame) = d.select(col("doc_id"),
+          explode(array_distinct(Dedup.wordShingles(col("text"), 3))).as("sh"))
+        .select(col("doc_id"), Dedup.portableHash(col("sh")).as("h"))
+      val bench = hashed(docs.filter(col("doc_id") % BenchMod === 0))
+        .select("h").distinct()
+      val probed = graft.dedup.Bloom.probe(
+        hashed(docs.filter(col("doc_id") % BenchMod =!= 0)), "h",
+        graft.dedup.Bloom.bitmap(bench, "h"))
+      probed
+        .join(broadcast(bench.withColumn("__ex", lit(1))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__ex") === 1, 1L).otherwise(0L)).as("n_exact_hits"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+        .filter(col("n_bloom_hits") > 0)
+        .select(col("doc_id"), col("n_shingles"), col("n_exact_hits"),
+          col("n_bloom_hits"),
+          (col("n_bloom_hits") >= col("n_exact_hits")).as("no_false_neg_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // snapshot DIFF report — corpus turnover between two crawls (here
+    // the doc_id-parity halves stand in for "last month's snapshot" vs
+    // "this month's"): per source, how many distinct texts were
+    // retained / added / removed, doc counts per side, and the text-set
+    // Jaccard in micro-units. THE monitoring step before a re-train:
+    // a source whose retained_u collapses changed under you (domain
+    // drift, a re-crawl, a takedown sweep). Scale shape: each side
+    // reduces to distinct (source, text-hash) rows — one 8-byte-key
+    // shuffle per side — then a full-outer hash join on that same key
+    // and a |sources|-row aggregate; NULL text hashes as the empty
+    // string (a null-text doc IS content-identical to an empty doc for
+    // turnover purposes), and a NULL source is its own stream (null-safe
+    // join, both engines group NULLs together).
+    "q125_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      snapshotDiff(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy("source")
     }),
 
@@ -650,6 +807,74 @@ object CurationQueries {
         "CAST(CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS rate_u, " +
         "CAST(least(CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000000) // n_tokens ELSE 0 END, 1000000) AS BIGINT) AS keep_rate_u " +
         "FROM a ORDER BY source"),
+
+    // the same closed-form water-filling, window + 1-row CTEs; // and %
+    // on non-negative longs mirror Spark's div / % exactly
+    "q123_unimax_alloc" ->
+      (s"WITH t AS (SELECT source, CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN len($Toks) END), 0) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "r AS (SELECT source, n_tokens, n_tokens * 2 AS cap_tokens, " +
+        "CAST(row_number() OVER (ORDER BY n_tokens * 2, source) AS BIGINT) AS i, " +
+        "CAST(coalesce(sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev, " +
+        "CAST(count(*) OVER () AS BIGINT) AS n FROM t), " +
+        "f AS (SELECT *, (cap_tokens * (n - i + 1) + pprev <= 52000) AS is_capped FROM r), " +
+        "s AS (SELECT CAST(coalesce(sum(CASE WHEN is_capped THEN 1 END), 0) AS BIGINT) AS k, " +
+        "CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT) AS pk FROM f), " +
+        "a AS (SELECT source, n_tokens, cap_tokens, is_capped, " +
+        "CAST(CASE WHEN is_capped THEN cap_tokens ELSE " +
+        "(52000 - pk) // (n - k) + (CASE WHEN i - k <= (52000 - pk) % (n - k) THEN 1 ELSE 0 END) " +
+        "END AS BIGINT) AS alloc_tokens FROM f, s) " +
+        "SELECT source, n_tokens, cap_tokens, is_capped, alloc_tokens, " +
+        "CAST(CASE WHEN n_tokens > 0 THEN (alloc_tokens * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS epochs_u " +
+        "FROM a ORDER BY source"),
+
+    // identical shingle/hash stream to q114; the bitmap and both probe
+    // bits recomputed with %, //, <<, & — h is non-negative (15 hex
+    // digits), so % matches Spark's pmod/bit-mask forms exactly
+    "q124_bloom_contamination" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN " +
+        "list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) " +
+        "ELSE [] END)) AS s FROM toks), " +
+        s"hh AS (SELECT doc_id, ${PortableSql.hex15("md5(s)")} AS h FROM sh), " +
+        s"bench AS (SELECT DISTINCT h FROM hh WHERE doc_id % $BenchMod = 0), " +
+        "bm AS (SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits " +
+        "FROM (SELECT unnest([h % 524288, (h // 524288) % 524288]) AS p FROM bench) GROUP BY w), " +
+        "pr AS (SELECT doc_id, h, h % 524288 AS p1, (h // 524288) % 524288 AS p2 " +
+        s"FROM hh WHERE doc_id % $BenchMod <> 0), " +
+        "ht AS (SELECT pr.doc_id, " +
+        "((coalesce(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER))) <> 0 " +
+        "AND (coalesce(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) <> 0) AS bloom_hit, " +
+        "(e.h IS NOT NULL) AS exact_hit " +
+        "FROM pr LEFT JOIN bm b1 ON p1 // 32 = b1.w LEFT JOIN bm b2 ON p2 // 32 = b2.w " +
+        "LEFT JOIN bench e ON pr.h = e.h) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits, " +
+        "CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits, " +
+        "sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS no_false_neg_ok " +
+        "FROM ht GROUP BY doc_id HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0 " +
+        "ORDER BY doc_id"),
+
+    "q125_snapshot_diff" ->
+      (s"WITH a AS (SELECT source, ${PortableSql.hex15("md5(coalesce(text, ''))")} AS h, count(*) AS n " +
+        "FROM documents WHERE doc_id % 2 = 0 GROUP BY source, h), " +
+        s"b AS (SELECT source, ${PortableSql.hex15("md5(coalesce(text, ''))")} AS h, count(*) AS n " +
+        "FROM documents WHERE doc_id % 2 <> 0 GROUP BY source, h), " +
+        "j AS (SELECT a.source AS sa, a.h AS ha, a.n AS na, b.source AS sb, b.h AS hb, b.n AS nb " +
+        "FROM a FULL JOIN b ON a.source IS NOT DISTINCT FROM b.source AND a.h = b.h), " +
+        "g AS (SELECT coalesce(sa, sb) AS source, " +
+        "CAST(sum(CASE WHEN ha IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_texts_a, " +
+        "CAST(sum(CASE WHEN hb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_texts_b, " +
+        "CAST(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "CAST(sum(coalesce(na, 0)) AS BIGINT) AS n_docs_a, " +
+        "CAST(sum(coalesce(nb, 0)) AS BIGINT) AS n_docs_b FROM j GROUP BY 1) " +
+        "SELECT source, n_texts_a, n_texts_b, n_retained, n_added, n_removed, " +
+        "n_docs_a, n_docs_b, " +
+        "CAST((n_retained * 1000000) // (n_texts_a + n_texts_b - n_retained) AS BIGINT) AS retained_u " +
+        "FROM g ORDER BY source"),
 
     "q121_epoch_upsample" ->
       ("WITH r AS (SELECT doc_id, source, CASE source " +

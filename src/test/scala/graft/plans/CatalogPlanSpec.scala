@@ -51,7 +51,10 @@ class CatalogPlanSpec extends SparkSpec {
     "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report",
     "q113_ivf_rebalance", "q119_dsir_weights",
     // 1-row total-mass cross join over the per-source aggregate
-    "q122_token_budget")
+    "q122_token_budget",
+    // two 1-row cross joins (source count; capped-prefix stats) over the
+    // |sources|-row aggregate
+    "q123_unimax_alloc")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
@@ -61,7 +64,11 @@ class CatalogPlanSpec extends SparkSpec {
     * ~|corpus|/shardSize aggregate rows, not the corpus). */
   private val windowOk: Set[String] = Set(
     "q18_window", "q29_asof_join", "q46_sessionize", "q47_window_frames",
-    "q58_seq_packing")
+    "q58_seq_packing",
+    // rank/prefix window over the |sources|-row aggregate (the UniMax
+    // water-filling order) — bounded by the source vocabulary, never the
+    // corpus
+    "q123_unimax_alloc")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r

@@ -99,6 +99,77 @@ class CurationQueriesSpec extends SparkSpec {
     assert(r(1L) == ((1.0, 0.25)) && r(2L) == ((0.25, 1.0)))
     rep.unpersist()
   }
+
+  test("unimaxAlloc: exact water-filling across all three regimes") {
+    import spark.implicits._
+    val sizes = Seq(("s_small", 10L), ("s_mid", 100L), ("s_big", 1000L))
+      .toDF("source", "n_tokens")
+    def alloc(budget: Long) =
+      CurationQueries.unimaxAlloc(sizes, budget, epochs = 2L)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Boolean]("is_capped"), r.getAs[Long]("alloc_tokens"))).toMap
+    // mixed regime: caps (20, 200, 2000), budget 300 → small caps at 20,
+    // the other two split 280 evenly
+    val mixed = alloc(300L)
+    assert(mixed == Map("s_small" -> ((true, 20L)), "s_mid" -> ((false, 140L)),
+      "s_big" -> ((false, 140L))))
+    // integer remainder goes to the FIRST uncapped source in (cap, source)
+    // order — deterministic, never a fractional token
+    val rem = alloc(301L)
+    assert(rem("s_mid") == ((false, 141L)) && rem("s_big") == ((false, 140L)))
+    // uniform regime (tight budget): nobody caps, budget splits evenly
+    val uniform = alloc(30L)
+    assert(uniform.values.forall(!_._1) && uniform.values.map(_._2).sum == 30L)
+    // leftover regime (huge budget): everyone caps at their epoch limit
+    val leftover = alloc(1000000L)
+    assert(leftover.values.forall(_._1) &&
+      leftover.values.map(_._2).toSeq.sorted == Seq(20L, 200L, 2000L))
+  }
+
+  test("unimaxAlloc invariants: Σalloc = min(budget, Σcap), alloc ≤ cap, partitioning-independent") {
+    import spark.implicits._
+    val sizes = (0 until 37).map(i => (s"src$i", (i * 131 % 977 + 1).toLong))
+      .toDF("source", "n_tokens")
+    for (budget <- Seq(100L, 5000L, 20000L, 1000000L)) {
+      val rows = CurationQueries.unimaxAlloc(sizes, budget, epochs = 3L)
+        .select("source", "cap_tokens", "alloc_tokens").collect()
+      val capSum = rows.map(_.getLong(1)).sum
+      assert(rows.map(_.getLong(2)).sum == math.min(budget, capSum),
+        s"budget $budget must be exactly exhausted (or every cap hit)")
+      assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+        "no source may ever exceed its epoch cap")
+      val re = CurationQueries.unimaxAlloc(sizes.repartition(7), budget, 3L)
+        .select("source", "alloc_tokens").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == re,
+        "allocation must not depend on input partitioning")
+    }
+  }
+
+  test("snapshotDiff: accounting identities, null text/source handling") {
+    import spark.implicits._
+    val a = Seq((1L, "x", "t1"), (2L, "x", "t2"), (3L, "y", "t3"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((11L, "x", "t1"), (12L, "x", "t9"), (13L, "x", "t9"),
+      (14L, null.asInstanceOf[String], ""))
+      .toDF("doc_id", "source", "text")
+    val d = CurationQueries.snapshotDiff(a, b).collect()
+      .map(r => Option(r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_texts_a"), r.getAs[Long]("n_texts_b"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_added"),
+          r.getAs[Long]("n_removed"), r.getAs[Long]("n_docs_b"))).toMap
+    // x: t1 retained, t2 removed, t9 added once (distinct-text counting)
+    // but contributes 2 docs on the B side
+    assert(d(Some("x")) == ((2L, 2L, 1L, 1L, 1L, 3L)))
+    assert(d(Some("y")) == ((1L, 0L, 0L, 0L, 1L, 0L)))
+    // the NULL-source stream exists, and null text == '' by construction
+    assert(d(None) == ((1L, 1L, 1L, 0L, 0L, 1L)))
+    // identities: texts_a = retained + removed, texts_b = retained + added
+    d.values.foreach { case (ta, tb, r, ad, rm, _) =>
+      assert(ta == r + rm && tb == r + ad)
+    }
+  }
 }
 
 object CurationQueriesSpec {
