@@ -82,6 +82,11 @@ import graft.text.TextAnalysis
   *    the bigram_filter discipline
   *  - `contamination_filter` — drop docs sharing a 3-gram shingle with the
   *    `benchmark.path`/`benchmark.table` held-out set
+  *  - `bloom_decontaminate` — contamination_filter's fixed-broadcast form:
+  *    the benchmark membership side is a 64 KiB Bloom bitmap
+  *    ([[graft.dedup.Bloom]]), so the broadcast never grows with the
+  *    suite; Bloom false positives drop a few extra docs — the
+  *    conservative failure direction for decontamination
   *  - `mix` — deterministic per-source downsampling at `mix_rates`
   *    (`web:0.25,news:1.0`) for training-mixture reweighting
   *  - `mix_temperature` — α=0.5 temperature sampling: each source keeps
@@ -93,6 +98,11 @@ import graft.text.TextAnalysis
   *    step (or followed only by `split` — copies share their doc's
   *    split by construction): a dedup step after it would collapse the
   *    replicas straight back, and null-id docs drop (no stable key)
+  *  - `unimax` — UniMax budget allocation (q123) applied end-to-end:
+  *    computes each source's epoch-capped uniform share of
+  *    `unimax.budget_tokens` (cap = `unimax.epochs` passes, default 1)
+  *    and replicates/downsamples at the resulting epochs_u rate through
+  *    the upsample machinery. Same ordering rule as upsample
   *  - `split` — deterministic Knuth-hash train/val/test labels
   *  - `pack` — cumulative-token pack_id per source stream
   *  - `ann_index` — post-write build of a persisted IVF ANN index at
@@ -168,7 +178,8 @@ object GraftPipeline {
       dsirMinU: Long = 0L,
       pqRebalanceCorpusDir: String = "",
       pqRebalanceCorpusTable: String = "embeddings",
-      upsampleRatesU: Map[String, Long] = Map.empty) {
+      upsampleRatesU: Map[String, Long] = Map.empty,
+      unimaxBudget: Long = 0L, unimaxEpochs: Long = 1L) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -204,8 +215,9 @@ object GraftPipeline {
       Left(s"text-mutating steps after dedup_seen (${mutatorsAfterSeen.mkString(", ")}) " +
         "would store hashes of rewritten text that can never match a future " +
         "shard's filter-time hashes — move them before dedup_seen")
-    else if (steps.contains("contamination_filter") && kv.getOrElse("benchmark.path", "").isEmpty)
-      Left("contamination_filter requires benchmark.path")
+    else if (steps.exists(Set("contamination_filter", "bloom_decontaminate")) &&
+        kv.getOrElse("benchmark.path", "").isEmpty)
+      Left("contamination_filter / bloom_decontaminate require benchmark.path")
     else if (steps.contains("dsir_filter") && kv.getOrElse("dsir.target_path", "").isEmpty)
       Left("dsir_filter requires dsir.target_path")
     else if (mutatorsAfterNear.nonEmpty)
@@ -281,6 +293,17 @@ object GraftPipeline {
         steps.drop(steps.indexOf("upsample") + 1).exists(_ != "split"))
       Left("only split may follow upsample (replicated ids break dedup " +
         "and pack determinism) — move upsample to the end")
+    // unimax replicates ids exactly like upsample — same ordering rule
+    else if (steps.contains("unimax") &&
+        steps.drop(steps.indexOf("unimax") + 1).exists(_ != "split"))
+      Left("only split may follow unimax (replicated ids break dedup " +
+        "and pack determinism) — move unimax to the end")
+    else if (steps.contains("unimax") &&
+        !kv.get("unimax.budget_tokens").flatMap(_.toLongOption).exists(_ > 0))
+      Left("unimax requires unimax.budget_tokens (a positive long)")
+    else if (steps.contains("unimax") &&
+        !kv.get("unimax.epochs").flatMap(_.toLongOption).forall(_ >= 1))
+      Left("unimax.epochs must be a positive integer (whole epochs cap)")
     else parseRates(kv.getOrElse("mix_rates", "")) match {
       case Left(err) => Left(err)
       case Right(rates) if steps.contains("mix") && rates.isEmpty =>
@@ -339,7 +362,9 @@ object GraftPipeline {
       dsirMinU = kv.get("dsir.min_u").flatMap(_.toLongOption).getOrElse(0L),
       pqRebalanceCorpusDir = kv.getOrElse("pq.rebalance_corpus.path", ""),
       pqRebalanceCorpusTable = kv.getOrElse("pq.rebalance_corpus.table", "embeddings"),
-      upsampleRatesU = uRates)
+      upsampleRatesU = uRates,
+      unimaxBudget = kv.get("unimax.budget_tokens").flatMap(_.toLongOption).getOrElse(0L),
+      unimaxEpochs = kv.get("unimax.epochs").flatMap(_.toLongOption).getOrElse(1L))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -577,6 +602,26 @@ object GraftPipeline {
         .select("doc_id").distinct()
       df.join(hit, Seq("doc_id"), "left_anti")
     }),
+
+    // contamination_filter at fixed broadcast cost: the benchmark side
+    // collapses to a 64 KiB Bloom bitmap (no distinct needed — bit_or is
+    // idempotent, so the bitmap build is one aggregate over raw shingle
+    // hashes), and the probe side needs no per-doc distinct either (any
+    // hit flags the doc). False positives (~(1-e^(-2n/m))^2) drop a few
+    // extra docs — conservative for decontamination; q124 gates the
+    // bit-level math against DuckDB.
+    "bloom_decontaminate" -> ((c, df) => {
+      val bench = graft.core.Tables.load(df.sparkSession, c.benchmarkDir, c.benchmarkTable)
+        .select(explode(Dedup.wordShingles(col("text"), 3)).as("s"))
+        .select(Dedup.portableHash(col("s")).as("h"))
+      val hit = graft.dedup.Bloom.probe(
+          df.select(col("doc_id"),
+              explode(Dedup.wordShingles(col("text"), 3)).as("s"))
+            .select(col("doc_id"), Dedup.portableHash(col("s")).as("h")),
+          "h", graft.dedup.Bloom.bitmap(bench, "h"))
+        .filter(col("bloom_hit")).select("doc_id").distinct()
+      df.join(hit, Seq("doc_id"), "left_anti")
+    }),
     // deterministic source mixing: keep each source at its configured rate
     // (training-mixture reweighting). Sources not named keep rate 1.0.
     // The acceptance hash is SALTED ("mix") so it is independent of the
@@ -598,6 +643,29 @@ object GraftPipeline {
       graft.queries.CurationQueries.epochUpsample(
           df.filter(col("doc_id").isNotNull), c.upsampleRatesU)
         .drop("n_copies")),
+    // UniMax (q123's planner as a step): compute the epoch-capped uniform
+    // allocation over `unimax.budget_tokens`, then apply each source's
+    // epochs_u rate through the same exact-arithmetic replicator upsample
+    // uses (rates under 1e6 downsample, over 1e6 replicate — unimax
+    // subsumes both halves from one budget number). The per-source rate
+    // table is a |sources|-bounded driver action at plan-composition time
+    // (the mix_temperature precedent); a NULL source's rate rides the
+    // default slot (an equality fold cannot match NULL).
+    "unimax" -> ((c, df) => {
+      import graft.queries.CurationQueries
+      val ids = df.filter(col("doc_id").isNotNull)
+      val alloc = CurationQueries.unimaxAlloc(
+          ids.groupBy("source").agg(coalesce(sum(when(col("text").isNotNull,
+            graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))), lit(0L))
+            .as("n_tokens")),
+          c.unimaxBudget, c.unimaxEpochs)
+        .select(col("source"), col("epochs_u")).collect() // |sources| rows
+      val rates = alloc.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nullRate = alloc.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(1000000L)
+      CurationQueries.epochUpsample(ids, rates, defaultRateU = nullRate)
+        .drop("n_copies")
+    }),
     // temperature-based source mixing (q115's recipe as a step, XLM-R
     // α = 0.5): each source keeps rate √(n_ref/n_s) with n_ref the
     // smallest source — the tempered-mass profile multilingual corpora

@@ -66,8 +66,8 @@ object CurationQueries {
     * `id * 2654435761` overflows (ANSI error) past id ≈ 3.5e9, i.e. on
     * exactly the corpus sizes this engine targets. */
   def epochUpsample(df: DataFrame, ratesU: Map[String, Long],
-      salt: Long = 13L): DataFrame = {
-    val rateU = ratesU.foldLeft(lit(1000000L)) {
+      salt: Long = 13L, defaultRateU: Long = 1000000L): DataFrame = {
+    val rateU = ratesU.foldLeft(lit(defaultRateU)) {
       case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
     }
     df.withColumn("__rate_u", rateU)

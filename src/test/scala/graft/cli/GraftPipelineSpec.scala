@@ -1008,4 +1008,75 @@ class GraftPipelineSpec extends SparkSpec {
     assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> "compact")).swap.toOption.get.contains("store path"))
   }
+
+  test("bloom_decontaminate drops every exact-contaminated doc; config requires benchmark.path") {
+    import spark.implicits._
+    val out = tmpDir("pipe_bloom")
+    val leak = "the secret benchmark passage nobody should train on"
+    Seq(
+      (1L, s"normal document text one $leak", "en", "src"),
+      (2L, "completely unrelated content here", "en", "src"),
+      (3L, s"another leaky page with $leak inside", "en", "src")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq((100L, leak, "en", "bench")).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/bench/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> out, "output.path" -> s"$out/shards",
+      "steps" -> "bloom_decontaminate",
+      "benchmark.path" -> s"$out/bench")).toOption.get
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every doc sharing a shingle MUST drop; doc 2 may
+    // only drop on a bloom false positive — impossible here (a 2^19-bit
+    // filter over ~7 keys has FPR ~1e-10)
+    assert(kept == Set(2L))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "bloom_decontaminate")).swap.toOption.get.contains("benchmark.path"))
+  }
+
+  test("unimax step: epoch-capped sources replicate exactly, uncapped share the budget; guards hold") {
+    import spark.implicits._
+    val out = tmpDir("pipe_unimax")
+    // tokens: small 2x5=10 (cap 20), mid 10x10=100 (cap 200),
+    // big 20x50=1000 (cap 2000); budget 300 -> small caps at 2.0 epochs,
+    // mid/big split the remaining 280 at 140 each (epochs_u 1.4e6 / 0.14e6)
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val rows =
+      (0 until 2).map(i => (100L + i, doc(5), "en", "small")) ++
+      (0 until 10).map(i => (200L + i, doc(10), "en", "mid")) ++
+      (0 until 20).map(i => (300L + i, doc(50), "en", "big"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "unimax",
+      "unimax.budget_tokens" -> "300", "unimax.epochs" -> "2")).toOption.get
+    GraftPipeline.run(spark, cfg)
+    val perDoc = spark.read.parquet(s"$out/shards")
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    // capped source: exactly 2 copies of every doc (epochs_u = 2.0 exactly)
+    assert(perDoc.count(_._1 == "small") == 2)
+    assert(perDoc.filter(_._1 == "small").forall(_._2 == 2L))
+    // uncapped: mid docs 1-2 copies (rate 1.4), big docs at most 1 (rate 0.14)
+    assert(perDoc.filter(_._1 == "mid").forall(c => c._2 == 1L || c._2 == 2L))
+    assert(perDoc.filter(_._1 == "big").forall(_._2 == 1L))
+    // determinism: a rerun emits the identical multiset
+    GraftPipeline.run(spark, cfg.copy(outputDir = s"$out/shards2"))
+    val again = spark.read.parquet(s"$out/shards2")
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(perDoc.sorted == again.sorted)
+    // guards: ordering, missing budget, zero epochs
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "unimax,pack", "unimax.budget_tokens" -> "10"))
+      .swap.exists(_.contains("follow unimax")))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "unimax")).swap.exists(_.contains("budget_tokens")))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "unimax", "unimax.budget_tokens" -> "10",
+      "unimax.epochs" -> "0")).swap.exists(_.contains("epochs")))
+  }
 }
