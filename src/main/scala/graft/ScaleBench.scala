@@ -53,7 +53,15 @@ object ScaleBench {
     // round 8: cross-source near-dup overlap matrix — the q31 banded pair
     // mining plus a per-pair source join-back; the trend certifies the
     // candidate bound (never all-pairs) carries to the report form
-    "q120_source_overlap")
+    "q120_source_overlap",
+    // round 8 (cont.): Bloom decontamination — two full-corpus shingle
+    // passes against a FIXED 64 KiB bitmap; the trend certifies the
+    // broadcast stays constant-size while the probe grows linearly
+    "q124_bloom_contamination",
+    // round 8 (cont.): snapshot diff — two distinct-(source, text-hash)
+    // reductions + one full-outer join on the 8-byte key; the trend
+    // certifies the turnover report never exceeds two linear passes
+    "q125_snapshot_diff")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

@@ -224,6 +224,21 @@ object CurationQueries {
         "(n_retained * 1000000) div (n_texts_a + n_texts_b - n_retained)"))
   }
 
+  /** Deterministic shard assignment + per-shard manifest (see q126):
+    * doc/token counts, id range, and the order-independent bit_xor
+    * content checksum. Null-id docs have no stable shard and drop. */
+  private[graft] def shardManifest(docs: DataFrame, nShards: Long): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
+      .withColumn("shard_id", knuthBucket(col("doc_id"), nShards))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("text").isNotNull,
+          TextAnalysis.tokenCount(col("text")).cast("long"))), lit(0L))
+          .as("n_tokens"),
+        bit_xor(Dedup.portableHash(coalesce(col("text"), lit(""))))
+          .as("checksum"),
+        min("doc_id").as("id_lo"), max("doc_id").as("id_hi"))
+
   val all: Map[String, Q] = Map(
     // sequence packing: assign each doc to the context-window pack where its
     // first token lands (cumulative token count, per source stream, in
@@ -452,6 +467,22 @@ object CurationQueries {
         docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy("source")
     }),
+
+    // training-shard MANIFEST — the writer's last step: deterministic
+    // Knuth-hash shard assignment (append-stable: a doc's shard never
+    // depends on other docs; balanced in expectation) plus the per-shard
+    // manifest a consumer verifies delivery against — doc/token counts,
+    // id range, and an ORDER-INDEPENDENT content checksum: bit_xor of
+    // the portable text hash, the reference's partition-reconciliation
+    // discipline (`groupBitXor(cityHash64(*))`,
+    // /root/reference/database/database.go:511) applied to training
+    // shards. One partial+final aggregate; xor commutes and never
+    // overflows, so the checksum is partitioning- and order-independent
+    // at any scale. NULL text checksums as '' (the q125 convention);
+    // null-id docs have no stable shard and drop (the upsample rule).
+    "q126_shard_manifest" -> ((s, dir) =>
+      shardManifest(Tables.load(s, dir, "documents"), nShards = 16)
+        .orderBy("shard_id")),
 
     // epoch UPSAMPLING — mixture reweighting's rate-above-1 half (mix
     // only downsamples): src0 at 2.5 epochs, src1 at 1.25, src2 at 0.5,
@@ -855,6 +886,15 @@ object CurationQueries {
         "sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS no_false_neg_ok " +
         "FROM ht GROUP BY doc_id HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0 " +
         "ORDER BY doc_id"),
+
+    "q126_shard_manifest" ->
+      (s"WITH d AS (SELECT ((doc_id % 999983) * 2654435761) % 16 AS shard_id, doc_id, text " +
+        "FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT shard_id, count(*) AS n_docs, " +
+        s"CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN len($Toks) END), 0) AS BIGINT) AS n_tokens, " +
+        s"CAST(bit_xor(${PortableSql.hex15("md5(coalesce(text, ''))")}) AS BIGINT) AS checksum, " +
+        "CAST(min(doc_id) AS BIGINT) AS id_lo, CAST(max(doc_id) AS BIGINT) AS id_hi " +
+        "FROM d GROUP BY shard_id ORDER BY shard_id"),
 
     "q125_snapshot_diff" ->
       (s"WITH a AS (SELECT source, ${PortableSql.hex15("md5(coalesce(text, ''))")} AS h, count(*) AS n " +

@@ -167,6 +167,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(1200))
   }
 
+  test("q124: every bloom/exact membership join broadcasts — the probe side never shuffles for the join") {
+    // the bitmap is ≤ mBits/32 rows and the exact set is the benchmark's
+    // hash set — both bounded build sides; a SortMergeJoin here would
+    // shuffle the corpus-sized shingle stream THREE times. The only
+    // corpus-sized exchange q124 may pay is its own per-doc aggregate.
+    val p = plan("q124_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "membership joins must broadcast, not shuffle the probe stream:\n" + p.take(2000))
+  }
+
+  test("q125: snapshot sides pre-aggregate to distinct hashes BEFORE the full-outer join") {
+    // the join must see (source, hash)-reduced relations, not raw docs:
+    // each side carries one partial+final aggregate, and the full-outer
+    // join is the only corpus-join (8-byte keys, shuffle join is correct
+    // here — neither side is bounded)
+    val p = plan("q125_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q126: the manifest is one aggregate — no join, no window, no sort but the output order") {
+    val p = plan("q126_shard_manifest")
+    assert(!p.contains("Join"), "a manifest must never join:\n" + p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     spark.sql("DROP TABLE IF EXISTS li_bkt_a")

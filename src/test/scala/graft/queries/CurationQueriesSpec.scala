@@ -170,6 +170,36 @@ class CurationQueriesSpec extends SparkSpec {
       assert(ta == r + rm && tb == r + ad)
     }
   }
+
+  test("shardManifest: checksum order/partitioning-independent, flips on one changed text, assignment append-stable") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"text body $i", "src"))
+      .toDF("doc_id", "text", "source")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      CurationQueries.shardManifest(df, 16).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val base = manifest(docs)
+    assert(base.values.map(_._1).sum == 200L)
+    // partitioning/order independence: xor + counts commute
+    assert(manifest(docs.repartition(13).sortWithinPartitions(col("text"))) == base)
+    // tamper detection: one edited text flips exactly its shard's checksum
+    val tampered = manifest(docs.withColumn("text",
+      when(col("doc_id") === 77L, lit("tampered")).otherwise(col("text"))))
+    val changed = base.keys.filter(k => base(k)._2 != tampered(k)._2).toSeq
+    assert(changed.size == 1 && base(changed.head)._1 == tampered(changed.head)._1)
+    // append stability: adding docs never moves an existing doc's shard
+    // (per-doc hash); the old manifest is recoverable by re-running on
+    // the old subset
+    val appended = docs.union(Seq((1000L, "new doc", "src")).toDF(
+      "doc_id", "text", "source"))
+    assert(manifest(appended.filter(col("doc_id") < 1000L)) == base)
+    // null-id docs drop; null text checksums as '' without error
+    val weird = manifest(docs.union(Seq(
+      (Option.empty[Long], Option("x"), "src"),
+      (Option(2000L), Option.empty[String], "src"))
+      .toDF("doc_id", "text", "source")))
+    assert(weird.values.map(_._1).sum == 201L)
+  }
 }
 
 object CurationQueriesSpec {
