@@ -239,6 +239,31 @@ object CurationQueries {
           .as("checksum"),
         min("doc_id").as("id_lo"), max("doc_id").as("id_hi"))
 
+  /** Exact per-source token-length quantiles (see q127): p-quantile = the
+    * smallest token count whose cumulative doc count reaches ceil(p·n),
+    * computed as `100·cum ≥ p·n` in pure integer arithmetic. One corpus
+    * pass to (source, n_tokens) counts; both windows run over the count
+    * rows — bounded by the value domain, never the corpus. */
+  private[graft] def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        coalesce(TextAnalysis.tokenCount(col("text")).cast("long"), lit(0L))
+          .as("nt"))
+      .groupBy("source", "nt").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("nt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.withColumn("cum", sum("c").over(w))
+      .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max("tot").as("n_docs"),
+        min(when(col("cum") * 2 >= col("tot"), col("nt"))).as("p50_tokens"),
+        min(when(col("cum") * 10 >= lit(9) * col("tot"), col("nt")))
+          .as("p90_tokens"),
+        min(when(col("cum") * 100 >= lit(99) * col("tot"), col("nt")))
+          .as("p99_tokens"),
+        max("nt").as("max_tokens"))
+  }
+
   val all: Map[String, Q] = Map(
     // sequence packing: assign each doc to the context-window pack where its
     // first token lands (cumulative token count, per source stream, in
@@ -467,6 +492,19 @@ object CurationQueries {
         docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy("source")
     }),
+
+    // EXACT per-source length quantiles — the distribution report behind
+    // q116's bucket choice (a batch planner picks context/padding budgets
+    // off p50/p90/p99, and approximate quantile sketches are
+    // merge-order-dependent, so the exact integer form is the one a gate
+    // can check). Definition: p-quantile = the SMALLEST token count whose
+    // cumulative doc count reaches ceil(p·n) — pure integer arithmetic
+    // (`100·cum ≥ p·n` avoids the ceil), identical on both engines.
+    // Scale shape: ONE corpus pass to (source, n_tokens) counts; the
+    // cumulative window runs over the count rows — bounded by the VALUE
+    // DOMAIN (distinct token counts ≤ max doc length), never the corpus.
+    "q127_length_quantiles" -> ((s, dir) =>
+      lengthQuantiles(Tables.load(s, dir, "documents")).orderBy("source")),
 
     // training-shard MANIFEST — the writer's last step: deterministic
     // Knuth-hash shard assignment (append-stable: a doc's shard never
@@ -886,6 +924,19 @@ object CurationQueries {
         "sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS no_false_neg_ok " +
         "FROM ht GROUP BY doc_id HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0 " +
         "ORDER BY doc_id"),
+
+    "q127_length_quantiles" ->
+      (s"WITH t AS (SELECT source, coalesce(CAST(len($Toks) AS BIGINT), 0) AS nt FROM documents), " +
+        "c AS (SELECT source, nt, count(*) AS c FROM t GROUP BY source, nt), " +
+        "w AS (SELECT source, nt, c, " +
+        "sum(c) OVER (PARTITION BY source ORDER BY nt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(c) OVER (PARTITION BY source) AS tot FROM c) " +
+        "SELECT source, CAST(max(tot) AS BIGINT) AS n_docs, " +
+        "CAST(min(CASE WHEN cum * 2 >= tot THEN nt END) AS BIGINT) AS p50_tokens, " +
+        "CAST(min(CASE WHEN cum * 10 >= 9 * tot THEN nt END) AS BIGINT) AS p90_tokens, " +
+        "CAST(min(CASE WHEN cum * 100 >= 99 * tot THEN nt END) AS BIGINT) AS p99_tokens, " +
+        "CAST(max(nt) AS BIGINT) AS max_tokens " +
+        "FROM w GROUP BY source ORDER BY source"),
 
     "q126_shard_manifest" ->
       (s"WITH d AS (SELECT ((doc_id % 999983) * 2654435761) % 16 AS shard_id, doc_id, text " +

@@ -68,7 +68,11 @@ class CatalogPlanSpec extends SparkSpec {
     // rank/prefix window over the |sources|-row aggregate (the UniMax
     // water-filling order) — bounded by the source vocabulary, never the
     // corpus
-    "q123_unimax_alloc")
+    "q123_unimax_alloc",
+    // cumulative window over (source, token-count) COUNT rows — bounded
+    // by the value domain (distinct token counts ≤ max doc length),
+    // never the corpus
+    "q127_length_quantiles")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r

@@ -200,6 +200,24 @@ class CurationQueriesSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")))
     assert(weird.values.map(_._1).sum == 201L)
   }
+
+  test("lengthQuantiles: exact smallest-value-reaching-ceil(p·n) semantics") {
+    import spark.implicits._
+    def text(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = ((1 to 100).map(n => ("uniform", text(n))) ++
+      Seq(("pair", text(5)), ("pair", text(7)), ("one", text(42))))
+      .toDF("source", "text")
+    val q = CurationQueries.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // 100 docs of lengths 1..100: p50 = 50 (cum 50 ≥ ceil(0.5·100)),
+    // p90 = 90, p99 = 99, max = 100
+    assert(q("uniform") == ((100L, 50L, 90L, 99L, 100L)))
+    // two docs (5, 7): p50 = 5 (cum 1 ≥ ceil(1.0)), p90/p99 = 7
+    assert(q("pair") == ((2L, 5L, 7L, 7L, 7L)))
+    // a single doc is every quantile
+    assert(q("one") == ((1L, 42L, 42L, 42L, 42L)))
+  }
 }
 
 object CurationQueriesSpec {
