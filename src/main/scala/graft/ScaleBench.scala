@@ -61,7 +61,12 @@ object ScaleBench {
     // round 8 (cont.): snapshot diff — two distinct-(source, text-hash)
     // reductions + one full-outer join on the 8-byte key; the trend
     // certifies the turnover report never exceeds two linear passes
-    "q125_snapshot_diff")
+    "q125_snapshot_diff",
+    // round 8 (cont.): containment pair mining — a posting self-join
+    // whose volume is Σ df² over the ceiling-surviving vocabulary; the
+    // trend certifies the df ceiling keeps the join near-linear as the
+    // corpus (and so every df) grows
+    "q128_containment_pairs")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

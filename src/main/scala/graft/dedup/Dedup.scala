@@ -219,6 +219,64 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric duplication detector
+    * symmetric Jaccard structurally misses: a short doc embedded verbatim
+    * in a long one (quote farms, wrapper pages, header/footer laundering)
+    * has |A∩B|/|A| = 1 while Jaccard |A∩B|/|A∪B| stays near |A|/|B| — so
+    * MinHash banding tuned for Jaccard ≥ 0.8 never even CANDIDATES the
+    * pair. Candidate generation is therefore a shingle-posting self-join
+    * instead of banding: pairs sharing ≥ `minShared` distinct shingles
+    * whose corpus df ≤ `maxDf`, then exact containment on the shared
+    * counts. The df ceiling is the same stopword-class guard as BM25's
+    * (`maxDfFrac`, q91): a shingle in d docs contributes d·(d−1)/2 pair
+    * rows, so unbounded hot shingles are quadratic — with the ceiling the
+    * join is O(maxDf · Σdf). A doc whose EVERY shingle exceeds the
+    * ceiling is not findable by this path (boilerplate-only docs — the
+    * documented guard tradeoff, mirrored textually in the gate oracle so
+    * the emission is still exact).
+    *
+    * Emission per (id_a < id_b) pair reaching `minContainmentU`
+    * micro-units on EITHER side: shared/size counts (both within the
+    * ceiling-surviving vocabulary — never a mixed-vocabulary quotient)
+    * and both directed containments — all integer arithmetic
+    * (shingle-hash equality is the same 60-bit portable hash on both
+    * engines, so a collision would fold identically in the oracle). */
+  def containmentPairs(df: DataFrame, contentCol: String, idCol: String,
+      minContainmentU: Long = 900000L, maxDf: Int = 100,
+      minShared: Int = 2, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(contentCol), shingleN))).as("s"))
+      .select(col("id"), portableHash(col("s")).as("h"))
+    // df ceiling: one aggregate over the shingle vocabulary, joined back
+    // on the 8-byte hash (broadcast-ineligible in general — the vocab is
+    // corpus-sized — so this is a plain shuffle join on h). EVERYTHING
+    // downstream — shared counts AND set sizes — lives in the ceiling-
+    // surviving vocabulary, so the containment ratio is exact over the
+    // rare-shingle sets (never a mixed-vocabulary quotient).
+    // materialise once: the shingle+md5 explode feeds the df aggregate,
+    // BOTH posting-join sides and the size aggregate — four reads of the
+    // most expensive subtree (the minhashPairs signature discipline;
+    // 16 bytes/row, the posting relation a production run would persist)
+    val rare = sh.join(
+      sh.groupBy("h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("h"), "h")
+      .localCheckpoint(true)
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = rare.select(col("h"), col("id").as("id_a"))
+      .join(rare.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("cont_a_u", expr("(n_shared * 1000000) div n_a"))
+      .withColumn("cont_b_u", expr("(n_shared * 1000000) div n_b"))
+      .filter(col("cont_a_u") >= minContainmentU ||
+        col("cont_b_u") >= minContainmentU)
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "cont_a_u", "cont_b_u")
+  }
+
   /** Bit masks 2^0..2^63 as an array literal (2^63 wraps negative — AND
     * still tests the sign bit correctly). */
   private val BitMasks = array((0 until 64).map(i => lit(1L << i)): _*)

@@ -493,6 +493,18 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // CONTAINMENT near-dup pairs — the asymmetric detector (a short doc
+    // embedded verbatim in a long one keeps containment 1.0 while its
+    // Jaccard collapses toward |A|/|B|, so q31's banding never candidates
+    // it). Posting-join candidates over df≤100 shingles, ≥2 shared, both
+    // directed containments in exact micro-units, ≥0.9 on either side
+    // emits. DuckDB recomputes the whole path — hash, ceiling, join,
+    // ratios — textually.
+    "q128_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id")
+        .orderBy("id_a", "id_b")),
+
     // EXACT per-source length quantiles — the distribution report behind
     // q116's bucket choice (a batch planner picks context/padding budgets
     // off p50/p90/p99, and approximate quantile sketches are
@@ -924,6 +936,28 @@ object CurationQueries {
         "sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS no_false_neg_ok " +
         "FROM ht GROUP BY doc_id HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0 " +
         "ORDER BY doc_id"),
+
+    "q128_containment_pairs" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS ts FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN " +
+        "list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')) " +
+        "ELSE [] END)) AS s FROM toks), " +
+        s"hh AS (SELECT doc_id, ${PortableSql.hex15("md5(s)")} AS h FROM sh), " +
+        "rare AS (SELECT doc_id, h FROM hh WHERE h IN " +
+        "(SELECT h FROM hh GROUP BY h HAVING count(*) <= 100)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+        "FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "c AS (SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b, " +
+        "(n_shared * 1000000) // sa.n AS cont_a_u, " +
+        "(n_shared * 1000000) // sb.n AS cont_b_u " +
+        "FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+        "SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared, " +
+        "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(cont_a_u AS BIGINT) AS cont_a_u, CAST(cont_b_u AS BIGINT) AS cont_b_u " +
+        "FROM c WHERE cont_a_u >= 900000 OR cont_b_u >= 900000 " +
+        "ORDER BY id_a, id_b"),
 
     "q127_length_quantiles" ->
       (s"WITH t AS (SELECT source, coalesce(CAST(len($Toks) AS BIGINT), 0) AS nt FROM documents), " +

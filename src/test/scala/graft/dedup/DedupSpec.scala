@@ -477,4 +477,39 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(short.isEmpty)
   }
+
+  test("containmentPairs catches verbatim embedding that Jaccard banding misses") {
+    val small = (1 to 10).map(i => s"quote$i").mkString(" ")
+    val filler = (1 to 200).map(i => s"body$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                  // the embedded original
+      (2L, s"$filler $small"),      // wrapper page embedding it verbatim
+      (3L, (1 to 100).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // symmetric Jaccard ≈ 8/208 — the q31 detector must NOT pair them...
+    assert(Dedup.verifiedNearDupPairs(docs, "text", "doc_id", 0.8).count() == 0)
+    // ...while containment of the small doc is exactly 1.0
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id").collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Long]("cont_a_u") == 1000000L)
+    assert(p.getAs[Long]("cont_b_u") < 900000L)
+  }
+
+  test("containmentPairs df ceiling: boilerplate shingles generate no pairs") {
+    // 150 docs sharing ONE hot boilerplate line (df 150 > maxDf 100) and
+    // otherwise fresh text: the hot shingles must not produce any
+    // candidate pair (quadratic blowup guard), so no pairs at all
+    val boiler = "all rights reserved by the site"
+    val docs = (1 to 150).map(i =>
+      (i.toLong, s"$boiler fresh$i content$i words$i here$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, "text", "doc_id").count() == 0)
+    // with the ceiling lifted (and the bar below the 4-of-9 boiler
+    // containment) the same corpus pairs freely — proving the silence
+    // above came from the ceiling, not from the threshold
+    assert(Dedup.containmentPairs(docs, "text", "doc_id",
+      minContainmentU = 400000L, maxDf = 1000).count() > 0)
+  }
 }
