@@ -51,6 +51,9 @@ import graft.text.TextAnalysis
   *  - `dedup_cluster_keeper` — connected components of the VERIFIED
   *    near-dup graph at `minhash_threshold`; keep the best-quality member
   *    per component (ties to min id), drop the rest (q106's shape)
+  *  - `dedup_containment` — drop docs ≥90%-contained in another doc
+  *    (q128's asymmetric miner: verbatim embedding that Jaccard banding
+  *    misses); mutual containment keeps the smaller id
   *  - `quality_filter` — drop docs under `quality_min`
   *  - `gopher_filter` — drop docs failing the Gopher rule battery
   *    (Rae et al. 2021 A1.1, q99's `keep` conjunction)
@@ -477,6 +480,24 @@ object GraftPipeline {
     "dedup_minhash" -> ((c, df) => {
       val losers = Dedup.minhashPairs(df, "text", "doc_id", threshold = c.minhashThreshold)
         .select(col("id_b").as("doc_id")).distinct()
+      df.join(losers, Seq("doc_id"), "left_anti")
+    }),
+    // containment dedup (q128's miner as a step): when a doc's shingle
+    // set is ≥90% contained in another's, the CONTAINED doc is redundant
+    // (its content ships inside the container) and drops; mutual
+    // containment (near-exact pair) keeps the smaller id. Catches the
+    // verbatim-embedding duplication Jaccard-banded dedup_minhash
+    // structurally misses — run BOTH: they prune different graphs.
+    "dedup_containment" -> ((_, df) => {
+      val pairs = Dedup.containmentPairs(df, "text", "doc_id")
+      val losers = pairs.select(
+          // a contained (cont ≥ bar) side loses; if both are contained
+          // (mutual ≈ exact dup) the LARGER id loses, the dedup_exact tie
+          when(col("cont_a_u") >= 900000L && col("cont_b_u") >= 900000L,
+            greatest(col("id_a"), col("id_b")))
+            .when(col("cont_a_u") >= 900000L, col("id_a"))
+            .otherwise(col("id_b")).as("doc_id"))
+        .distinct()
       df.join(losers, Seq("doc_id"), "left_anti")
     }),
     // quality-keeper near-dedup (the q106 shape as a step): connected

@@ -1036,6 +1036,28 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "bloom_decontaminate")).swap.toOption.get.contains("benchmark.path"))
   }
 
+  test("dedup_containment drops the embedded doc, keeps wrapper and bystander; mutual keeps smaller id") {
+    import spark.implicits._
+    val out = tmpDir("pipe_contain")
+    val small = (1 to 10).map(i => s"quote$i").mkString(" ")
+    val filler = (1 to 200).map(i => s"body$i").mkString(" ")
+    Seq(
+      (1L, small, "en", "src"),                 // contained -> drops
+      (2L, s"$filler $small", "en", "src"),     // the container -> stays
+      (3L, (1 to 50).map(i => s"x$i").mkString(" "), "en", "src"), // bystander
+      (4L, (1 to 30).map(i => s"m$i").mkString(" "), "en", "src"), // mutual pair:
+      (5L, (1 to 30).map(i => s"m$i").mkString(" "), "en", "src")  // larger id drops
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "dedup_containment")).toOption.get
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("unimax step: epoch-capped sources replicate exactly, uncapped share the budget; guards hold") {
     import spark.implicits._
     val out = tmpDir("pipe_unimax")
