@@ -256,11 +256,16 @@ object Dedup {
     // materialise once: the shingle+md5 explode feeds the df aggregate,
     // BOTH posting-join sides and the size aggregate — four reads of the
     // most expensive subtree (the minhashPairs signature discipline;
-    // 16 bytes/row, the posting relation a production run would persist)
+    // 16 bytes/row, the posting relation a production run would persist).
+    // DISK_ONLY, serialized: this relation is ~|corpus shingles| ROWS
+    // (unlike minhashPairs' one-sig-per-doc checkpoint) — the default
+    // MEMORY_AND_DISK level holds it deserialized and OOM'd the x30
+    // trend run; disk blocks cost one extra read and nothing else here
+    // (the consumers are shuffle-bound, not scan-bound)
     val rare = sh.join(
       sh.groupBy("h").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select("h"), "h")
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("n"))
     val pairs = rare.select(col("h"), col("id").as("id_a"))
       .join(rare.select(col("h"), col("id").as("id_b")), "h")
