@@ -390,6 +390,48 @@ object PipelineQueries {
     // the direct ivfKnn ranking", verified per query — a strict equality,
     // not a recall bound, so the round trip through the partitioned layout
     // is externally checked end-to-end.
+    // FILTERED vector search — "top-k within the query's own label
+    // slice", the shape every production vector store ships (tenant /
+    // category / language scoping). The gate emission is the EXACT
+    // pre-filtered top-k (value-checked: the oracle recomputes it with
+    // the label predicate in the join), plus a strict-parity boolean
+    // against the INDEX path: a label-SHARDED IVF index (one shard per
+    // label, frozen shared centroids) probed with shardFilter =
+    // {query's label} and nProbe = ALL centroids is an exhaustive scan
+    // of exactly the slice's partition directories — so it must
+    // reproduce the exact scan rank-for-rank, while the plan reads only
+    // that label's subtree (shard pruning spec'd in SimilaritySpec).
+    "q129_filtered_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.filteredBruteForceKnn(
+        q, emb, "vec_id", "embedding", "label", k = 10)
+      val labels = emb.select("label").distinct()
+        .collect().map(_.getInt(0)).sorted // |labels| rows — bounded
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_filtered")
+      val viaIndex = try {
+        Similarity.buildIvfIndex(emb.filter(col("label") === labels.head),
+          "vec_id", "embedding", idxDir.toString, nCentroids = 4,
+          shardId = s"label_${labels.head}")
+        labels.tail.foreach(l => Similarity.appendIvfIndex(
+          emb.filter(col("label") === l), "vec_id", "embedding",
+          idxDir.toString, s"label_$l"))
+        labels.map { l =>
+          Similarity.queryIvfIndex(s, idxDir.toString,
+            q.filter(col("label") === l), "vec_id", "embedding",
+            k = 10, nProbe = 4, shardFilter = Set(s"label_$l"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      exact
+        .join(viaIndex.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__idx_nbr")), Seq("query_id", "rank"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"),
+          coalesce(col("__idx_nbr") === col("neighbor_id"), lit(false))
+            .as("shard_parity_ok"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q83_ivf_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -1168,6 +1210,19 @@ object PipelineQueries {
         "len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union, " +
         "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard " +
         "FROM toks a JOIN toks b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3 ORDER BY id_a, id_b"),
+    // the exact filtered top-k recomputed with the label predicate in
+    // the join; the index-parity boolean asserts TRUE (the Spark side
+    // emits false on any rank mismatch, failing the hash compare)
+    "q129_filtered_knn" ->
+      ("WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8), " +
+        "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q JOIN embeddings c ON c.label IS NOT DISTINCT FROM q.label AND c.vec_id <> q.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, round(cos, 6) AS cos_r FROM pairs) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_r, TRUE AS shard_parity_ok " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+
     "q34_knn_bruteforce" ->
       ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8), " +
         "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

@@ -67,6 +67,31 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** FILTERED exact top-k — the "search within a tenant / category /
+    * language" shape every production vector store ships: neighbours are
+    * restricted to rows sharing the query's `filterCol` value (null-safe:
+    * a null-attribute query searches the null-attribute slice). The
+    * filter rides the broadcast-join KEY, so candidate generation never
+    * scores a cross-slice pair — pre-filtering, not post-filter-and-
+    * hope-k-survive (post-filtering a plain top-k under-fills k whenever
+    * the slice is a minority of the corpus). Same k-bounded TopK
+    * aggregate as [[bruteForceKnn]]; at index scale the label-SHARDED
+    * IVF form ([[queryIvfIndex]] with `shardFilter`) prunes the scan to
+    * the slice's partition directories instead. */
+  def filteredBruteForceKnn(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      filterCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(filterCol).as("__qf"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(filterCol).as("__cf"))
+    val scored = c.join(broadcast(q),
+        col("__cf") <=> col("__qf") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    topKRank(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash of (p, j) mapped to [-1, 1). No RNG — reproducible across runs
     * and engines. */
@@ -349,11 +374,22 @@ object Similarity {
 
   /** Probe a persisted IVF index. The probe filter lands on the
     * `centroid_id` PARTITION column of the assigned relation, so Spark
-    * prunes non-probed clusters' files before reading a byte. */
+    * prunes non-probed clusters' files before reading a byte.
+    *
+    * `shardFilter` (non-empty) restricts the probe to those committed
+    * shards — the FILTERED-ANN path: an index sharded by a metadata
+    * attribute (one shard per tenant / label / language) answers "top-k
+    * within slice X" by pruning every other slice's partition
+    * directories at the scan, the same mechanism as centroid pruning.
+    * Unknown shard ids simply match nothing (the intersection with the
+    * committed set is what scans). [[compactIvfIndex]] collapses shard
+    * identity into one merged shard — keep a slice-sharded index
+    * UNCOMPACTED (its shards ARE its filter structure). */
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4,
+      shardFilter: Set[String] = Set.empty): DataFrame = {
     val meta = readIvfMeta(spark, path)
     val root = genRoot(path, meta.gen)
     val cents = spark.read.parquet(s"$root/centroids")
@@ -365,7 +401,8 @@ object Similarity {
     // session-wide); restore whatever id type the centroids relation
     // carries — ids are generic (long, string, …), not always long
     val idType = cents.schema("centroid_id").dataType
-    val committed = meta.shards
+    val committed =
+      if (shardFilter.isEmpty) meta.shards else meta.shards.intersect(shardFilter)
     // corpus-scale assigned tree: register for the broadcast demotion
     // rule; readRequired heals a torn compact swap on the next probe
     graft.plans.CorpusScale.register(s"$root/assigned")

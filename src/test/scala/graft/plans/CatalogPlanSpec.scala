@@ -50,6 +50,9 @@ class CatalogPlanSpec extends SparkSpec {
     "q91_bm25", "q101_ivf_append", "q102_pq_knn",
     "q104_ivfpq_knn", "q105_pq_index", "q109_dedup_report",
     "q113_ivf_rebalance", "q119_dsir_weights",
+    // ≤8-row broadcast query side (the q34 bound) on both the exact
+    // filtered scan and the per-label index probes
+    "q129_filtered_knn",
     // 1-row total-mass cross join over the per-source aggregate
     "q122_token_budget",
     // two 1-row cross joins (source count; capped-prefix stats) over the

@@ -255,4 +255,52 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cos") >= 0.25)
     }
   }
+
+  test("filteredBruteForceKnn: every neighbor shares the query's label; equals per-slice brute force") {
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Similarity.filteredBruteForceKnn(q, emb, "vec_id", "embedding", "label", 5)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("query_id"))))
+    // slice-equivalence: for one query, result == bruteForceKnn over the
+    // pre-filtered slice
+    val q0 = q.orderBy("vec_id").limit(1)
+    val l0 = labels(q0.select("vec_id").head().getLong(0))
+    val sliced = Similarity.bruteForceKnn(q0,
+      emb.filter(col("label") === l0), "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    val filt = Similarity.filteredBruteForceKnn(q0, emb,
+      "vec_id", "embedding", "label", 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    assert(filt == sliced)
+  }
+
+  test("queryIvfIndex shardFilter: probes ONLY the named shard; scan prunes other shards' directories") {
+    val dir = tmpDir("graft_ivf_shardfilter")
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    Similarity.buildIvfIndex(a, "vec_id", "embedding", dir,
+      nCentroids = 2, shardId = "label_0")
+    Similarity.appendIvfIndex(b, "vec_id", "embedding", dir, "label_1")
+    val q = a.filter(col("vec_id") < 60).limit(1)
+    val hits = Similarity.queryIvfIndex(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, shardFilter = Set("label_0"))
+    val bIds = b.select("vec_id").as[Long].collect().toSet
+    val got = hits.collect()
+    assert(got.nonEmpty)
+    // no cross-shard neighbor can appear
+    assert(got.forall(r => !bIds.contains(r.getAs[Long]("neighbor_id"))))
+    // the scan must carry the shard partition filter (directory pruning,
+    // not a post-read filter of the whole tree)
+    val plan = Similarity.queryIvfIndex(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, shardFilter = Set("label_0"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shard"), plan.take(1500))
+    // an unknown shard id scans nothing and returns no rows
+    assert(Similarity.queryIvfIndex(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, shardFilter = Set("nope")).count() == 0)
+  }
 }
