@@ -1,0 +1,144 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item co-visitation graph + fixed-iteration PageRank in EXACT integer
+  * micro-unit arithmetic.
+  *
+  * The web-graph quality-propagation family every large pretraining
+  * pipeline runs somewhere (host-level spam rank, co-citation quality,
+  * boilerplate-hub detection): project a bipartite (user, item)
+  * interaction log onto an item↔item co-visitation graph, then power-
+  * iterate PageRank over it. The reference engine's scope stops at
+  * log-table aggregation (events-style tables,
+  * /root/reference/database/database.go's generic SELECT path); the graph
+  * closure over such a log is the capability gap this module fills.
+  *
+  * Scale design (the 100 TB story):
+  *  - **Bipartite projection is the quadratic trap.** Co-visitation pairs
+  *    are per-user |items|² — one bot user with 10⁶ items is a 10¹²-row
+  *    explosion. The projection therefore runs over an ACTIVITY-CAPPED
+  *    incidence list: `row_number() over (partition by user order by
+  *    item) <= cap` keeps each user's pair fan-out ≤ cap² (a per-entity
+  *    window, bounded by the cap itself — the CatalogPlanSpec whitelist
+  *    class). The cap is the industry-standard co-occurrence guard, and
+  *    it is NOT silent: [[covisitEdges]] also returns the dropped-row
+  *    count per the no-silent-caps rule (q111 discipline) via
+  *    [[covisitCapStats]].
+  *  - **Edges shuffle on their keys, never broadcast.** Both sides of
+  *    the projection self-join are the corpus-scale incidence relation —
+  *    [[graft.plans.DemoteCorpusBroadcast]] strips broadcast eligibility
+  *    structurally, so the join is a sort-merge on user_id whatever the
+  *    size estimates claim.
+  *  - **Rank iteration is K joins, K aggregations — nothing driver-side.**
+  *    Each iteration shuffles the edge relation once (join on src) and
+  *    the rank relation once (groupBy dst); K is a fixed small constant.
+  *    The edge relation is materialised ONCE (localCheckpoint DISK_ONLY —
+  *    its row count scales with the corpus, the q128 lesson) and reused
+  *    by all K plan consumers.
+  *  - **Exact integer arithmetic end-to-end.** Ranks live in micro-units
+  *    of 1e-12 (SCALE = 10¹²), edge shares in units of 1e-6
+  *    (SHARE_SCALE = 10⁶): contrib = Σ (r·share) div 10⁶ keeps every
+  *    intermediate ≤ 10¹⁸ < Long.Max, and long sums are order-independent
+  *    — the emission hash-matches a DuckDB oracle running the identical
+  *    formula, with no FP summation-order hazard. (Raw r·w would overflow
+  *    at web scale: w ≤ |users| can reach 10⁹, and 10¹²·10⁹ ≫ 2⁶³.)
+  */
+object LinkGraph {
+
+  /** Rank fixed-point: ranks are integers in units of SCALE⁻¹. */
+  val Scale: Long = 1000000000000L // 1e12
+
+  /** Edge-share fixed-point: share(i→j) = (w_ij · ShareScale) div s_i. */
+  val ShareScale: Long = 1000000L // 1e6
+
+  /** Distinct (user_id, item) incidence from an interaction log, capped at
+    * `cap` items per user (deterministic: the `cap` smallest item ids). */
+  def cappedIncidence(interactions: DataFrame, cap: Int): DataFrame = {
+    val rn = row_number().over(
+      Window.partitionBy("user_id").orderBy("item"))
+    interactions.select("user_id", "item").distinct()
+      .withColumn("rn", rn).filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** Symmetric weighted co-visitation edges: w(src,dst) = number of users
+    * whose capped incidence lists contain both items; edges below `minW`
+    * are pruned (the noise floor that keeps the graph sparse at scale).
+    * Both (i,j) and (j,i) are emitted — the walk below is over the
+    * symmetric graph, so every node with an edge has out-degree > 0 and
+    * there is no dangling-mass term to redistribute. */
+  def covisitEdges(interactions: DataFrame, cap: Int = 64,
+      minW: Int = 2): DataFrame = {
+    val inc = cappedIncidence(interactions, cap)
+    inc.as("a").join(inc.as("b"), Seq("user_id"))
+      .filter(col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+  }
+
+  /** No-silent-caps counters for [[cappedIncidence]]: one row —
+    * n_users_capped (users whose incidence list was truncated) and
+    * n_rows_dropped (incidence rows the cap removed). */
+  def covisitCapStats(interactions: DataFrame, cap: Int): DataFrame =
+    interactions.select("user_id", "item").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_items"))
+      .agg(
+        sum(when(col("n_items") > cap, 1L).otherwise(0L))
+          .as("n_users_capped"),
+        coalesce(sum(when(col("n_items") > cap, col("n_items") - cap)
+          .otherwise(0L)), lit(0L)).as("n_rows_dropped"))
+
+  /** Fixed-iteration PageRank over weighted directed `edges(src, dst, w)`
+    * in exact micro-unit integer arithmetic (see object scaladoc):
+    *
+    *   share_ij = (w_ij · 10⁶) div s_i          (s_i = Σ_j w_ij)
+    *   r⁰_i     = SCALE div N
+    *   rᵏ_j     = (15·SCALE) div (100·N)
+    *              + (85 · Σ_i (rᵏ⁻¹_i · share_ij) div 10⁶) div 100
+    *
+    * i.e. damping 0.85 as the exact rational 85/100, every division a
+    * floor (all operands non-negative, so Spark's `div` and DuckDB's `//`
+    * agree). Emits (item, n_out, strength, rank_micro) per graph node.
+    *
+    * `checkpointShares = false` keeps the plan lazy for plan-shape tests;
+    * production (and the catalog query) materialises the share relation
+    * once — DISK_ONLY, because its row count scales with the corpus. */
+  def pagerankMicro(edges: DataFrame, iters: Int = 4,
+      checkpointShares: Boolean = true): DataFrame = {
+    val strength = edges.groupBy("src")
+      .agg(sum("w").as("s"), count(lit(1)).as("n_out"))
+    val sharesPlan = edges.join(strength, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * ${ShareScale}L) div s").as("share"))
+    val shares =
+      if (checkpointShares)
+        sharesPlan.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else sharesPlan
+    // node list + 1-row count, broadcast onto every node row (bounded
+    // 1-row build side — the data-card crossJoin pattern)
+    val nodes = strength.select(col("src").as("item"),
+      col("n_out"), col("s").as("strength"))
+    val nRel = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.select("item").crossJoin(broadcast(nRel))
+      .select(col("item"), expr(s"${Scale}L div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = shares
+        .join(ranks.withColumnRenamed("item", "src"), "src")
+        .select(col("dst"),
+          expr(s"(r * share) div ${ShareScale}L").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      ranks = nodes.select("item").crossJoin(broadcast(nRel))
+        .join(contrib.withColumnRenamed("dst", "item"), Seq("item"), "left")
+        .select(col("item"),
+          (expr(s"(15L * ${Scale}L) div (100L * n)") +
+            expr("(85L * coalesce(contrib, 0L)) div 100L")).as("r"))
+    }
+    nodes.join(ranks, "item")
+      .select(col("item"), col("n_out"), col("strength"),
+        col("r").as("rank_micro"))
+  }
+}

@@ -209,6 +209,56 @@ object Multimodal {
     out.array()
   }
 
+  /** Grayscale PNG from integer pixel values (row-major, v ∈ 0..255,
+    * r=g=b=v) — REAL ImageIO encoding, losslessly round-trippable. The
+    * encode half of the trip [[decodeDhash56]] closes; the q133 gate
+    * verifies encode → decode → hash against an oracle that recomputes
+    * the hash from the pixel formula and never sees the PNG bytes. */
+  def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"expected ${w * h} pixels")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-decode difference hash over a (w≤9)×(h≤7) grayscale image: bit
+    * y*8+x set iff pixel(x+1, y) > pixel(x, y) — the standard dHash
+    * perceptual key, here in PURE INTEGER comparisons (the red channel of
+    * the lossless decode), so a DuckDB oracle can recompute it from the
+    * pixel formula with zero FP-portability hazard (the aHash in
+    * [[decodeImage]] needs float luma + a mean, which is spec-gated
+    * instead). ≤ 56 bits keeps the packed signature sign-safe in BIGINT
+    * on both engines (the q96 60-bit discipline). None for undecodable
+    * bytes (quarantine-on-decode-failure). */
+  def decodeDhash56(m: MediaRow): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
+      catch { case _: Exception => None }
+    img.filter(bi => bi.getWidth <= 9 && bi.getHeight <= 7).map { bi =>
+      var sig = 0L
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth - 1) {
+          val a = (bi.getRGB(x, y) >> 16) & 0xff
+          val b = (bi.getRGB(x + 1, y) >> 16) & 0xff
+          if (b > a) sig |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      sig
+    }
+  }
+
   /** End-to-end fixture pipeline: documents → media → features DataFrame
     * (frame_hashes dropped for the oracle-checked projection). */
   def features(spark: SparkSession, docs: DataFrame, partitions: Int = 0): DataFrame = {

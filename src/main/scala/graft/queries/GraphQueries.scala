@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.{Dedup, FuzzyJoin}
+import graft.graph.LinkGraph
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+/** Round-8 additions: the graph/linkage/PII-validation operator families —
+  * co-visitation PageRank (q130), blocked edit-distance fuzzy join (q131),
+  * Luhn-validated credit-card redaction (q132). Each carries a full DuckDB
+  * oracle; the PageRank oracle is GENERATED per iteration count so the two
+  * sides cannot drift on the unrolled power-iteration formula.
+  */
+object GraphQueries {
+
+  private val Cap = 64
+  private val MinW = 2
+  private val Iters = 4
+  private val PrefixLen = 30
+
+  /** (user_id, item) interaction incidence from the events log:
+    * view/click events, item id from the JSON props. */
+  private def interactions(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Item-graph quality propagation: co-visitation projection of the
+    // interaction log + 4-iteration PageRank in exact micro-unit integer
+    // arithmetic (LinkGraph scaladoc has the overflow budget and the
+    // 100 TB shuffle story).
+    "q130_covisit_pagerank" -> ((s, dir) =>
+      LinkGraph.pagerankMicro(
+        LinkGraph.covisitEdges(interactions(s, dir), cap = Cap, minW = MinW),
+        iters = Iters)
+        .orderBy("item")),
+
+    // Typo-level fuzzy join: all doc pairs whose lowercased 30-char text
+    // prefix is within Levenshtein distance <= 1 — FastSS
+    // deletion-neighborhood blocking over DISTINCT prefixes, exact
+    // levenshtein verification, never all-pairs (FuzzyJoin scaladoc).
+    "q131_fuzzy_pairs" -> ((s, dir) =>
+      FuzzyJoin.fuzzyPrefixPairs(
+        Tables.load(s, dir, "documents"), prefixLen = PrefixLen)
+        .orderBy("id_a", "id_b")),
+
+    // Luhn-gated credit-card redaction over a planted-PAN fixture (the
+    // q98 fixture pattern: PII synthesized deterministically from the key
+    // on BOTH sides). Each row carries one 16-digit candidate, an
+    // 11-digit non-candidate run, and (key % 4 = 0) a second 13-digit
+    // candidate; validity falls out of the Luhn sum (~10% of runs), so
+    // the gate exercises valid, invalid, and multi-candidate rows.
+    "q132_luhn_redact" -> ((s, dir) => {
+      val key = col("c_custkey")
+      val pan = concat(lit("4"),
+        lpad(pmod(key * 7919L, lit(100000000L)).cast("string"), 8, "0"),
+        lpad(pmod(key * 104729L, lit(10000000L)).cast("string"), 7, "0"))
+      val ref = lpad(pmod(key * 31L, lit(100000000000L)).cast("string"), 11, "0")
+      val extra = when(key % 4 === 0,
+        concat(lit(" acct "),
+          lpad(pmod(key * 52361L, lit(10000000000000L)).cast("string"), 13, "0")))
+        .otherwise(lit(""))
+      Tables.load(s, dir, "customer")
+        .select(key,
+          concat(col("c_name"), lit(" card "), pan, lit(" ref "), ref, extra)
+            .as("raw"))
+        .select(col("c_custkey"),
+          size(TextAnalysis.ccnCandidates(col("raw"))).as("n_candidates"),
+          size(TextAnalysis.luhnValidCcns(col("raw"))).as("n_valid"),
+          TextAnalysis.redactCcns(col("raw")).as("redacted"))
+        .orderBy("c_custkey")
+    }),
+
+    // IMAGE near-dup mining over a REAL encode→decode round trip: each
+    // doc becomes a 9×7 grayscale PNG whose pixels come from the
+    // ORACLE-PORTABLE md5 family (v = hex15(md5("m:k")) % 256 — arithmetic
+    // formulas mod small constants leave consecutive ids' hashes
+    // correlated enough to flood the Hamming-≤4 band with false pairs;
+    // measured: 168 degenerate pairs at sf0.01 for a double-Lehmer
+    // formula vs exactly the 32 planted ones for md5), genuinely
+    // ImageIO-encoded and ImageIO-decoded; the 56-bit integer dHash feeds
+    // the SAME Manku C(b, b−h) banding miner text SimHash uses. Planted
+    // near-dups: every (id % 16 = 1) doc carries its predecessor's image
+    // with pixel (0,0) bumped by 128 — Hamming ≤ 1 by construction. The
+    // oracle recomputes the hash from the pixel formula and runs
+    // all-pairs Hamming — PNG bytes never reach it, so any encode/decode
+    // corruption breaks the gate (the q89 audio discipline applied to
+    // images).
+    "q133_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val planted = id % 16 == 1
+          val m = (if (planted) id - 1 else id) % 999983L
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h15(s: String): Long = { // first 15 md5-hex chars as a long,
+            val d = md.digest(s.getBytes("UTF-8")) // = PortableSql.hex15
+            var v = 0L
+            var i = 0
+            while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            v >>> 4
+          }
+          val px = Array.tabulate(9 * 7) { i =>
+            val v = (h15(s"$m:${i + 1}") % 256L).toInt
+            if (planted && i == 0) (v + 128) % 256 else v
+          }
+          Multimodal.MediaRow(id, Multimodal.encodeGrayPng(px, 9, 7), "png")
+        }
+        .mapPartitions(rows => rows.flatMap(r =>
+          Multimodal.decodeDhash56(r).map(sig => (r.doc_id, sig))))
+        .toDF("id", "sig")
+      Dedup.simhashPairsOf(sigs, bits = 56, maxHamming = MaxDhashHamming)
+        .orderBy("id_a", "id_b")
+    }))
+
+  private val MaxDhashHamming = 4
+
+  /** DuckDB mirror of [[LinkGraph.pagerankMicro]] over
+    * [[LinkGraph.covisitEdges]] — the power iteration unrolled `iters`
+    * times as generated CTEs, every division a BIGINT floor (`//`), every
+    * sum CAST back from HUGEINT. */
+  private def pagerankOracle(cap: Int, minW: Int, iters: Int): String = {
+    val base =
+      "WITH ev AS (SELECT DISTINCT user_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
+        "WHERE event_type IN ('view', 'click') " +
+        "AND json_extract_string(props, '$.k') IS NOT NULL), " +
+        "inc AS (SELECT user_id, item FROM (SELECT user_id, item, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn FROM ev) " +
+        s"WHERE rn <= $cap), " +
+        "edges AS (SELECT a.item AS src, b.item AS dst, " +
+        "CAST(count(*) AS BIGINT) AS w FROM inc a JOIN inc b " +
+        "ON a.user_id = b.user_id AND a.item <> b.item " +
+        s"GROUP BY 1, 2 HAVING count(*) >= $minW), " +
+        "st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s, " +
+        "CAST(count(*) AS BIGINT) AS n_out FROM edges GROUP BY 1), " +
+        s"sh AS (SELECT e.src, e.dst, (e.w * ${LinkGraph.ShareScale}) // t.s AS share " +
+        "FROM edges e JOIN st t ON t.src = e.src), " +
+        "nodes AS (SELECT src AS item, n_out, s AS strength FROM st), " +
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        s"r0 AS (SELECT item, ${LinkGraph.Scale} // nc.n AS r FROM nodes CROSS JOIN nc)"
+    val its = (1 to iters).map { k =>
+      s", c$k AS (SELECT sh.dst, " +
+        s"CAST(sum((p.r * sh.share) // ${LinkGraph.ShareScale}) AS BIGINT) AS contrib " +
+        s"FROM sh JOIN r${k - 1} p ON p.item = sh.src GROUP BY 1), " +
+        s"r$k AS (SELECT nodes.item, ((15 * ${LinkGraph.Scale}) // (100 * nc.n)) + " +
+        s"((85 * coalesce(c$k.contrib, 0)) // 100) AS r " +
+        s"FROM nodes CROSS JOIN nc LEFT JOIN c$k ON c$k.dst = nodes.item)"
+    }.mkString
+    base + its +
+      s" SELECT n.item, n.n_out, n.strength, r$iters.r AS rank_micro " +
+      s"FROM nodes n JOIN r$iters ON r$iters.item = n.item ORDER BY n.item"
+  }
+
+  /** DuckDB mirror of the q132 Luhn sum: per-position doubling from the
+    * right via list_transform over the digit indices. */
+  private val LuhnSql = {
+    val d = "CAST(x[i] AS INTEGER)"
+    s"(list_sum(list_transform(range(1, len(x) + 1), i -> " +
+      s"CASE WHEN (len(x) - i) % 2 = 1 THEN " +
+      s"CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END " +
+      s"ELSE $d END)) % 10 = 0)"
+  }
+
+  /** DuckDB mirror of the q133 dHash: the 56 pixel comparisons unrolled,
+    * every pixel recomputed from the integer formula — the PNG round trip
+    * exists only on the Spark side. */
+  private def dhashOracle(maxH: Int): String = {
+    def v(x: Int, y: Int): String = {
+      val k = y * 9 + x + 1
+      val base = "(CAST('0x' || substr(md5(CAST(m AS VARCHAR) || ':' || " +
+        s"'$k'), 1, 15) AS BIGINT) % 256)"
+      if (k == 1)
+        s"(CASE WHEN planted THEN (($base) + 128) % 256 ELSE $base END)"
+      else base
+    }
+    val sig = (for (y <- 0 until 7; x <- 0 until 8) yield
+      s"(CASE WHEN ${v(x + 1, y)} > ${v(x, y)} THEN CAST(${1L << (y * 8 + x)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    "WITH b AS (SELECT doc_id, doc_id % 16 = 1 AS planted, " +
+      "CASE WHEN doc_id % 16 = 1 THEN (doc_id - 1) % 999983 " +
+      "ELSE doc_id % 999983 END AS m FROM documents), " +
+      s"sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sg FROM b) " +
+      "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.sg, b2.sg)) AS INTEGER) AS hamming " +
+      "FROM sig a JOIN sig b2 ON b2.doc_id > a.doc_id " +
+      s"WHERE bit_count(xor(a.sg, b2.sg)) <= $maxH ORDER BY id_a, id_b"
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q130_covisit_pagerank" -> pagerankOracle(Cap, MinW, Iters),
+
+    "q133_image_dhash" -> dhashOracle(MaxDhashHamming),
+
+    // Ground truth for the blocked fuzzy join: plain all-pairs
+    // levenshtein — quadratic, gate-SF only; the Spark side stays
+    // deletion-neighborhood-blocked.
+    "q131_fuzzy_pairs" ->
+      (s"WITH k AS (SELECT doc_id, lower(substr(text, 1, $PrefixLen)) AS p " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist " +
+        "FROM k a JOIN k b ON b.doc_id > a.doc_id " +
+        "WHERE abs(length(a.p) - length(b.p)) <= 1 " +
+        "AND levenshtein(a.p, b.p) <= 1 ORDER BY id_a, id_b"),
+
+    "q132_luhn_redact" ->
+      ("WITH r AS (SELECT c_custkey, c_name || ' card 4' || " +
+        "lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0') || " +
+        "lpad(CAST(c_custkey * 104729 % 10000000 AS VARCHAR), 7, '0') || " +
+        "' ref ' || lpad(CAST(c_custkey * 31 % 100000000000 AS VARCHAR), 11, '0') || " +
+        "CASE WHEN c_custkey % 4 = 0 THEN ' acct ' || " +
+        "lpad(CAST(c_custkey * 52361 % 10000000000000 AS VARCHAR), 13, '0') " +
+        "ELSE '' END AS raw FROM customer), " +
+        "c AS (SELECT c_custkey, raw, " +
+        "list_filter(regexp_extract_all(raw, '[0-9]+'), " +
+        "x -> len(x) BETWEEN 13 AND 19) AS cands FROM r), " +
+        s"v AS (SELECT c_custkey, raw, cands, list_filter(cands, x -> $LuhnSql) AS valid FROM c) " +
+        "SELECT c_custkey, CAST(len(cands) AS INTEGER) AS n_candidates, " +
+        "CAST(len(valid) AS INTEGER) AS n_valid, " +
+        "list_reduce(list_prepend(raw, valid), (acc, x) -> replace(acc, x, '<CC>')) AS redacted " +
+        "FROM v ORDER BY c_custkey"))
+}

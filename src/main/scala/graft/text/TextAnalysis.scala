@@ -121,6 +121,37 @@ object TextAnalysis {
     regexp_replace(ip, PhoneRe, "<PHONE>")
   }
 
+  /** Credit-card candidates: MAXIMAL digit runs of plausible PAN length.
+    * `[0-9]+` (maximal-run matching — RE2-safe, unlike the lookaround
+    * `(?<!\d)\d{13,19}(?!\d)` form RE2 rejects) then a length gate, so a
+    * 20-digit run is one over-long non-candidate, not a 19-digit match
+    * plus a stray digit. */
+  def ccnCandidates(c: Column): Column =
+    filter(regexp_extract_all(c, lit("[0-9]+"), lit(0)),
+      x => length(x).between(13, 19))
+
+  /** The candidates that pass the Luhn mod-10 check — the gate that
+    * separates PANs from order ids (see
+    * [[graft.functions.expressions.LuhnExpressions]]). */
+  def luhnValidCcns(c: Column): Column =
+    filter(ccnCandidates(c),
+      x => graft.functions.expressions.LuhnExpressions.luhnCheck(x))
+
+  /** Replace every Luhn-valid candidate with `<CC>` — a fold over the
+    * (per-document-bounded) valid list. Non-valid digit runs are left
+    * intact: redacting order ids is data damage, not privacy. Caveat
+    * (documented, fixture-avoided): `replace` is occurrence-global, so a
+    * valid PAN that also occurs as a substring of a longer run would
+    * shred that run — maximal-run candidate extraction makes this
+    * impossible for digit-delimited text. */
+  def redactCcns(c: Column): Column =
+    aggregate(luhnValidCcns(c), c, (acc, x) => {
+      import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression => toExpr}
+      toColumn(org.apache.spark.sql.catalyst.expressions.StringReplace(
+        toExpr(acc), toExpr(x),
+        org.apache.spark.sql.catalyst.expressions.Literal("<CC>")))
+    })
+
   /** Required-stopword set of the Gopher quality rules (Rae et al. 2021,
     * Appendix A1.1): a document must contain at least two of these. */
   val GopherStopwords: Seq[String] =

@@ -243,4 +243,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.width == trap.getBytes.length % 640)
     assert(feats.height == 'G'.toInt % 480)
   }
+
+  test("gray PNG round trip is lossless; dHash56 flips <= 1 bit on a one-pixel bump") {
+    val rnd = new scala.util.Random(3)
+    val px = Array.fill(9 * 7)(rnd.nextInt(256))
+    val bytes = Multimodal.encodeGrayPng(px, 9, 7)
+    // decode back through ImageIO and compare every red channel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 9 && img.getHeight == 7)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(((img.getRGB(x, y) >> 16) & 0xff) == px(y * 9 + x), s"($x,$y)")
+    val sig = Multimodal.decodeDhash56(
+      Multimodal.MediaRow(1L, bytes, "png")).get
+    // reference dhash from the raw pixels
+    var expect = 0L
+    for (y <- 0 until 7; x <- 0 until 8)
+      if (px(y * 9 + x + 1) > px(y * 9 + x)) expect |= 1L << (y * 8 + x)
+    assert(sig == expect)
+    assert((sig >>> 56) == 0L, "sign-safe: top 8 bits clear")
+    // bump pixel (0,0): only bit (0,0) may change
+    val px2 = px.clone(); px2(0) = (px2(0) + 128) % 256
+    val sig2 = Multimodal.decodeDhash56(
+      Multimodal.MediaRow(2L, Multimodal.encodeGrayPng(px2, 9, 7), "png")).get
+    assert(java.lang.Long.bitCount(sig ^ sig2) <= 1)
+    // undecodable bytes quarantine
+    assert(Multimodal.decodeDhash56(
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3), "png")).isEmpty)
+    // oversize images are rejected (the 56-bit packing bound)
+    val big = Multimodal.encodeGrayPng(Array.fill(10 * 7)(0), 10, 7)
+    assert(Multimodal.decodeDhash56(Multimodal.MediaRow(4L, big, "png")).isEmpty)
+  }
 }

@@ -57,7 +57,10 @@ class CatalogPlanSpec extends SparkSpec {
     "q122_token_budget",
     // two 1-row cross joins (source count; capped-prefix stats) over the
     // |sources|-row aggregate
-    "q123_unimax_alloc")
+    "q123_unimax_alloc",
+    // 1-row node-count relation broadcast onto every rank row, once per
+    // power iteration (the data-card crossJoin pattern)
+    "q130_covisit_pagerank")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
@@ -75,7 +78,10 @@ class CatalogPlanSpec extends SparkSpec {
     // cumulative window over (source, token-count) COUNT rows — bounded
     // by the value domain (distinct token counts ≤ max doc length),
     // never the corpus
-    "q127_length_quantiles")
+    "q127_length_quantiles",
+    // per-user activity-cap row_number — bounded by the cap itself (the
+    // co-visitation projection guard; LinkGraph scaladoc)
+    "q130_covisit_pagerank")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r
