@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.dedup.{Dedup, FuzzyJoin}
 import graft.graph.LinkGraph
 import graft.multimodal.Multimodal
-import graft.text.TextAnalysis
+import graft.text.{HeavyHitters, TextAnalysis}
 
 /** Round-8 additions: the graph/linkage/PII-validation operator families —
   * co-visitation PageRank (q130), blocked edit-distance fuzzy join (q131),
@@ -119,9 +119,32 @@ object GraphQueries {
         .toDF("id", "sig")
       Dedup.simhashPairsOf(sigs, bits = 56, maxHamming = MaxDhashHamming)
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // EXACT heavy hitters via the two-pass Misra-Gries design: map-only
+    // per-partition k-counter sketches (k = 2·φden makes false negatives
+    // impossible for ANY partitioning — HeavyHitters scaladoc has the
+    // bound), bounded candidate union, exact second pass over candidates
+    // only. The shuffle carries candidate keys, never the vocabulary —
+    // the 100 TB answer to q64's full frequency table. The oracle is the
+    // exact GROUP BY the design avoids.
+    "q134_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(
+        Tables.load(s, dir, "documents"), phiDen = PhiDen)
+        .orderBy("tok")),
+
+    // SCD2 history build over the events log: per-user validity intervals
+    // of the event_type attribute (gaps-and-islands; per-entity windows
+    // only — the q46 sessionization contract; Scd2 scaladoc).
+    "q135_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.history(
+        Tables.load(s, dir, "events"),
+        entity = "user_id", ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+        .orderBy("user_id", "version")))
 
   private val MaxDhashHamming = 4
+  private val PhiDen = 500L
 
   /** DuckDB mirror of [[LinkGraph.pagerankMicro]] over
     * [[LinkGraph.covisitEdges]] — the power iteration unrolled `iters`
@@ -200,6 +223,30 @@ object GraphQueries {
     "q130_covisit_pagerank" -> pagerankOracle(Cap, MinW, Iters),
 
     "q133_image_dhash" -> dhashOracle(MaxDhashHamming),
+
+    // the exact full-vocabulary GROUP BY the Spark side's sketch design
+    // exists to avoid — correct at any SF, affordable at the gate SF
+    "q134_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok) " +
+        s"SELECT c.tok, c.cnt FROM c CROSS JOIN n WHERE c.cnt * $PhiDen >= n.n " +
+        "ORDER BY tok"),
+
+    "q135_scd2_history" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "event_id FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) = event_type " +
+        "THEN 0 ELSE 1 END AS chg FROM e), " +
+        "g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS BIGINT) AS version FROM f), " +
+        "iv AS (SELECT user_id, version, event_type, min(ts) AS valid_from, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY 1, 2, 3) " +
+        "SELECT user_id, version, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, " +
+        "n_events FROM iv ORDER BY user_id, version"),
 
     // Ground truth for the blocked fuzzy join: plain all-pairs
     // levenshtein — quadratic, gate-SF only; the Spark side stays

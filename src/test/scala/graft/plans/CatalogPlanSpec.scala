@@ -60,7 +60,10 @@ class CatalogPlanSpec extends SparkSpec {
     "q123_unimax_alloc",
     // 1-row node-count relation broadcast onto every rank row, once per
     // power iteration (the data-card crossJoin pattern)
-    "q130_covisit_pagerank")
+    "q130_covisit_pagerank",
+    // 1-row total-token-count cross join over the bounded candidate
+    // counts (the threshold comparison)
+    "q134_heavy_hitters")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
@@ -81,7 +84,9 @@ class CatalogPlanSpec extends SparkSpec {
     "q127_length_quantiles",
     // per-user activity-cap row_number — bounded by the cap itself (the
     // co-visitation projection guard; LinkGraph scaladoc)
-    "q130_covisit_pagerank")
+    "q130_covisit_pagerank",
+    // per-user lag/run-sum/lead — the q46 per-entity history contract
+    "q135_scd2_history")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r
