@@ -54,6 +54,10 @@ import graft.text.TextAnalysis
   *  - `dedup_containment` — drop docs ≥90%-contained in another doc
   *    (q128's asymmetric miner: verbatim embedding that Jaccard banding
   *    misses); mutual containment keeps the smaller id
+  *  - `dedup_fuzzy` — drop docs whose lowercased `fuzzy_prefix_len`-char
+  *    prefix is within edit distance 1 of an earlier doc's (q131's
+  *    deletion-neighborhood join; the one-keystroke variants shingle
+  *    similarity misses); keeps the smallest id per fuzzy clique
   *  - `quality_filter` — drop docs under `quality_min`
   *  - `gopher_filter` — drop docs failing the Gopher rule battery
   *    (Rae et al. 2021 A1.1, q99's `keep` conjunction)
@@ -182,7 +186,8 @@ object GraftPipeline {
       pqRebalanceCorpusDir: String = "",
       pqRebalanceCorpusTable: String = "embeddings",
       upsampleRatesU: Map[String, Long] = Map.empty,
-      unimaxBudget: Long = 0L, unimaxEpochs: Long = 1L) {
+      unimaxBudget: Long = 0L, unimaxEpochs: Long = 1L,
+      fuzzyPrefixLen: Int = 30) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -332,6 +337,7 @@ object GraftPipeline {
       qualityMin = kv.get("quality_min").flatMap(_.toDoubleOption).getOrElse(0.3),
       bigramMin = kv.get("bigram_min").flatMap(_.toDoubleOption).getOrElse(0.0),
       minhashThreshold = kv.get("minhash_threshold").flatMap(_.toDoubleOption).getOrElse(0.7),
+      fuzzyPrefixLen = kv.get("fuzzy_prefix_len").flatMap(_.toIntOption).getOrElse(30),
       packBudget = kv.get("pack_budget").flatMap(_.toIntOption).getOrElse(512),
       testPct = kv.get("test_pct").flatMap(_.toIntOption).getOrElse(1),
       chunkOverlapMax = kv.get("chunk_overlap_max").flatMap(_.toDoubleOption).getOrElse(0.5),
@@ -488,6 +494,19 @@ object GraftPipeline {
     // containment (near-exact pair) keeps the smaller id. Catches the
     // verbatim-embedding duplication Jaccard-banded dedup_minhash
     // structurally misses — run BOTH: they prune different graphs.
+    // typo-level fuzzy dedup (q131's blocked edit-distance join as a
+    // step): docs whose lowercased fuzzy_prefix_len-char prefix is within
+    // levenshtein distance 1 of an earlier doc's drop — id_b > id_a in
+    // every emitted pair, so "keep the smallest id of each fuzzy clique"
+    // is one anti-join. Catches the one-keystroke title/boilerplate
+    // variants whose SHINGLE similarity collapses (FuzzyJoin scaladoc) —
+    // a different graph from dedup_minhash and dedup_containment.
+    "dedup_fuzzy" -> ((c, df) => {
+      val losers = graft.dedup.FuzzyJoin
+        .fuzzyPrefixPairs(df, c.fuzzyPrefixLen)
+        .select(col("id_b").as("doc_id")).distinct()
+      df.join(losers, Seq("doc_id"), "left_anti")
+    }),
     "dedup_containment" -> ((_, df) => {
       val pairs = Dedup.containmentPairs(df, "text", "doc_id")
       val losers = pairs.select(

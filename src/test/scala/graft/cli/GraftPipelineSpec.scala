@@ -1058,6 +1058,36 @@ class GraftPipelineSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("dedup_fuzzy drops the typo'd later doc, keeps the first and unrelated docs") {
+    import spark.implicits._
+    val out = tmpDir("pipe_fuzzy")
+    val base = "the quick brown fox jumps over lazy dogs tonight"
+    Seq(
+      (1L, base, "en", "src"),                       // first -> stays
+      (2L, base.replace("quick", "quack") , "en", "src"), // 1 sub in prefix -> drops
+      (3L, base, "en", "src"),                       // exact dup -> drops
+      (4L, "completely different text body here", "en", "src")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "dedup_fuzzy")).toOption.get
+    GraftPipeline.run(spark, cfg)
+    val kept = spark.read.parquet(s"$out/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // prefix-length knob reaches the join: full-width prefixes differ at
+    // char 5 ("quick"/"quack") but a 4-char prefix makes 1-2 exact dups
+    val cfg4 = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards4",
+      "steps" -> "dedup_fuzzy", "fuzzy_prefix_len" -> "4")).toOption.get
+    assert(cfg4.fuzzyPrefixLen == 4)
+    GraftPipeline.run(spark, cfg4)
+    val kept4 = spark.read.parquet(s"$out/shards4").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept4 == Set(1L, 4L))
+  }
+
   test("unimax step: epoch-capped sources replicate exactly, uncapped share the budget; guards hold") {
     import spark.implicits._
     val out = tmpDir("pipe_unimax")
