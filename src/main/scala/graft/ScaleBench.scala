@@ -66,7 +66,34 @@ object ScaleBench {
     // whose volume is Σ df² over the ceiling-surviving vocabulary; the
     // trend certifies the df ceiling keeps the join near-linear as the
     // corpus (and so every df) grows
-    "q128_containment_pairs")
+    "q128_containment_pairs",
+    // round 8 (cont. 2): co-visitation PageRank — the K-iteration edge
+    // shuffle; the scaled corpus grows event VOLUME at fixed user/item
+    // populations, so the trend certifies the incidence distinct + the
+    // capped projection absorb the raw-log growth (the graph itself is
+    // population-bounded — the part that would grow on a real corpus is
+    // users, which scale OUT by partition)
+    "q130_covisit_pagerank",
+    // round 8 (cont. 2): fuzzy prefix join — deletion-neighborhood
+    // posting self-join over DISTINCT prefixes; suffixed scaled copies
+    // have disjoint prefixes, so the trend certifies the variant join
+    // grows with the distinct-key count, never pairwise
+    "q131_fuzzy_pairs",
+    // round 8 (cont. 2): image dHash mining — per-doc PNG encode+decode
+    // (map-only) + the 56-bit banding join; the trend certifies the
+    // codec pass is embarrassingly parallel and the banding stays
+    // candidate-bounded as planted pairs grow linearly
+    "q133_image_dhash",
+    // round 8 (cont. 2): Misra-Gries heavy hitters — two map-dominant
+    // passes with a bounded candidate shuffle; the trend certifies the
+    // candidate relation stays ≤ partitions·k while the token stream
+    // grows (the entire point of the sketch design)
+    "q134_heavy_hitters",
+    // round 8 (cont. 2): SCD2 history — per-user gaps-and-islands; the
+    // scaled corpus grows each user's history by the factor (fixed user
+    // population), the WORST case for per-entity windows — the trend
+    // certifies the per-entity sort absorbs it near-linearly
+    "q135_scd2_history")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

@@ -141,4 +141,89 @@ object LinkGraph {
       .select(col("item"), col("n_out"), col("strength"),
         col("r").as("rank_micro"))
   }
+
+  /** Synchronous label propagation over weighted directed `edges(src,
+    * dst, w)` — the communities counterpart to [[pagerankMicro]] (item
+    * clusters over the same co-visitation graph). `iters` fixed rounds;
+    * each node adopts the label with the greatest total incident weight
+    * among its in-neighbors' current labels, ties to the SMALLEST label.
+    *
+    * Determinism is the design constraint (the gate hash-compares): the
+    * argmax is expressed as max-weight + min-label-at-max — two plain
+    * aggregates and an equi-join, no struct-ordering or arg_max whose
+    * tie behavior an engine could choose differently. Labels and weights
+    * are integers throughout. Nodes keep their own label when no
+    * neighbor row exists (cannot happen on a symmetric co-vis graph, but
+    * the left join keeps the operator total).
+    *
+    * Scale: per iteration one edges⋈labels shuffle + two bounded
+    * aggregates over (dst, label) rows — ≤ |edges| rows, demoted from
+    * broadcast by [[graft.plans.DemoteCorpusBroadcast]] like every
+    * corpus join here. K is a small constant. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val nodes = edges.select(col("src").as("item")).distinct()
+    var labels = nodes.withColumn("label", col("item"))
+    for (_ <- 1 to iters) {
+      val mass = edges
+        .join(labels.withColumnRenamed("item", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("w").as("lw"))
+      val best = mass.groupBy("dst").agg(max("lw").as("mw"))
+      val next = mass.join(best, "dst")
+        .filter(col("lw") === col("mw"))
+        .groupBy("dst").agg(min("label").as("label"))
+        .withColumnRenamed("dst", "item")
+      labels = nodes.join(next, Seq("item"), "left")
+        .select(col("item"),
+          coalesce(col("label"), col("item")).as("label"))
+    }
+    labels
+  }
+
+  /** Exact triangle census of the UNDIRECTED graph underlying symmetric
+    * `edges(src, dst, w)` — the standard ordered-orientation scheme:
+    * orient each undirected edge from its lower-(degree, id) endpoint to
+    * the higher, making a DAG whose wedge count is Σ C(outdeg⁺, 2) —
+    * the arboricity-bounded minimum — then close wedges with one
+    * equi-join against the oriented edge set. Emits one row:
+    * n_nodes, n_edges (undirected), n_wedges, n_triangles, and the
+    * global clustering coefficient in micro-units (exact integer:
+    * 3·triangles·10⁶ div wedges). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") < col("dst")).select("src", "dst")
+    val deg = und.select(col("src").as("v"))
+      .unionByName(und.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient low (d, v) -> high (d, v)
+    val dirE = und
+      .join(deg.select(col("v").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("db")), "dst")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("x")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("x")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.x").as("x"))
+    val wedges = dirE.as("a")
+      .join(dirE.as("b"), col("a.u") === col("b.u") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("p"), col("b.x").as("q"))
+    val closed = wedges.join(
+      dirE.select(
+        least(col("u"), col("x")).as("lo"),
+        greatest(col("u"), col("x")).as("hi"))
+        .withColumnRenamed("lo", "p").withColumnRenamed("hi", "q")
+        .select(col("p"), col("q")),
+      Seq("p", "q"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTris)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN 0L " +
+          "ELSE (3L * n_triangles * 1000000L) div n_wedges END")
+          .as("clustering_u"))
+  }
 }

@@ -141,28 +141,54 @@ object GraphQueries {
         Tables.load(s, dir, "events"),
         entity = "user_id", ts = "ts", attr = "event_type",
         tieBreak = "event_id")
-        .orderBy("user_id", "version")))
+        .orderBy("user_id", "version")),
+
+    // Item communities: synchronous label propagation over the SAME
+    // co-visitation graph q130 ranks — max-incident-weight label, ties
+    // to the smallest, expressed as max + min-at-max aggregates so the
+    // tie-break is engine-independent (LinkGraph scaladoc).
+    "q136_label_propagation" -> ((s, dir) =>
+      LinkGraph.labelPropagation(
+        LinkGraph.covisitEdges(interactions(s, dir), cap = Cap, minW = MinW),
+        iters = LpIters)
+        .orderBy("item")),
+
+    // Exact triangle census of the co-visitation graph — ordered
+    // (degree, id) orientation makes wedge volume Σ C(outdeg⁺,2), the
+    // arboricity-bounded minimum, closed with one equi-join; emits the
+    // 1-row census with the global clustering coefficient in exact
+    // micro-units.
+    "q137_triangle_census" -> ((s, dir) =>
+      LinkGraph.triangleStats(
+        LinkGraph.covisitEdges(interactions(s, dir), cap = Cap, minW = MinW))))
 
   private val MaxDhashHamming = 4
   private val PhiDen = 500L
+  private val LpIters = 3
 
   /** DuckDB mirror of [[LinkGraph.pagerankMicro]] over
     * [[LinkGraph.covisitEdges]] — the power iteration unrolled `iters`
     * times as generated CTEs, every division a BIGINT floor (`//`), every
     * sum CAST back from HUGEINT. */
+  /** Shared DuckDB CTEs for the co-visitation graph (the
+    * [[LinkGraph.covisitEdges]] mirror): ev → inc (activity-capped) →
+    * edges(src, dst, w). */
+  private def graphCtes(cap: Int, minW: Int): String =
+    "ev AS (SELECT DISTINCT user_id, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
+      "WHERE event_type IN ('view', 'click') " +
+      "AND json_extract_string(props, '$.k') IS NOT NULL), " +
+      "inc AS (SELECT user_id, item FROM (SELECT user_id, item, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn FROM ev) " +
+      s"WHERE rn <= $cap), " +
+      "edges AS (SELECT a.item AS src, b.item AS dst, " +
+      "CAST(count(*) AS BIGINT) AS w FROM inc a JOIN inc b " +
+      "ON a.user_id = b.user_id AND a.item <> b.item " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $minW)"
+
   private def pagerankOracle(cap: Int, minW: Int, iters: Int): String = {
     val base =
-      "WITH ev AS (SELECT DISTINCT user_id, " +
-        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
-        "WHERE event_type IN ('view', 'click') " +
-        "AND json_extract_string(props, '$.k') IS NOT NULL), " +
-        "inc AS (SELECT user_id, item FROM (SELECT user_id, item, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn FROM ev) " +
-        s"WHERE rn <= $cap), " +
-        "edges AS (SELECT a.item AS src, b.item AS dst, " +
-        "CAST(count(*) AS BIGINT) AS w FROM inc a JOIN inc b " +
-        "ON a.user_id = b.user_id AND a.item <> b.item " +
-        s"GROUP BY 1, 2 HAVING count(*) >= $minW), " +
+      s"WITH ${graphCtes(cap, minW)}, " +
         "st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s, " +
         "CAST(count(*) AS BIGINT) AS n_out FROM edges GROUP BY 1), " +
         s"sh AS (SELECT e.src, e.dst, (e.w * ${LinkGraph.ShareScale}) // t.s AS share " +
@@ -233,6 +259,44 @@ object GraphQueries {
         "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok) " +
         s"SELECT c.tok, c.cnt FROM c CROSS JOIN n WHERE c.cnt * $PhiDen >= n.n " +
         "ORDER BY tok"),
+
+    "q136_label_propagation" -> {
+      val its = (1 to LpIters).map { k =>
+        s"m$k AS (SELECT e.dst, p.label, CAST(sum(e.w) AS BIGINT) AS lw " +
+          s"FROM edges e JOIN l${k - 1} p ON p.item = e.src GROUP BY 1, 2), " +
+          s"b$k AS (SELECT dst, max(lw) AS mw FROM m$k GROUP BY 1), " +
+          s"n$k AS (SELECT m.dst AS item, min(m.label) AS label FROM m$k m " +
+          s"JOIN b$k b ON b.dst = m.dst AND m.lw = b.mw GROUP BY 1), " +
+          s"l$k AS (SELECT nd.item, coalesce(n$k.label, nd.item) AS label " +
+          s"FROM nodes nd LEFT JOIN n$k ON n$k.item = nd.item)"
+      }.mkString(", ")
+      s"WITH ${graphCtes(Cap, MinW)}, " +
+        "nodes AS (SELECT DISTINCT src AS item FROM edges), " +
+        "l0 AS (SELECT item, item AS label FROM nodes), " +
+        s"$its SELECT item, label FROM l$LpIters ORDER BY item"
+    },
+
+    "q137_triangle_census" ->
+      (s"WITH ${graphCtes(Cap, MinW)}, " +
+        "und AS (SELECT src, dst FROM edges WHERE src < dst), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und) GROUP BY 1), " +
+        "dir AS (SELECT CASE WHEN a.d < b.d OR (a.d = b.d AND und.src < und.dst) " +
+        "THEN und.src ELSE und.dst END AS u, " +
+        "CASE WHEN a.d < b.d OR (a.d = b.d AND und.src < und.dst) " +
+        "THEN und.dst ELSE und.src END AS x " +
+        "FROM und JOIN deg a ON a.v = und.src JOIN deg b ON b.v = und.dst), " +
+        "wed AS (SELECT a.x AS p, b.x AS q FROM dir a JOIN dir b " +
+        "ON a.u = b.u AND a.x < b.x), " +
+        "undn AS (SELECT least(u, x) AS p, greatest(u, x) AS q FROM dir), " +
+        "stats AS (SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes, " +
+        "CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges, " +
+        "CAST((SELECT count(*) FROM wed) AS BIGINT) AS n_wedges, " +
+        "CAST((SELECT count(*) FROM wed JOIN undn USING (p, q)) AS BIGINT) AS n_triangles) " +
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+        "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (3 * n_triangles * 1000000) // n_wedges END AS clustering_u " +
+        "FROM stats"),
 
     "q135_scd2_history" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +

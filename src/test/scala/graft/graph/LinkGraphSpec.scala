@@ -65,4 +65,68 @@ class LinkGraphSpec extends SparkSpec {
         .orderBy("item").collect().map(_.toSeq).toSeq
     assert(run(1) == run(7))
   }
+
+  test("labelPropagation: two cliques joined by a weak bridge settle on two communities") {
+    // clique A {1,2,3} w=10 all pairs; clique B {7,8,9} w=10; bridge 3-7 w=1
+    def sym(ps: Seq[(Long, Long, Long)]) =
+      ps ++ ps.map { case (a, b, w) => (b, a, w) }
+    val edges = sym(Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (7L, 8L, 10L), (7L, 9L, 10L), (8L, 9L, 10L),
+      (3L, 7L, 1L))).toDF("src", "dst", "w")
+    val labels = LinkGraph.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
+    assert(labels(7L) == labels(8L) && labels(8L) == labels(9L))
+    assert(labels(1L) != labels(7L), "bridge must not merge the cliques")
+  }
+
+  test("labelPropagation ties break to the smallest label, deterministically") {
+    // node 5 sees labels 1 and 2 with EQUAL weight -> must adopt 1
+    val edges = Seq(
+      (1L, 5L, 3L), (5L, 1L, 3L), (2L, 5L, 3L), (5L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val l1 = LinkGraph.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(5L) == 1L)
+    def run(parts: Int) =
+      LinkGraph.labelPropagation(edges.repartition(parts), iters = 3)
+        .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(5))
+  }
+
+  test("triangleStats: known census on a hand graph") {
+    // triangle {1,2,3} + path edge 3-4: 1 triangle, wedges: orient by
+    // (degree, id); plus an isolated edge 5-6
+    def sym(ps: Seq[(Long, Long)]) =
+      (ps ++ ps.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+    val edges = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L)))
+      .toDF("src", "dst", "w")
+    val r = LinkGraph.triangleStats(edges).collect().head
+    assert(r.getLong(0) == 6, "n_nodes")
+    assert(r.getLong(1) == 5, "n_edges")
+    assert(r.getLong(3) == 1, "n_triangles")
+    val wedges = r.getLong(2)
+    assert(wedges >= 1)
+    assert(r.getLong(4) == 3L * 1L * 1000000L / wedges,
+      "clustering_u = floor(3e6 * triangles / wedges)")
+  }
+
+  test("triangleStats counts every triangle exactly once on a random graph") {
+    val rnd = new scala.util.Random(9)
+    val pairs = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val edges = (pairs ++ pairs.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val got = LinkGraph.triangleStats(edges).collect().head.getLong(3)
+    val es = pairs.toSet
+    def has(a: Long, b: Long) = es.contains((a min b, a max b))
+    val expect = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L if has(a, b)
+      c <- (b + 1) to 20L if has(a, c) && has(b, c)
+    } yield 1).size.toLong
+    assert(got == expect)
+    assert(expect > 0, "fixture must contain triangles")
+  }
 }

@@ -63,7 +63,9 @@ class CatalogPlanSpec extends SparkSpec {
     "q130_covisit_pagerank",
     // 1-row total-token-count cross join over the bounded candidate
     // counts (the threshold comparison)
-    "q134_heavy_hitters")
+    "q134_heavy_hitters",
+    // four 1-row census aggregates cross-joined (the data-card pattern)
+    "q137_triangle_census")
 
   /** Window whitelist — per-entity partitions, bounded by the entity:
     * q18/q47 per-customer order history, q29 per-user as-of matching
@@ -86,7 +88,10 @@ class CatalogPlanSpec extends SparkSpec {
     // co-visitation projection guard; LinkGraph scaladoc)
     "q130_covisit_pagerank",
     // per-user lag/run-sum/lead — the q46 per-entity history contract
-    "q135_scd2_history")
+    "q135_scd2_history",
+    // the same per-user activity-cap row_number as q130 (shared
+    // co-visitation projection)
+    "q136_label_propagation", "q137_triangle_census")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r
