@@ -160,7 +160,13 @@ object GraphQueries {
     // micro-units.
     "q137_triangle_census" -> ((s, dir) =>
       LinkGraph.triangleStats(
-        LinkGraph.covisitEdges(interactions(s, dir), cap = Cap, minW = MinW))))
+        LinkGraph.covisitEdges(interactions(s, dir), cap = Cap, minW = MinW))),
+
+    // q135's SCD2 history as an ACTUAL stream: flatMapGroupsWithState
+    // carries the open run per user, closed intervals emit append-mode —
+    // gate is stream ≡ batch CLOSED rows (StreamingReconcile.scd2Runs).
+    "q138_streaming_scd2" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.scd2Stream(s, dir)))
 
   private val MaxDhashHamming = 4
   private val PhiDen = 500L
@@ -311,6 +317,23 @@ object GraphQueries {
         "SELECT user_id, version, event_type, valid_from, " +
         "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, " +
         "n_events FROM iv ORDER BY user_id, version"),
+
+    // the q135 oracle restricted to CLOSED intervals — an append-mode
+    // stream cannot emit the still-open run (see scd2Runs scaladoc)
+    "q138_streaming_scd2" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "event_id FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) = event_type " +
+        "THEN 0 ELSE 1 END AS chg FROM e), " +
+        "g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS BIGINT) AS version FROM f), " +
+        "iv AS (SELECT user_id, version, event_type, min(ts) AS valid_from, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY 1, 2, 3), " +
+        "h AS (SELECT user_id, version, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, " +
+        "n_events FROM iv) " +
+        "SELECT * FROM h WHERE valid_to IS NOT NULL ORDER BY user_id, version"),
 
     // Ground truth for the blocked fuzzy join: plain all-pairs
     // levenshtein — quadratic, gate-SF only; the Spark side stays

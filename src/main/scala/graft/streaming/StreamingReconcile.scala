@@ -509,4 +509,76 @@ object StreamingReconcile {
           UserSessions(user, st.sessions, st.events)
       }
   }
+
+  /** Per-user attribute-run event for [[scd2Stream]] (ts as epoch micros
+    * — state and emissions stay integer until the final projection). */
+  final case class Scd2Ev(user_id: Long, ts_us: Long, event_type: String,
+    event_id: Long)
+  /** Open run carried across micro-batches: current attribute, its start,
+    * its 1-based version ordinal, events folded so far. */
+  final case class Scd2State(attr: String, fromUs: Long, version: Long,
+    n: Long)
+  final case class Scd2Closed(user_id: Long, version: Long,
+    event_type: String, from_us: Long, to_us: Long, n_events: Long)
+
+  /** q135's SCD2 history computed by an ACTUAL stream —
+    * `flatMapGroupsWithState` per user (the flatMap form: a batch can
+    * CLOSE any number of runs for one user, unlike sessionize's
+    * one-row-per-group mapGroups). State is the single OPEN run; closed
+    * intervals are emitted append-mode as the attribute changes — the
+    * unbounded-deployment shape, where an open interval is unemittable
+    * by definition. The gate (q138) is therefore stream ≡ batch's CLOSED
+    * rows: the q135 oracle with `valid_to IS NOT NULL`.
+    *
+    * Ordering contract: within a batch the group's rows are sorted
+    * (bounded by the user's rows IN THAT BATCH, not history); across
+    * batches the file source admits time-ordered files
+    * oldest-modification-first ([[readEvents]] scaladoc), so run
+    * boundaries never arrive out of order. State is ONE open run per
+    * user — bounded by user cardinality, like sessionize. */
+  def scd2Runs(events: Dataset[Scd2Ev]): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user, rows, state: GroupState[Scd2State]) =>
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = Vector.newBuilder[Scd2Closed]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (st == null)
+                st = Scd2State(e.event_type, e.ts_us, 1L, 1L)
+              else if (st.attr == e.event_type)
+                st = st.copy(n = st.n + 1L)
+              else {
+                closed += Scd2Closed(user, st.version, st.attr, st.fromUs,
+                  e.ts_us, st.n)
+                st = Scd2State(e.event_type, e.ts_us, st.version + 1L, 1L)
+              }
+            }
+            if (st != null) state.update(st)
+            closed.result().iterator
+        }
+  }
+
+  /** The q138 gate runner: stream the events files through [[scd2Runs]]
+    * into an append parquet sink, return the closed intervals in the
+    * q135 emission shape. */
+  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = readEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[Scd2Ev]
+    val (out, cleanup) = runToParquetSink(
+      scd2Runs(src).toDF(), "scd2_stream", OutputMode.Append())
+    try out.select(col("user_id"), col("version"), col("event_type"),
+        timestamp_micros(col("from_us")).as("valid_from"),
+        timestamp_micros(col("to_us")).as("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+      .localCheckpoint(true) // materialise before the sink dir dies
+    finally cleanup()
+  }
 }

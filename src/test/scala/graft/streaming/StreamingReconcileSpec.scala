@@ -431,4 +431,35 @@ class StreamingReconcileSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("scd2Runs fold: runs close on change, open run stays in state, versions ordinal") {
+    // batch execution of the flatMapGroupsWithState fold (single
+    // invocation per group, empty initial state): pure fold-logic check
+    val evs = Seq(
+      StreamingReconcile.Scd2Ev(1L, 100L, "a", 1L),
+      StreamingReconcile.Scd2Ev(1L, 200L, "a", 2L),
+      StreamingReconcile.Scd2Ev(1L, 300L, "b", 3L),
+      StreamingReconcile.Scd2Ev(1L, 400L, "c", 4L), // c stays OPEN
+      StreamingReconcile.Scd2Ev(2L, 150L, "x", 5L)  // single run, open
+    ).toDS()
+    val closed = StreamingReconcile.scd2Runs(evs)
+      .collect().sortBy(c => (c.user_id, c.version))
+      .map(c => (c.user_id, c.version, c.event_type, c.from_us, c.to_us, c.n_events))
+    assert(closed.toSeq == Seq(
+      (1L, 1L, "a", 100L, 300L, 2L),
+      (1L, 2L, "b", 300L, 400L, 1L)))
+  }
+
+  test("streaming SCD2 equals the batch operator's closed intervals") {
+    val got = StreamingReconcile.scd2Stream(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val expected = graft.operators.Scd2.history(
+      graft.core.Tables.load(spark, sf001, "events"),
+      "user_id", "ts", "event_type", "event_id")
+      .filter(col("valid_to").isNotNull)
+      .orderBy("user_id", "version")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
