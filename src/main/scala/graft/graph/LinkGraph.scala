@@ -108,9 +108,22 @@ object LinkGraph {
     * once — DISK_ONLY, because its row count scales with the corpus. */
   def pagerankMicro(edges: DataFrame, iters: Int = 4,
       checkpointShares: Boolean = true): DataFrame = {
-    val strength = edges.groupBy("src")
+    // Materialise the loop-invariant relations ONCE (the
+    // hoist-the-loop-rescan rule): the edge relation feeds strength,
+    // shares, AND would otherwise re-run the upstream co-visitation
+    // self-join for every iteration's consumer. Edge/share rows scale
+    // with the corpus → DISK_ONLY; strength is node-sized → default
+    // level (the q128 distinction).
+    val e =
+      if (checkpointShares) edges.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else edges
+    val strengthPlan = e.groupBy("src")
       .agg(sum("w").as("s"), count(lit(1)).as("n_out"))
-    val sharesPlan = edges.join(strength, "src")
+    val strength =
+      if (checkpointShares) strengthPlan.localCheckpoint(true)
+      else strengthPlan
+    val sharesPlan = e.join(strength, "src")
       .select(col("src"), col("dst"),
         expr(s"(w * ${ShareScale}L) div s").as("share"))
     val shares =
@@ -160,11 +173,19 @@ object LinkGraph {
     * aggregates over (dst, label) rows — ≤ |edges| rows, demoted from
     * broadcast by [[graft.plans.DemoteCorpusBroadcast]] like every
     * corpus join here. K is a small constant. */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val nodes = edges.select(col("src").as("item")).distinct()
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      checkpoint: Boolean = true): DataFrame = {
+    // every iteration re-consumes the edge relation — materialise it once
+    // (DISK_ONLY: edge rows scale with the corpus) or the upstream
+    // projection re-runs per iteration
+    val e =
+      if (checkpoint) edges.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else edges
+    val nodes = e.select(col("src").as("item")).distinct()
     var labels = nodes.withColumn("label", col("item"))
     for (_ <- 1 to iters) {
-      val mass = edges
+      val mass = e
         .join(labels.withColumnRenamed("item", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("w").as("lw"))
@@ -189,13 +210,14 @@ object LinkGraph {
     * n_nodes, n_edges (undirected), n_wedges, n_triangles, and the
     * global clustering coefficient in micro-units (exact integer:
     * 3·triangles·10⁶ div wedges). */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+      checkpoint: Boolean = true): DataFrame = {
     val und = edges.filter(col("src") < col("dst")).select("src", "dst")
     val deg = und.select(col("src").as("v"))
       .unionByName(und.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient low (d, v) -> high (d, v)
-    val dirE = und
+    val dirPlan = und
       .join(deg.select(col("v").as("src"), col("d").as("da")), "src")
       .join(deg.select(col("v").as("dst"), col("d").as("db")), "dst")
       .select(
@@ -205,6 +227,12 @@ object LinkGraph {
           .otherwise(struct(col("dst").as("u"), col("src").as("x")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.x").as("x"))
+    // three plan consumers (both wedge legs + the closing edge set) —
+    // materialise once (DISK_ONLY: edge-sized, corpus-scaled)
+    val dirE =
+      if (checkpoint) dirPlan.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else dirPlan
     val wedges = dirE.as("a")
       .join(dirE.as("b"), col("a.u") === col("b.u") && col("a.x") < col("b.x"))
       .select(col("a.x").as("p"), col("b.x").as("q"))

@@ -105,6 +105,7 @@ object Multimodal {
     * [[decodeWavSamples]]; compressed audio/video stay stub-only).
     * Headless-safe: BufferedImage drawing needs no display. */
   def decodeImage(m: MediaRow): Option[ImageFeatures] = {
+    imageIoMemCache // in-memory stream cache (see the val's scaladoc)
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
       catch { case _: Exception => None }
@@ -214,7 +215,18 @@ object Multimodal {
     * encode half of the trip [[decodeDhash56]] closes; the q133 gate
     * verifies encode → decode → hash against an oracle that recomputes
     * the hash from the pixel formula and never sees the PNG bytes. */
+  /** ImageIO's default stream cache is a TEMP FILE per read/write — at
+    * corpus scale that is one file-create+delete per image under every
+    * executor thread, a kernel-contended super-linear tax the x30 trend
+    * caught on q133 (ratio 41 at factor 30 with the disk cache; the
+    * in-memory cache restores the linear codec pass). Process-wide, set
+    * once: the blobs here are KB-sized, exactly what the memory cache is
+    * for. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    imageIoMemCache
     require(pixels.length == w * h, s"expected ${w * h} pixels")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -239,6 +251,7 @@ object Multimodal {
     * on both engines (the q96 60-bit discipline). None for undecodable
     * bytes (quarantine-on-decode-failure). */
   def decodeDhash56(m: MediaRow): Option[Long] = {
+    imageIoMemCache
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media)))
       catch { case _: Exception => None }
