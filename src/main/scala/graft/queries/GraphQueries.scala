@@ -166,7 +166,58 @@ object GraphQueries {
     // carries the open run per user, closed intervals emit append-mode —
     // gate is stream ≡ batch CLOSED rows (StreamingReconcile.scd2Runs).
     "q138_streaming_scd2" -> ((s, dir) =>
-      graft.streaming.StreamingReconcile.scd2Stream(s, dir)))
+      graft.streaming.StreamingReconcile.scd2Stream(s, dir)),
+
+    // Row-level MERGE (upsert/delete) applied as one full-outer join —
+    // the dimension-maintenance op complementing the engine's
+    // partition-replace path (Reconciler): changes carry an op column
+    // (U update / D delete / I insert), base rows without a change pass
+    // through, updates overwrite payload columns, deletes drop, inserts
+    // append. The changes fixture derives deterministically from the keys
+    // (the q98 both-sides pattern). One shuffle per side, never a
+    // broadcast of the corpus side (the change set DOES broadcast — it is
+    // delta-sized by definition).
+    "q139_merge_upsert" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("bal_c"))
+      val maxK = lit(1000000000L) // disjoint insert key space
+      val updates = base.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+        .select(col("k"), lit("U").as("op"),
+          concat(col("name"), lit(" (rev)")).as("name"),
+          (col("bal_c") + col("k") % 1000L).as("bal_c"))
+      val deletes = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("D").as("op"),
+          lit(null).cast("string").as("name"), lit(null).cast("long").as("bal_c"))
+      val inserts = base.filter(col("k") % 11 === 0)
+        .select((col("k") + maxK).as("k"), lit("I").as("op"),
+          concat(lit("new customer "), col("k").cast("string")).as("name"),
+          (col("k") * 13L).as("bal_c"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.MergeUpsert(base, changes, key = "k")
+        .orderBy("k")
+    }),
+
+    // Ingestion-gap report: per-user event-time continuity — count gaps
+    // over 6h between consecutive events and the largest gap, the
+    // data-quality pass a log-ingestion pipeline ships with every load
+    // (per-entity window, the q46 class).
+    "q140_ingestion_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // order by TRUNCATED seconds + unique id on BOTH sides: ordering by
+      // raw micros here while the oracle orders by (sec, id) would pair
+      // same-second events differently
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("tsec", unix_timestamp(col("ts")))
+        .withColumn("gap_s", col("tsec") - lag("tsec", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("gap_s") > 21600L, 1L).otherwise(0L)).as("n_gaps"),
+          coalesce(max("gap_s"), lit(0L)).as("max_gap_s"))
+        .orderBy("user_id")
+    }))
 
   private val MaxDhashHamming = 4
   private val PhiDen = 500L
@@ -317,6 +368,34 @@ object GraphQueries {
         "SELECT user_id, version, event_type, valid_from, " +
         "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, " +
         "n_events FROM iv ORDER BY user_id, version"),
+
+    "q139_merge_upsert" ->
+      ("WITH base AS (SELECT c_custkey AS k, c_name AS name, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c FROM customer), " +
+        "ch AS (" +
+        "SELECT k, 'U' AS op, name || ' (rev)' AS name, bal_c + k % 1000 AS bal_c " +
+        "FROM base WHERE k % 5 = 0 AND k % 7 <> 0 " +
+        "UNION ALL SELECT k, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) " +
+        "FROM base WHERE k % 7 = 0 " +
+        "UNION ALL SELECT k + 1000000000, 'I', 'new customer ' || CAST(k AS VARCHAR), k * 13 " +
+        "FROM base WHERE k % 11 = 0) " +
+        "SELECT coalesce(b.k, c.k) AS k, " +
+        "CASE WHEN c.op IN ('U', 'I') THEN c.name ELSE b.name END AS name, " +
+        "CASE WHEN c.op IN ('U', 'I') THEN c.bal_c ELSE b.bal_c END AS bal_c " +
+        "FROM base b FULL JOIN ch c ON c.k = b.k " +
+        "WHERE c.op IS NULL OR c.op <> 'D' ORDER BY k"),
+
+    // floor-to-seconds BEFORE the subtraction on both sides
+    // (epoch_us // 1e6 ≡ Spark's unix_timestamp truncation)
+    "q140_ingestion_gaps" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, " +
+        "event_id FROM events), " +
+        "g AS (SELECT user_id, tsec - lag(tsec) OVER " +
+        "(PARTITION BY user_id ORDER BY tsec, event_id) AS gap_s FROM e) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN gap_s > 21600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "CAST(coalesce(max(gap_s), 0) AS BIGINT) AS max_gap_s " +
+        "FROM g GROUP BY 1 ORDER BY user_id"),
 
     // the q135 oracle restricted to CLOSED intervals — an append-mode
     // stream cannot emit the still-open run (see scd2Runs scaladoc)

@@ -91,7 +91,9 @@ class CatalogPlanSpec extends SparkSpec {
     "q135_scd2_history",
     // the same per-user activity-cap row_number as q130 (shared
     // co-visitation projection)
-    "q136_label_propagation", "q137_triangle_census")
+    "q136_label_propagation", "q137_triangle_census",
+    // per-user event-time lag — the q46 per-entity class
+    "q140_ingestion_gaps")
 
   test("catalog sweep: no CartesianProduct / unwhitelisted BNLJ / unwhitelisted Window") {
     val windowOp = "Window(GroupLimit)? \\[".r
