@@ -184,6 +184,50 @@ object Multimodal {
       }
     }
 
+  /** REAL raw-sample decode for 16-bit PCM WAV — the integer samples
+    * themselves (the [[decodeWavSamples]] feature fold normalises to
+    * doubles; fingerprinting needs the exact ints). None for anything
+    * but 16-bit integer PCM. */
+  def decodeWavRawSamples16(m: MediaRow): Option[Array[Int]] =
+    MediaHeader.parseWavPcm(m.media).flatMap { w =>
+      if (w.audioFormat != 1 || w.header.bitsPerSample != 16) None
+      else {
+        val n = w.dataLen / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val off = w.dataOffset + i * 2
+          out(i) =
+            ((m.media(off) & 0xff) | ((m.media(off + 1) & 0xff) << 8)).toShort.toInt
+          i += 1
+        }
+        Some(out)
+      }
+    }
+
+  /** 56-bit audio fingerprint in EXACT integer arithmetic: frame the
+    * samples into 57 frames of 2, energy(f) = Σ s² (≤ 2·32768² per frame
+    * — exact in Long), bit i set iff energy(i+1) > energy(i). The audio
+    * sibling of the image dHash ([[decodeDhash56]]): sign-of-delta over
+    * a coarse envelope survives amplitude-preserving re-encodes, and the
+    * integer comparisons make it oracle-recomputable. Inputs shorter
+    * than 114 samples hash their available full frames. */
+  def energyDeltaHash56(samples: Array[Int]): Long = {
+    val nFrames = math.min(57, samples.length / 2)
+    var sig = 0L
+    var prev = 0L
+    var f = 0
+    while (f < nFrames) {
+      val a = samples(2 * f).toLong
+      val b = samples(2 * f + 1).toLong
+      val e = a * a + b * b
+      if (f > 0 && e > prev) sig |= 1L << (f - 1)
+      prev = e
+      f += 1
+    }
+    sig
+  }
+
   /** Distributed audio decode: same flatMap-quarantine shape as
     * [[imageFeatures]] — undecodable blobs drop out. */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {

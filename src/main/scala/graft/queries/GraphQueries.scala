@@ -199,6 +199,47 @@ object GraphQueries {
         .orderBy("k")
     }),
 
+    // AUDIO near-dup mining — the q133 discipline applied to the third
+    // modality: 114 deterministic PCM samples per doc (the q89 integer
+    // formula family, md5-mixed like q133's pixels), ENCODED into real
+    // RIFF/WAVE bytes, DECODED back through the real PCM reader; the
+    // signature is a 56-bit frame-energy delta-hash (57 frames of 2
+    // samples, bit i set iff energy(i+1) > energy(i) — energies are exact
+    // integer sums of squares, so the oracle recomputes them from the
+    // formula with no FP hazard and never sees WAV bytes). Planted
+    // near-dups: every (id % 16 = 1) doc carries its predecessor's
+    // samples with sample 0 perturbed — at most the first energy
+    // comparison flips (Hamming ≤ 1). Pairs come from the SAME Manku
+    // banding miner text SimHash and image dHash use.
+    "q141_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val planted = id % 16 == 1
+          val m = (if (planted) id - 1 else id) % 999983L
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h15(str: String): Long = {
+            val d = md.digest(str.getBytes("UTF-8"))
+            var v = 0L
+            var i = 0
+            while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            v >>> 4
+          }
+          val samples = Array.tabulate(114) { i =>
+            val v = (h15(s"a$m:$i") % 65536L - 32768L).toInt
+            if (planted && i == 0) ((v + 30000 + 32768) % 65536) - 32768 else v
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.encodeWavPcm16(samples.toSeq, 1, 8000), "wav")
+        }
+        .mapPartitions(rows => rows.flatMap(r =>
+          Multimodal.decodeWavRawSamples16(r).map(samples =>
+            (r.doc_id, Multimodal.energyDeltaHash56(samples)))))
+        .toDF("id", "sig")
+      Dedup.simhashPairsOf(sigs, bits = 56, maxHamming = MaxDhashHamming)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Ingestion-gap report: per-user event-time continuity — count gaps
     // over 6h between consecutive events and the largest gap, the
     // data-quality pass a log-ingestion pipeline ships with every load
@@ -368,6 +409,29 @@ object GraphQueries {
         "SELECT user_id, version, event_type, valid_from, " +
         "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, " +
         "n_events FROM iv ORDER BY user_id, version"),
+
+    // samples → frame energies → delta bits, all integer; the WAV bytes
+    // exist only on the Spark side (the q133/q89 discipline)
+    "q141_audio_fingerprint" -> {
+      val hex = "CAST('0x' || substr(md5('a' || CAST(m AS VARCHAR) || ':' || " +
+        "CAST(i AS VARCHAR)), 1, 15) AS BIGINT)"
+      s"WITH b AS (SELECT doc_id, doc_id % 16 = 1 AS planted, " +
+        "CASE WHEN doc_id % 16 = 1 THEN (doc_id - 1) % 999983 " +
+        "ELSE doc_id % 999983 END AS m FROM documents), " +
+        "s AS (SELECT doc_id, i, CASE WHEN planted AND i = 0 THEN " +
+        s"(($hex % 65536 - 32768 + 30000 + 32768) % 65536) - 32768 " +
+        s"ELSE $hex % 65536 - 32768 END AS v " +
+        "FROM b CROSS JOIN (SELECT unnest(range(0, 114)) AS i)), " +
+        "e AS (SELECT doc_id, i // 2 AS f, CAST(sum(v * v) AS BIGINT) AS e " +
+        "FROM s GROUP BY 1, 2), " +
+        "sig AS (SELECT n.doc_id, CAST(coalesce(sum(CASE WHEN nx.e > n.e " +
+        "THEN (CAST(1 AS BIGINT) << CAST(n.f AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS sg " +
+        "FROM e n JOIN e nx ON nx.doc_id = n.doc_id AND nx.f = n.f + 1 GROUP BY 1) " +
+        "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.sg, b2.sg)) AS INTEGER) AS hamming " +
+        "FROM sig a JOIN sig b2 ON b2.doc_id > a.doc_id " +
+        s"WHERE bit_count(xor(a.sg, b2.sg)) <= $MaxDhashHamming ORDER BY id_a, id_b"
+    },
 
     "q139_merge_upsert" ->
       ("WITH base AS (SELECT c_custkey AS k, c_name AS name, " +

@@ -273,4 +273,29 @@ class MultimodalSpec extends SparkSpec {
     val big = Multimodal.encodeGrayPng(Array.fill(10 * 7)(0), 10, 7)
     assert(Multimodal.decodeDhash56(Multimodal.MediaRow(4L, big, "png")).isEmpty)
   }
+
+  test("WAV raw-sample round trip is exact; energy delta-hash flips <= 1 bit on a one-sample bump") {
+    val rnd = new scala.util.Random(17)
+    val samples = Array.fill(114)(rnd.nextInt(65536) - 32768)
+    val wav = Multimodal.encodeWavPcm16(samples.toSeq, 1, 8000)
+    val back = Multimodal.decodeWavRawSamples16(
+      Multimodal.MediaRow(1L, wav, "wav")).get
+    assert(back.toSeq == samples.toSeq, "lossless 16-bit PCM round trip")
+    val sig = Multimodal.energyDeltaHash56(back)
+    // reference: exact integer frame energies
+    val es = (0 until 57).map(f =>
+      samples(2 * f).toLong * samples(2 * f) +
+        samples(2 * f + 1).toLong * samples(2 * f + 1))
+    var expect = 0L
+    for (f <- 1 until 57) if (es(f) > es(f - 1)) expect |= 1L << (f - 1)
+    assert(sig == expect)
+    assert((sig >>> 56) == 0L, "sign-safe")
+    // bump sample 0: only frame 0's energy moves -> only bit 0 can flip
+    val s2 = samples.clone(); s2(0) = ((s2(0) + 30000 + 32768) % 65536) - 32768
+    val sig2 = Multimodal.energyDeltaHash56(s2)
+    assert(java.lang.Long.bitCount(sig ^ sig2) <= 1)
+    // 8-bit / non-PCM inputs quarantine
+    assert(Multimodal.decodeWavRawSamples16(
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4), "wav")).isEmpty)
+  }
 }
