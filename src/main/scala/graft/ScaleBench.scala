@@ -93,7 +93,12 @@ object ScaleBench {
     // scaled corpus grows each user's history by the factor (fixed user
     // population), the WORST case for per-entity windows — the trend
     // certifies the per-entity sort absorbs it near-linearly
-    "q135_scd2_history")
+    "q135_scd2_history",
+    // round 8 (cont. 2): audio fingerprint mining — per-doc WAV
+    // encode+decode (map-only, the q133 codec class) + the 56-bit
+    // banding join; certifies the third modality's codec pass stays
+    // linear (no disk-backed stream cache — WAV writes to a ByteBuffer)
+    "q141_audio_fingerprint")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact
