@@ -98,7 +98,13 @@ object ScaleBench {
     // encode+decode (map-only, the q133 codec class) + the 56-bit
     // banding join; certifies the third modality's codec pass stays
     // linear (no disk-backed stream cache — WAV writes to a ByteBuffer)
-    "q141_audio_fingerprint")
+    "q141_audio_fingerprint",
+    // round 8 (cont. 3): window funnel — the scaled corpus grows each
+    // user's event history by the factor (fixed user population), the
+    // worst case for the per-user sorted fold (the q135 class); the
+    // trend certifies the greedy fold absorbs 30x-longer per-user
+    // sequences linearly with no self-join blowup
+    "q142_window_funnel")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Behavior
+
+/** Behavioral-analytics family (q142–q144): the ClickHouse
+  * windowFunnel / retention / sequenceCount surface over the events log.
+  * Every oracle is a full DuckDB recomputation — the funnel's
+  * exists-a-chain formulation as nested self-joins, the pair count as a
+  * literal ordered self-join count — so the greedy one-pass Spark folds
+  * are verified against the definitionally-quadratic spellings.
+  */
+object BehaviorQueries {
+
+  private val FunnelWindowMs = 21600000L // 6 h: fixture yields levels 1, 2 and 3
+  private val HourMs = 3600000L
+  private val MaxOffset = 48
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private val funnelStep =
+    when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // windowFunnel(6h)(ts, view, click, purchase): deepest strictly-ordered
+    // chain within a window anchored at the chain's first event. The Spark
+    // side is the greedy latest-start fold (Behavior scaladoc has the
+    // exchange argument); the oracle enumerates chains with self-joins.
+    "q142_window_funnel" -> ((s, dir) =>
+      Behavior.funnelLevels(events(s, dir), "user_id", "ts",
+        funnelStep, nSteps = 3, windowMs = FunnelWindowMs)),
+
+    // hourly cohort retention: users cohorted by the hour bucket of their
+    // first signup; per offset 0..48, distinct users active in
+    // cohort_bucket + offset. Pure integer epoch-hour arithmetic.
+    "q143_cohort_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(events(s, dir), "user_id", "ts",
+        col("event_type") === "signup", bucketMs = HourMs,
+        maxOffset = MaxOffset)),
+
+    // sequenceMatch('(?1).*(?2)') + sequenceCount over (view, purchase):
+    // per user, the number of strictly-ordered (view, purchase) pairs and
+    // whether any exists — one linear fold vs the oracle's join count.
+    "q144_sequence_pairs" -> ((s, dir) =>
+      Behavior.sequencePairs(events(s, dir), "user_id", "ts",
+        col("event_type") === "view", col("event_type") === "purchase"))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q142_window_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t, " +
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS s " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1), " +
+        s"l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs), " +
+        s"l3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs " +
+        s"JOIN e c ON c.user_id = a.user_id AND c.s = 3 AND c.t > b.t AND c.t <= a.t + $FunnelWindowMs) " +
+        "SELECT user_id, CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3 " +
+        "WHEN user_id IN (SELECT user_id FROM l2) THEN 2 " +
+        "WHEN user_id IN (SELECT user_id FROM l1) THEN 1 ELSE 0 END AS funnel_level " +
+        "FROM u ORDER BY user_id"),
+
+    "q143_cohort_retention" ->
+      (s"WITH c AS (SELECT user_id, min(epoch_ms(ts)) // $HourMs AS cohort_bucket " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        s"a AS (SELECT DISTINCT user_id, epoch_ms(ts) // $HourMs AS bucket FROM events) " +
+        "SELECT cohort_bucket, bucket - cohort_bucket AS bucket_offset, count(*) AS n_users " +
+        "FROM c JOIN a USING (user_id) " +
+        s"WHERE bucket - cohort_bucket BETWEEN 0 AND $MaxOffset " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q144_sequence_pairs" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events " +
+        "WHERE event_type IN ('view','purchase')), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "p AS (SELECT a.user_id, count(*) AS c FROM e a JOIN e b " +
+        "ON b.user_id = a.user_id AND a.event_type = 'view' AND b.event_type = 'purchase' AND a.t < b.t " +
+        "GROUP BY a.user_id) " +
+        "SELECT u.user_id, CAST(coalesce(p.c, 0) AS BIGINT) AS n_pairs, " +
+        "coalesce(p.c, 0) > 0 AS matched " +
+        "FROM u LEFT JOIN p USING (user_id) ORDER BY u.user_id")
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral analytics: the greedy funnel fold vs a brute-force chain
+  * enumeration, strict-tie semantics, the skip-and-flag guard, cohort
+  * arithmetic, and pair counting. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.map { case (u, tMs, ty) => (u, new Timestamp(tMs), ty) }
+      .toDF("user_id", "ts", "event_type")
+
+  private val step =
+    when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+
+  private def levels(df: DataFrame, windowMs: Long, cap: Int = 0): Map[Long, Int] =
+    Behavior.funnelLevels(df, "user_id", "ts", step, 3, windowMs, cap)
+      .as[(Long, Int)].collect().toMap
+
+  test("funnel: planted chains hit the expected levels") {
+    val m = 60000L
+    val df = ev(Seq(
+      (1L, 0L, "view"), (1L, 10 * m, "click"), (1L, 20 * m, "purchase"), // full chain
+      (2L, 0L, "view"), (2L, 10 * m, "click"), (2L, 70 * m, "purchase"), // purchase outside 1h window
+      (3L, 0L, "click"), (3L, 10 * m, "view"),                           // order violated -> level 1
+      (4L, 0L, "purchase"),                                              // no step-1 -> 0
+      (5L, 0L, "error")                                                  // non-funnel rows dropped entirely
+    ))
+    val got = levels(df, 60 * m)
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
+  test("funnel: window anchors at the chain start and a LATER start rescues the chain") {
+    val m = 60000L
+    // view@0 starts a chain whose window (60m) excludes purchase@70m, but
+    // view@30m + the same click@50m re-anchor it: 70 <= 30+60.
+    val df = ev(Seq(
+      (1L, 0L, "view"), (1L, 30 * m, "view"),
+      (1L, 50 * m, "click"), (1L, 70 * m, "purchase")))
+    assert(levels(df, 60 * m) === Map(1L -> 3))
+    // without the second view the same events stop at level 2
+    val df2 = ev(Seq(
+      (1L, 0L, "view"), (1L, 50 * m, "click"), (1L, 70 * m, "purchase")))
+    assert(levels(df2, 60 * m) === Map(1L -> 2))
+  }
+
+  test("funnel: timestamp ties are strict — a same-instant next step does not count") {
+    val df = ev(Seq(
+      (1L, 1000L, "view"), (1L, 1000L, "click"),   // tie: click can't follow
+      (2L, 1000L, "view"), (2L, 1001L, "click")))  // 1ms later: counts
+    assert(levels(df, 3600000L) === Map(1L -> 1, 2L -> 2))
+  }
+
+  test("funnel: greedy fold equals brute-force chain enumeration on random sequences") {
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "purchase", "error")
+    val rows = for {
+      u <- 1L to 40L
+      _ <- 1 to (1 + rnd.nextInt(12))
+    } yield (u, rnd.nextInt(200).toLong * 1000L, types(rnd.nextInt(types.size)))
+    val w = 50000L
+    def stepOf(t: String) = t match {
+      case "view" => 1; case "click" => 2; case "purchase" => 3; case _ => 0 }
+    val brute: Map[Long, Int] = rows.groupBy(_._1).map { case (u, es) =>
+      val e = es.map { case (_, t, ty) => (t, stepOf(ty)) }.filter(_._2 > 0)
+      def reach(lvl: Int): Boolean = e.exists { case (t1, s1) =>
+        s1 == 1 && extend(e, 1, lvl, t1, t1) }
+      def extend(e0: Seq[(Long, Int)], have: Int, want: Int,
+                 start: Long, last: Long): Boolean =
+        have >= want || e0.exists { case (t, s) =>
+          s == have + 1 && t > last && t <= start + w &&
+            extend(e0, have + 1, want, start, t) }
+      val lvl = (3 to 1 by -1).find(reach).getOrElse(0)
+      (u, lvl)
+    }
+    val got = levels(ev(rows), w)
+    val all = brute.keySet.filter(u => rows.exists(r => r._1 == u && stepOf(r._3) > 0))
+    assert(all.forall(u => got(u) == brute(u)),
+      all.filter(u => got(u) != brute(u)).map(u => s"$u: got ${got(u)} want ${brute(u)}").mkString(", "))
+  }
+
+  test("funnel: maxUserEvents flags the fat user with -1 and leaves the rest exact") {
+    val df = ev((1 to 10).map(i => (1L, i * 1000L, "view")) :+
+      (2L, 0L, "view") :+ (2L, 1000L, "click"))
+    assert(levels(df, 3600000L, cap = 5) === Map(1L -> -1, 2L -> 2))
+  }
+
+  test("cohort retention: hand-computed buckets") {
+    val h = 3600000L
+    val df = ev(Seq(
+      (1L, 0L, "signup"), (1L, h + 1, "view"),        // cohort 0, active 0 and 1
+      (2L, h, "signup"), (2L, 3 * h, "click"),        // cohort 1, active 1 and 3
+      (3L, 0L, "view")))                              // never signs up -> no cohort
+    val got = Behavior.cohortRetention(df, "user_id", "ts",
+      col("event_type") === "signup", h, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("sequence pairs: strict ordered count incl. ties") {
+    val df = ev(Seq(
+      (1L, 0L, "view"), (1L, 1L, "view"), (1L, 2L, "purchase"), (1L, 3L, "purchase"), // 2*2 pairs
+      (2L, 5L, "view"), (2L, 5L, "purchase"),  // tie -> not counted
+      (3L, 9L, "purchase"), (3L, 10L, "view")  // wrong order
+    ))
+    val got = Behavior.sequencePairs(df, "user_id", "ts",
+      col("event_type") === "view", col("event_type") === "purchase")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 4L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("sequence pairs: repartition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong * 500L,
+        if (rnd.nextBoolean()) "view" else "purchase"))
+    val a = Behavior.sequencePairs(ev(rows), "user_id", "ts",
+      col("event_type") === "view", col("event_type") === "purchase")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val b = Behavior.sequencePairs(ev(rows).repartition(7), "user_id", "ts",
+      col("event_type") === "view", col("event_type") === "purchase")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(a === b)
+  }
+}
