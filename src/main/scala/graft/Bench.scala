@@ -82,6 +82,31 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val totalMedian = results.map { case (_, rs) => median(rs) }.sum
+    // Fixed-workload trend line: the 51 queries the ROUND-1 bench recorded
+    // (BENCH_r01.json, 299.3 s). The headline `value` grows with every
+    // catalog addition by construction; this subset is the same work
+    // measured every round, so engine speed and catalog growth are
+    // separable in the artifact itself.
+    val r1Names = Set(
+      "q01_scan_project", "q02_filter_eq", "q03_filter_range",
+      "q04_filter_conj", "q05_count", "q06_count_filtered",
+      "q07_cast_project", "q08_partition_inventory", "q09_uuid_or_zero",
+      "q10_ipv4", "q11_format_size", "q12_describe",
+      "q13_delete_partition", "q14_recon_verdict", "q15_groupby_agg",
+      "q16_join_agg", "q17_topk", "q18_window",
+      "q19_events_window", "q20_json_extract", "q21_fingerprint",
+      "q22_fingerprint_by_partition", "q23_distinct_agg", "q24_setops",
+      "q25_rollup", "q26_percentiles", "q27_approx_sketches",
+      "q28_salted_join", "q29_asof_join", "q30_dedup_exact",
+      "q31_minhash_pairs", "q32_simhash", "q33_jaccard_pairs",
+      "q34_knn_bruteforce", "q35_knn_lsh", "q36_embedding_neardup",
+      "q40_langid", "q41_quality", "q42_token_stats",
+      "q43_text_stats", "q44_doc_fingerprint", "q45_multimodal_features",
+      "q46_sessionize", "q47_window_frames", "q48_string_funcs",
+      "q49_explode", "q50_range_join", "q51_pivot",
+      "q52_grouping_sets", "q53_map_funcs", "q54_knn_ivf")
+    val r1Present = results.filter { case (k, _) => r1Names.contains(k) }
+    val r1Sum = r1Present.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // phase split (round-5 verdict #8): the persisted-index queries' gate
     // totals time build+probe together; the user-facing number is the
@@ -104,7 +129,7 @@ object Bench {
         }
       }
     val phasesJson = phases.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in
     // r1) — FULL runs only: a filtered iteration run must not overwrite
     // the round's record with a subset.

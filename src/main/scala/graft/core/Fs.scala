@@ -14,6 +14,21 @@ object Fs {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Scratch directory for EPHEMERAL gate artifacts — the parity gates'
+    * throwaway index trees and the stream harnesses' checkpoint/sink dirs,
+    * all built and deleted inside one query. Prefers tmpfs (/dev/shm) when
+    * the host has one: this I/O is pure scratch (the artifact never
+    * outlives the query), so paying disk fsync/rename latency for it
+    * measures the host's filesystem, not the engine. A PRODUCTION index
+    * build passes its own durable path — every store API takes the path
+    * explicitly and nothing routes real data through here. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** Delete a directory tree, deepest-first. Missing path is a no-op.
     * The walk stream is closed eagerly (it holds a directory fd open;
     * relying on GC finalization leaks descriptors in a long-lived driver). */

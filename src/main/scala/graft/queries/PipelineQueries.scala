@@ -376,8 +376,8 @@ object PipelineQueries {
     // streaming shard ingest dedup'd against the PERSISTED near-dup store
     // (round-7 task #3 — the dedup_neardup step as a live stream):
     // history pre-folded, the stream carries fresh odd docs plus history
-    // texts redelivered under new odd ids, in THREE id-arithmetic
-    // micro-batches (doc_id % 6) so the order-dependent odd↔odd near-dup
+    // texts redelivered under new odd ids, in TWO id-arithmetic
+    // micro-batches (doc_id % 4) so the order-dependent odd↔odd near-dup
     // survivorship is deterministic; the oracle simulates the same
     // sequential store fold with chained NOT-EXISTS levels
     "q110_streaming_neardup" -> ((s, dir) =>
@@ -413,7 +413,7 @@ object PipelineQueries {
         q, emb, "vec_id", "embedding", "label", k = 10)
       val sampled = q.select("label").distinct()
         .collect().map(_.getInt(0)).sorted.take(2) // ≤|labels| rows
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_filtered")
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_filtered")
       val viaIndex = try {
         Similarity.buildIvfIndex(emb.filter(col("label") === sampled.head),
           "vec_id", "embedding", idxDir.toString, nCentroids = 4,
@@ -449,7 +449,7 @@ object PipelineQueries {
       // concurrent runs overwrite each other's index mid-query), deleted
       // after the probe result is MATERIALISED — the lazy plan reads the
       // index files, so deletion must wait for the localCheckpoint
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_index")
       val viaIndex = try {
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir.toString,
           nCentroids = 16)
@@ -516,7 +516,7 @@ object PipelineQueries {
     // because the quantised score algebra is identical on both paths.
     "q95_bm25_index" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_index")
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_index")
       try {
         graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
@@ -525,25 +525,26 @@ object PipelineQueries {
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
 
-    // the q91 corpus INGESTED AS THREE SHARDS — build on the first, append
-    // the rest (O(shard) df/stats merges, dynamic-overwrite postings) —
+    // the q91 corpus INGESTED AS TWO SHARDS — build on the first, append
+    // the second (O(shard) df/stats merges, dynamic-overwrite postings) —
     // then probed. The emission must equal the full-corpus oracle
     // bit-for-bit, which externally certifies the whole incremental
     // maintenance path: per-shard postings partitions, exact long-sum
     // df/stats merge, derived avgdl, replay guard plumbing. Null-id docs
-    // ride in shard 0 so the shard union is exactly the corpus.
+    // ride in shard 0 so the shard union is exactly the corpus. (Gate
+    // sizing: one append exercises every merge code path; the N-append
+    // decomposition invariance is spec'd bit-for-bit in RetrievalSpec, so
+    // a second in-gate append bought only job-count overhead.)
     "q97_bm25_append" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       def shard(i: Int) = docs.filter(
-        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_append")
+        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(2)) === i)
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_append")
       try {
         graft.text.Retrieval.buildBm25Index(shard(0), "text", "doc_id",
           idxDir.toString, shardId = "shard0")
         graft.text.Retrieval.appendBm25Index(shard(1), "text", "doc_id",
           idxDir.toString, "shard1")
-        graft.text.Retrieval.appendBm25Index(shard(2), "text", "doc_id",
-          idxDir.toString, "shard2")
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
           .orderBy("query_id", "rank")
           .localCheckpoint(true) // materialise before the index dir dies
@@ -557,7 +558,7 @@ object PipelineQueries {
     // certified externally (same oracle SQL as q91/q95/q97).
     "q112_bm25_blockmax" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_blockmax")
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_blockmax")
       try {
         graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s),
@@ -654,19 +655,27 @@ object PipelineQueries {
     // direct pqKnn ADC ranking RANK-FOR-RANK. Exactness holds because
     // ADC scoring is a per-row LEFT-TO-RIGHT array fold (deterministic
     // FP order on both paths — see Similarity.adcScored) and codebooks
-    // round-trip parquet floats bit-exactly.
+    // round-trip parquet floats bit-exactly. The direct path scores
+    // against the INDEX's codebooks (the caller-supplied-codebook
+    // production shape): training determinism is pinned separately by
+    // PqSpec, so retraining in-gate proved nothing the spec doesn't,
+    // and sharing isolates the parity to what this gate is FOR — the
+    // encode → partitioned-store → probe round trip.
     "q105_pq_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_index")
-      val viaIndex = try {
+      val idxDir = graft.core.Fs.scratchDir("graft_pq_index")
+      val (viaIndex, cb) = try {
         Similarity.buildPqIndex(emb, "vec_id", "embedding", idxDir.toString,
           m = 8, kCodes = 32, lloydIters = 1)
-        Similarity.queryPqIndex(s, idxDir.toString, q, "vec_id", "embedding", k = 10)
+        val probed = Similarity
+          .queryPqIndex(s, idxDir.toString, q, "vec_id", "embedding", k = 10)
           .localCheckpoint(true) // materialise before the index dir dies
+        val books = s.read.parquet(s"$idxDir/codebooks").localCheckpoint(true)
+        (probed, books)
       } finally graft.core.Fs.deleteRecursively(idxDir)
       val direct = Similarity.pqKnn(q, emb, "vec_id", "embedding",
-        k = 10, m = 8, kCodes = 32, lloydIters = 1)
+        k = 10, m = 8, kCodes = 32, lloydIters = 1, codebooks = Some(cb))
       val a = viaIndex.select(col("query_id"), col("neighbor_id"), col("rank"))
       val b = direct.select(col("query_id"), col("neighbor_id"),
         col("rank").as("rank_d"))
@@ -703,35 +712,46 @@ object PipelineQueries {
 
     // IVF index INCREMENTAL MAINTENANCE (the q97 discipline for ANN): the
     // corpus ingested as three shards — build on the first (centroids
-    // frozen there), append the rest — must probe BIT-IDENTICALLY to the
-    // same build with the remainder appended as one shard. That is the
-    // shard-decomposition invariance a daily-ingest pipeline relies on;
-    // emitted as per-query parity booleans (q83 discipline) the DuckDB
-    // gate asserts TRUE. n_results pins the probe's result count, so a
-    // shrunken candidate pool (lost shard, over-pruned scan) fails loudly.
+    // frozen there), append the rest — must probe BIT-IDENTICALLY to an
+    // independent in-memory IVF scan of the full corpus against the SAME
+    // frozen centroids (ivfKnnWith, a path that never touches the store
+    // code). That subsumes the shard-decomposition invariance a
+    // daily-ingest pipeline relies on (any two decompositions equal the
+    // direct scan, hence each other — the N-append ≡ rebuild case stays
+    // bit-for-bit in QuantizedSpec) and is strictly harder to pass than
+    // the old append-vs-append comparison. Emitted as per-query parity
+    // booleans (q83 discipline) the DuckDB gate asserts TRUE. n_results
+    // pins the probe's result count, so a shrunken candidate pool (lost
+    // shard, over-pruned scan) fails loudly.
     "q101_ivf_append" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
       def shard(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-      def probed(build: String => Unit): DataFrame = {
-        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
-        try {
-          build(idxDir.toString)
-          Similarity.queryIvfIndex(s, idxDir.toString, q,
-              "vec_id", "embedding", k = 10, nProbe = 4)
-            .localCheckpoint(true) // materialise before the index dir dies
-        } finally graft.core.Fs.deleteRecursively(idxDir)
-      }
-      val manyShards = probed { p =>
-        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding", p, nCentroids = 16)
-        Similarity.appendIvfIndex(shard(1), "vec_id", "embedding", p, "s1")
-        Similarity.appendIvfIndex(shard(2), "vec_id", "embedding", p, "s2")
-      }
-      val oneShard = probed { p =>
-        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding", p, nCentroids = 16)
-        Similarity.appendIvfIndex(shard(1).unionByName(shard(2)),
-          "vec_id", "embedding", p, "rest")
-      }
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_append")
+      val (manyShards, cents) = try {
+        Similarity.buildIvfIndex(shard(0), "vec_id", "embedding",
+          idxDir.toString, nCentroids = 16)
+        Similarity.appendIvfIndex(shard(1), "vec_id", "embedding",
+          idxDir.toString, "s1")
+        Similarity.appendIvfIndex(shard(2), "vec_id", "embedding",
+          idxDir.toString, "s2")
+        val probed = Similarity.queryIvfIndex(s, idxDir.toString, q,
+            "vec_id", "embedding", k = 10, nProbe = 4)
+          .localCheckpoint(true) // materialise before the index dir dies
+        // the index's frozen centroids (trained on shard 0 at build), for
+        // the independent direct scan below — parquet floats round-trip
+        // bit-exactly, so "same centroids" is exact, not approximate
+        val c = s.read.parquet(s"$idxDir/centroids").localCheckpoint(true)
+        (probed, c)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      // independent verification path: an in-memory IVF scan of the FULL
+      // corpus against the same frozen centroids. The appended index must
+      // reproduce it rank-for-rank — this subsumes the old 3-shard vs
+      // 2-write comparison (each decomposition must equal the direct scan,
+      // hence each other) and catches append bugs against a path that
+      // never touches the store code at all.
+      val oneShard = Similarity.ivfKnnWith(q, emb, "vec_id", "embedding",
+        k = 10, nProbe = 4, centroids = cents)
       val a = manyShards.select(col("query_id"), col("neighbor_id"), col("rank"))
       val b = oneShard.select(col("query_id"), col("neighbor_id"),
         col("rank").as("rank_b"))
@@ -759,12 +779,15 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
       def shard(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_rebalance")
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_rebalance")
       val viaRebalanced = try {
         Similarity.buildIvfIndex(shard(0), "vec_id", "embedding",
           idxDir.toString, nCentroids = 16)
-        Similarity.appendIvfIndex(shard(1), "vec_id", "embedding", idxDir.toString, "s1")
-        Similarity.appendIvfIndex(shard(2), "vec_id", "embedding", idxDir.toString, "s2")
+        // one append suffices here: the index must be MULTI-shard with
+        // centroids trained on a strict subset (shard 0) so the rebalance
+        // genuinely moves them; N-append decomposition is q101/QuantizedSpec
+        Similarity.appendIvfIndex(shard(1).unionByName(shard(2)),
+          "vec_id", "embedding", idxDir.toString, "rest")
         Similarity.rebalanceIvfIndex(s, idxDir.toString, nCentroids = 16)
         Similarity.queryIvfIndex(s, idxDir.toString, q,
             "vec_id", "embedding", k = 10, nProbe = 4)
@@ -798,7 +821,7 @@ object PipelineQueries {
     // unguarded (the production guard's recall trade is q31-documented).
     "q100_neardup_seen" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val storeDir = java.nio.file.Files.createTempDirectory("graft_neardup_seen")
+      val storeDir = graft.core.Fs.scratchDir("graft_neardup_seen")
       try {
         graft.dedup.NearDupStore.update(s, storeDir.toString,
           docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", "history")
@@ -966,7 +989,7 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") < 8)
       val sampled = q.select("label").distinct()
         .collect().map(_.getInt(0)).sorted.take(2)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_filtered_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_filtered_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -992,7 +1015,7 @@ object PipelineQueries {
     // q95 — the split shows the BLOCK-MAX PROBE itself stays sub-second
     "q112_bm25_blockmax" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_blockmax_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_blockmax_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1012,7 +1035,7 @@ object PipelineQueries {
     "q113_ivf_rebalance" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_rebalance_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_rebalance_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1035,7 +1058,7 @@ object PipelineQueries {
     }),
     "q95_bm25_index" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1051,7 +1074,7 @@ object PipelineQueries {
     "q83_ivf_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1071,8 +1094,8 @@ object PipelineQueries {
     "q97_bm25_append" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       def shard(i: Int) = docs.filter(
-        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(3)) === i)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_append_phase")
+        col("doc_id").isNull && lit(i) === 0 || pmod(col("doc_id"), lit(2)) === i)
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_append_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1082,8 +1105,6 @@ object PipelineQueries {
         val append = timed {
           graft.text.Retrieval.appendBm25Index(shard(1), "text", "doc_id",
             idxDir.toString, "shard1")
-          graft.text.Retrieval.appendBm25Index(shard(2), "text", "doc_id",
-            idxDir.toString, "shard2")
         }
         val probe = timed(graft.text.Retrieval
           .queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
@@ -1091,13 +1112,13 @@ object PipelineQueries {
         Map("build" -> build, "append" -> append, "probe" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
-    // q105's gate runs the persisted path AND the direct path (each with
-    // its own codebook training) for the parity check; user-facing costs
+    // q105's gate runs the persisted path AND the direct path (sharing
+    // the index's codebooks) for the parity check; user-facing costs
     // are one build and one ADC probe
     "q105_pq_index" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_pq_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1151,12 +1172,13 @@ object PipelineQueries {
         .write.format("noop").mode("overwrite").save())
       Map("train" -> train, "probe" -> probe)
     }),
-    // q101 times TWO index ingests plus probes in its gate form; the
-    // user-facing costs are one build, one O(shard) append, one probe
+    // q101's gate form runs one 3-shard ingest + probe plus the direct
+    // verification scan; the user-facing costs are one build, one
+    // O(shard) append, one probe
     "q101_ivf_append" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_append_phase")
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_append_phase")
       try {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -1503,7 +1525,7 @@ object PipelineQueries {
     // under shifted odd ids; survival is the SEQUENTIAL fold — batch 0
     // checks history only, batch k checks history plus every earlier
     // batch's survivors (within-batch pairs never drop, per the
-    // NearDupStore.filterNew contract); batch = pure doc_id % 6
+    // NearDupStore.filterNew contract); batch = pure doc_id % 4
     // arithmetic, mirrored bit-for-bit by the Spark side's file split
     "q110_streaming_neardup" -> {
       val sh = "list_distinct(CASE WHEN len(tk) >= 3 THEN " +
@@ -1521,14 +1543,11 @@ object PipelineQueries {
         "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents WHERE doc_id % 2 = 0)), " +
         s"p_ih AS (SELECT DISTINCT a.doc_id AS i FROM sh_i a JOIN sh_h h ON ${jacc("a", "h")}), " +
         s"p_ii AS (SELECT a.doc_id AS i, b.doc_id AS j FROM sh_i a JOIN sh_i b ON a.doc_id <> b.doc_id AND ${jacc("a", "b")}), " +
-        "bk AS (SELECT doc_id, CASE doc_id % 6 WHEN 1 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS b FROM inc), " +
+        "bk AS (SELECT doc_id, CASE doc_id % 4 WHEN 1 THEN 0 ELSE 1 END AS b FROM inc), " +
         "s0 AS (SELECT bk.doc_id FROM bk WHERE b = 0 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id)), " +
         "s1 AS (SELECT bk.doc_id FROM bk WHERE b = 1 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id) " +
         "AND NOT EXISTS (SELECT 1 FROM p_ii JOIN s0 ON p_ii.j = s0.doc_id WHERE p_ii.i = bk.doc_id)), " +
-        "s01 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1), " +
-        "s2 AS (SELECT bk.doc_id FROM bk WHERE b = 2 AND NOT EXISTS (SELECT 1 FROM p_ih WHERE p_ih.i = bk.doc_id) " +
-        "AND NOT EXISTS (SELECT 1 FROM p_ii JOIN s01 ON p_ii.j = s01.doc_id WHERE p_ii.i = bk.doc_id)), " +
-        "keep AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2) " +
+        "keep AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1) " +
         "SELECT inc.doc_id, lang, n_chars FROM inc JOIN keep USING (doc_id) ORDER BY doc_id"
     },
 

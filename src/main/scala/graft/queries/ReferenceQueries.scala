@@ -250,7 +250,7 @@ object ReferenceQueries {
       // reusing the stale name would poison q87 for the process lifetime
       val tbl = q87Table.get(dir).filter(s.catalog.tableExists).getOrElse {
         val name = s"graft_parts_${java.util.UUID.randomUUID.toString.take(8)}"
-        val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+        val wh = graft.core.Fs.scratchDir("graft_warehouse")
         sys.addShutdownHook(graft.core.Fs.deleteRecursively(wh))
         // a two-year slice: the catalog-parity semantic needs SOME
         // partitioned table, not a full-table rewrite

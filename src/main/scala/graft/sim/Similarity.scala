@@ -172,15 +172,21 @@ object Similarity {
   def ivfKnn(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-      lloydIters: Int = 0, lloydSamplePct: Int = 100): DataFrame = {
-    val seeds = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
-    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
-      refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
+      lloydIters: Int = 0, lloydSamplePct: Int = 100): DataFrame =
+    ivfKnnWith(queries, corpus, idCol, vecCol, k, nProbe,
+      trainIvfCentroids(corpus, idCol, vecCol, nCentroids, lloydIters,
+        lloydSamplePct))
+
+  /** [[ivfKnn]] against a CALLER-SUPPLIED (frozen) centroid relation
+    * (`centroid_id`, `centroid_vec: array<float>`) — the batch-over-batch
+    * production shape (assign new batches against yesterday's centroids),
+    * and what lets the q101 gate compare an appended on-disk index against
+    * an independent in-memory scan sharing the same centroids. */
+  def ivfKnnWith(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
     // all centroids as a single-row array relation (bytes ~ nCentroids × dim)
-    val centArr = cents.agg(
+    val centArr = centroids.agg(
       collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
 
     val corpusAssigned = assignProbes(

@@ -93,12 +93,8 @@ object StreamingReconcile {
     * the per-micro-batch checkpoint/state/commit files are pure scratch
     * I/O here, and a PRODUCTION caller supplies its own durable
     * checkpointLocation instead of going through this harness. */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
-  }
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.core.Fs.scratchDir(prefix)
 
   private def runToParquetSink(df: DataFrame, name: String,
       mode: OutputMode): (DataFrame, () => Unit) = {
@@ -219,10 +215,14 @@ object StreamingReconcile {
         // sf0.1 carries 3 such pairs and the bench run hit it). At the
         // gate SF odd texts are unique, so the oracle stays "exactly the
         // odd docs"; at any SF the emission is partitioning-independent.
+        // TWO micro-batches: cross-batch folding is exercised (batch 1
+        // probes history + batch 0's fold) at one store round trip less
+        // than three batches; the emission is partitioning-independent
+        // (dropExact above), so the batch count is pure gate sizing
         graft.dedup.Dedup.dropExact(
             docs.filter(col("doc_id") % 2 === 1).unionByName(redelivered),
             "text", "doc_id")
-          .repartition(3).write.mode("overwrite").parquet(inDir)
+          .repartition(2).write.mode("overwrite").parquet(inDir)
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val q = stream.writeStream.queryName("q103_streaming_seen")
@@ -267,9 +267,9 @@ object StreamingReconcile {
     * Unlike q103, near-dup SURVIVAL IS ORDER-DEPENDENT (odd docs can be
     * near-dups of each other: whichever lands first survives), so the
     * micro-batches are pure ID ARITHMETIC — batch k = ids with
-    * doc_id % 6 = 2k+1, written as one file each with pinned ascending
+    * doc_id % 4 = 2k+1, written as one file each with pinned ascending
     * mtimes so admission order (oldest-first) IS batch order — and the
-    * DuckDB oracle simulates the same three-step sequential fold with
+    * DuckDB oracle simulates the same two-step sequential fold with
     * chained NOT-EXISTS CTEs. maxBucket=0: exact gate contract (q100). */
   def neardupDedupStream(spark: SparkSession, dir: String): DataFrame =
     withStateWidth(spark, 8) {
@@ -286,9 +286,12 @@ object StreamingReconcile {
           .withColumn("doc_id", col("doc_id") + 1000001L) // stays odd
         val incoming = docs.filter(col("doc_id") % 2 === 1)
           .unionByName(redelivered)
-        (0 until 3).foreach { k =>
+        // TWO micro-batches (gate sizing, the q103 rationale): batch 1
+        // probes history PLUS batch 0's fold — the sequential-fold code
+        // path a third batch would re-run at one more store round trip
+        (0 until 2).foreach { k =>
           val d = s"$inDir/b$k"
-          incoming.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1)
+          incoming.filter(pmod(col("doc_id"), lit(4)) === 2 * k + 1)
             .coalesce(1).write.mode("overwrite").parquet(d)
           // admission is oldest-modification-first; sequential writes can
           // land in the same clock tick — pin strictly ascending mtimes
