@@ -24,6 +24,55 @@ object Behavior {
 
   private val None_ = Long.MinValue
 
+  /** The funnel fold's per-user accumulator: `acc(k)` = latest chain-start
+    * among chains reaching level k+1, `Long.MinValue` = unreached. Exposed
+    * (with [[funnelAcc]]/[[funnelLevel]]) for the STREAMING form: a left
+    * fold seeded with the previous batches' accumulator over the new
+    * events IS the whole-history fold — split the per-user event sequence
+    * at any time point and the seeded second half computes bit-identically
+    * to one pass (see StreamingReconcile.mergeFunnelBatch). */
+  private[graft] def funnelInit(nSteps: Int): Column =
+    array_repeat(lit(None_), nSteps)
+
+  /** One funnel fold step sequence over a sorted `(t, ns = -step)` event
+    * array, from an arbitrary initial accumulator. */
+  private[graft] def funnelAcc(evs: Column, init: Column,
+      windowMs: Long): Column =
+    aggregate(
+      evs, init,
+      (acc, e) => {
+        val s = -e.getField("ns") // sort key stored step-negated
+        val t = e.getField("t")
+        // CaseWhen evaluates lazily, so element_at never sees index 0
+        val cand = when(s === 1, t).otherwise(
+          when(element_at(acc, s - 1) >= t - lit(windowMs),
+            element_at(acc, s - 1)).otherwise(lit(None_)))
+        transform(acc, (v, i) =>
+          when(i === s - 1, greatest(v, cand)).otherwise(v))
+      })
+
+  /** Levels fill as a prefix (acc(k) is only ever set from acc(k-1)), so
+    * the level is the count of non-sentinel slots. */
+  private[graft] def funnelLevel(acc: Column): Column =
+    size(filter(acc, v => v =!= lit(None_)))
+
+  /** (user_id, t, step) projection of the funnel-relevant events. */
+  private[graft] def funnelStepped(events: DataFrame, userCol: String,
+      tsCol: String, stepOf: Column, nSteps: Int): DataFrame =
+    events
+      .select(col(userCol).as("user_id"),
+        unix_millis(col(tsCol)).as("t"),
+        stepOf.cast("int").as("step"))
+      .filter(col("t").isNotNull && col("step").isNotNull &&
+        col("step").between(1, nSteps))
+
+  /** Per-user sorted `(t, ns)` event arrays; the `(t, -step)` sort key is
+    * what makes timestamp ties strict (deeper step folds first). */
+  private[graft] def funnelGrouped(stepped: DataFrame): DataFrame =
+    stepped.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("t"), (-col("step")).as("ns")))).as("evs"))
+
   /** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)`: per user, the
     * deepest funnel level reachable by a chain of events e1 < e2 < … < eL
     * (timestamps STRICTLY increasing) with `stepOf(ei) = i` and
@@ -54,38 +103,15 @@ object Behavior {
                    maxUserEvents: Int = 0): DataFrame = {
     require(nSteps >= 1 && nSteps <= 32, s"nSteps out of range: $nSteps")
     require(windowMs > 0, s"windowMs must be positive: $windowMs")
-    val none = lit(None_)
-    val stepped = events
-      .select(col(userCol).as("user_id"),
-        unix_millis(col(tsCol)).as("t"),
-        stepOf.cast("int").as("step"))
-      .filter(col("t").isNotNull && col("step").isNotNull &&
-        col("step").between(1, nSteps))
+    val stepped = funnelStepped(events, userCol, tsCol, stepOf, nSteps)
 
-    def levelOf(grouped: DataFrame): DataFrame = {
-      val folded = aggregate(
-        col("evs"),
-        array_repeat(none, nSteps),
-        (acc, e) => {
-          val s = -e.getField("ns") // sort key stored step-negated
-          val t = e.getField("t")
-          // CaseWhen evaluates lazily, so element_at never sees index 0
-          val cand = when(s === 1, t).otherwise(
-            when(element_at(acc, s - 1) >= t - lit(windowMs),
-              element_at(acc, s - 1)).otherwise(none))
-          transform(acc, (v, i) =>
-            when(i === s - 1, greatest(v, cand)).otherwise(v))
-        })
+    def levelOf(grouped: DataFrame): DataFrame =
       grouped.select(col("user_id"),
-        size(filter(folded, v => v =!= none)).as("funnel_level"))
-    }
-
-    def group(df: DataFrame): DataFrame = df.groupBy("user_id")
-      .agg(sort_array(collect_list(
-        struct(col("t"), (-col("step")).as("ns")))).as("evs"))
+        funnelLevel(funnelAcc(col("evs"), funnelInit(nSteps), windowMs))
+          .as("funnel_level"))
 
     val out =
-      if (maxUserEvents <= 0) levelOf(group(stepped))
+      if (maxUserEvents <= 0) levelOf(funnelGrouped(stepped))
       else {
         // Guard pre-counts per user so the fat user's events are dropped
         // BEFORE any array aggregation — the cost of a bot is one long.
@@ -93,7 +119,7 @@ object Behavior {
         val flagged = counts.filter(col("n_ev") > maxUserEvents)
           .select(col("user_id"), lit(-1).as("funnel_level"))
         val ok = counts.filter(col("n_ev") <= maxUserEvents).select("user_id")
-        levelOf(group(stepped.join(ok, "user_id"))).unionByName(flagged)
+        levelOf(funnelGrouped(stepped.join(ok, "user_id"))).unionByName(flagged)
       }
     out.orderBy("user_id")
   }

@@ -50,24 +50,27 @@ object BehaviorQueries {
     // whether any exists — one linear fold vs the oracle's join count.
     "q144_sequence_pairs" -> ((s, dir) =>
       Behavior.sequencePairs(events(s, dir), "user_id", "ts",
-        col("event_type") === "view", col("event_type") === "purchase"))
+        col("event_type") === "view", col("event_type") === "purchase")),
+
+    // q142 as a LIVE STREAM: per-user funnel accumulators fold forward
+    // batch-over-batch through the persisted state store (left-fold
+    // seeding makes the split provably equal to one pass —
+    // StreamingReconcile.mergeFunnelBatch scaladoc), over two
+    // time-ordered micro-batches with users spanning the boundary. The
+    // emission must equal the batch operator, so the SAME chain-
+    // enumeration oracle certifies the incremental path externally.
+    "q145_streaming_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.funnelStream(s, dir,
+        funnelStep, nSteps = 3, windowMs = FunnelWindowMs))
   )
 
   val oracles: Map[String, String] = Map(
 
-    "q142_window_funnel" ->
-      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t, " +
-        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS s " +
-        "FROM events WHERE event_type IN ('view','click','purchase')), " +
-        "u AS (SELECT DISTINCT user_id FROM e), " +
-        "l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1), " +
-        s"l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs), " +
-        s"l3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs " +
-        s"JOIN e c ON c.user_id = a.user_id AND c.s = 3 AND c.t > b.t AND c.t <= a.t + $FunnelWindowMs) " +
-        "SELECT user_id, CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3 " +
-        "WHEN user_id IN (SELECT user_id FROM l2) THEN 2 " +
-        "WHEN user_id IN (SELECT user_id FROM l1) THEN 1 ELSE 0 END AS funnel_level " +
-        "FROM u ORDER BY user_id"),
+    // the streamed funnel must land exactly where the batch fold does —
+    // one oracle text, two access paths (the q91/q95/q97 discipline)
+    "q145_streaming_funnel" -> FunnelOracle,
+
+    "q142_window_funnel" -> FunnelOracle,
 
     "q143_cohort_retention" ->
       (s"WITH c AS (SELECT user_id, min(epoch_ms(ts)) // $HourMs AS cohort_bucket " +
@@ -89,4 +92,18 @@ object BehaviorQueries {
         "coalesce(p.c, 0) > 0 AS matched " +
         "FROM u LEFT JOIN p USING (user_id) ORDER BY u.user_id")
   )
+
+  private lazy val FunnelOracle: String =
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t, " +
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS s " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1), " +
+        s"l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs), " +
+        s"l3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs " +
+        s"JOIN e c ON c.user_id = a.user_id AND c.s = 3 AND c.t > b.t AND c.t <= a.t + $FunnelWindowMs) " +
+        "SELECT user_id, CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3 " +
+        "WHEN user_id IN (SELECT user_id FROM l2) THEN 2 " +
+        "WHEN user_id IN (SELECT user_id FROM l1) THEN 1 ELSE 0 END AS funnel_level " +
+        "FROM u ORDER BY user_id")
 }

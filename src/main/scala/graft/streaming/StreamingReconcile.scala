@@ -481,6 +481,100 @@ object StreamingReconcile {
     readFingerprintStore(spark, storePath)
   }
 
+  /** Fold one micro-batch of events into the persisted per-user FUNNEL
+    * state store (the incremental form of
+    * [[graft.operators.Behavior.funnelLevels]]). Store relation:
+    * `(user_id, acc: array<long>, _graft_batch)`, atomically replaced per
+    * batch (AtomicStore tmp/rename; the in-store batch id is the replay
+    * guard, the mergeFingerprintBatch discipline).
+    *
+    * Correct BY the fold's shape: funnel state is a LEFT FOLD over the
+    * user's time-sorted step events, so folding batch k's events (sorted)
+    * from the accumulator after batches 0..k-1 is bit-identical to one
+    * pass over all events — provided batch admission is time-ordered
+    * (the file-admission contract every gate stream here uses). A daily
+    * funnel over 100 TB of history therefore costs O(day + users), never
+    * a history rescan; state is one fixed-width array per user (bounded
+    * by the user population, the q46-session-state bound). */
+  def mergeFunnelBatch(spark: SparkSession, storePath: String,
+      batch: DataFrame, stepOf: org.apache.spark.sql.Column, nSteps: Int,
+      windowMs: Long, batchId: Long): Unit = {
+    import graft.operators.Behavior
+    val stored = graft.core.AtomicStore.read(spark, storePath)
+    val lastBatch: Option[Long] = stored.flatMap(df =>
+      Option(df.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long]))
+    if (lastBatch.exists(_ >= batchId)) return // at-least-once replay
+    val grouped = Behavior.funnelGrouped(
+      Behavior.funnelStepped(batch, "user_id", "ts", stepOf, nSteps))
+    val emptyEvs = array().cast("array<struct<t:bigint,ns:int>>")
+    val merged = stored match {
+      case Some(df) =>
+        df.drop(BatchCol).withColumnRenamed("acc", "__acc")
+          .join(grouped, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            Behavior.funnelAcc(coalesce(col("evs"), emptyEvs),
+              coalesce(col("__acc"), Behavior.funnelInit(nSteps)),
+              windowMs).as("acc"))
+      case None =>
+        grouped.select(col("user_id"),
+          Behavior.funnelAcc(col("evs"), Behavior.funnelInit(nSteps),
+            windowMs).as("acc"))
+    }
+    // replace materialises the tmp BEFORE deleting the old store, so the
+    // lazy self-read above is safe (AtomicStore.replace contract)
+    graft.core.AtomicStore.replace(spark, storePath,
+      merged.withColumn(BatchCol, lit(batchId)))
+  }
+
+  /** The q142 window funnel as a LIVE STREAM over time-split event files:
+    * per-user funnel state folds forward batch-over-batch through
+    * [[mergeFunnelBatch]], and the final per-user levels must equal the
+    * batch operator — same DuckDB oracle as q142. The corpus is split
+    * into two time-ordered files (pinned ascending mtimes, oldest-first
+    * admission = event-time order), so users spanning the boundary
+    * genuinely exercise the seeded cross-batch fold. */
+  def funnelStream(spark: SparkSession, dir: String, stepOf: org.apache.spark.sql.Column,
+      nSteps: Int, windowMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Behavior
+    val name = "q145_streaming_funnel"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val scratch = scratchDir("graft_funnel_stream")
+    val store = s"$scratch/state"
+    val inDir = s"$scratch/in"
+    try {
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      val bounds = ev.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).head()
+      val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      Seq(0, 1).foreach { k =>
+        val part = if (k == 0) unix_millis(col("ts")) < mid
+          else unix_millis(col("ts")) >= mid
+        val d = s"$inDir/b$k"
+        ev.filter(part).coalesce(1).write.mode("overwrite").parquet(d)
+        val t = 1700000000000L + k * 60000L // strictly ascending mtimes
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .foreach(_.setLastModified(t))
+      }
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      val q = stream.writeStream.queryName(name)
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          mergeFunnelBatch(b.sparkSession, store, b, stepOf, nSteps,
+            windowMs, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.core.AtomicStore.readRequired(spark, store)
+        .select(col("user_id"),
+          Behavior.funnelLevel(col("acc")).as("funnel_level"))
+        .orderBy("user_id")
+        .localCheckpoint(true) // materialise before the scratch dir dies
+    } finally graft.core.Fs.deleteRecursively(scratch)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(lastTs: Long, sessions: Int, events: Long)

@@ -118,6 +118,48 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Set((1L, 4L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("funnel store: sequential batch folds equal one pass; replay is a no-op") {
+    import graft.streaming.StreamingReconcile
+    val m = 60000L
+    // users spanning the batch boundary (t < 45m | t >= 45m), incl. a
+    // chain whose window straddles it and a later-start rescue
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 10 * m, "click"), (1L, 50 * m, "purchase"),
+      (2L, 30 * m, "view"), (2L, 40 * m, "click"), (2L, 60 * m, "purchase"),
+      (3L, 44 * m, "view"), (3L, 46 * m, "click"),
+      (4L, 50 * m, "view"))
+    val df = ev(rows)
+    val store = tmpDir("graft_funnel_store") + "/state"
+    val w = 60 * m
+    StreamingReconcile.mergeFunnelBatch(spark, store,
+      df.filter(col("ts") < new Timestamp(45 * m)), step, 3, w, batchId = 0L)
+    StreamingReconcile.mergeFunnelBatch(spark, store,
+      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L)
+    def storeLevels: Map[Long, Int] =
+      graft.core.AtomicStore.readRequired(spark, store)
+        .select(col("user_id"),
+          Behavior.funnelLevel(col("acc")).as("l"))
+        .as[(Long, Int)].collect().toMap
+    val batch = levels(df, w)
+    assert(storeLevels === batch)
+    // replayed batch id must not move the store
+    StreamingReconcile.mergeFunnelBatch(spark, store,
+      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L)
+    assert(storeLevels === batch)
+  }
+
+  test("funnel stream over the fixture equals the batch operator") {
+    import graft.streaming.StreamingReconcile
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingReconcile.funnelStream(spark, dir, step, 3, 21600000L)
+      .as[(Long, Int)].collect().toSet
+    val batch = Behavior.funnelLevels(
+        graft.core.Tables.load(spark, dir, "events"), "user_id", "ts",
+        step, 3, 21600000L)
+      .as[(Long, Int)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("sequence pairs: repartition-invariant") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 300).map(_ =>
