@@ -391,10 +391,56 @@ object ScaleBench {
         val giant = run("q58_seq_packing", giantDir, "giant")
         Some((clean, giant, giant / math.max(clean, 1e-9)))
       }
+    // (d) BOT-USER cell: ~half of all events re-keyed onto ONE user — the
+    // behavioral-analytics worst case (one funnel group holds half the
+    // corpus). Measured twice: the catalog form (guard OFF — degrades to
+    // one fat linear fold task, never quadratic) and the maxUserEvents
+    // skip-and-flag guard (the bot costs one counter row; ratio ~1).
+    val botResult =
+      if (wanted.nonEmpty && !wanted.exists("q142_window_funnel".contains)) None
+      else {
+        val botDir = s"tmp/scale_bot_x$factor"
+        if (!Files.exists(Paths.get(s"$botDir/_BUILT"))) {
+          System.err.println(s"[skew] building bot-user corpus at $botDir")
+          graft.core.Fs.deleteRecursively(Paths.get(botDir))
+          Files.createDirectories(Paths.get(botDir))
+          val ev = raw(spark, scaledDir, "events")
+          val botUser = ev.agg(min("user_id")).head().getLong(0)
+          writeSingle(ev.withColumn("user_id",
+            when(pmod(xxhash64(col("event_id"), lit("bot")), lit(100)) < 50,
+              lit(botUser)).otherwise(col("user_id"))), botDir, "events")
+          Files.writeString(Paths.get(s"$botDir/_BUILT"),
+            s"bot-user from=$scaledDir pct=50\n")
+        }
+        run("q142_window_funnel", scaledDir, "warm")
+        val clean = run("q142_window_funnel", scaledDir, "clean")
+        val bot = run("q142_window_funnel", botDir, "bot-unguarded")
+        // guarded form: cap well above any organic user, far below the bot
+        def guarded(dir: String, tag: String): Double = {
+          System.err.println(s"[skew] START $tag q142_guarded @ $dir")
+          val t0 = System.nanoTime()
+          graft.operators.Behavior.funnelLevels(
+            graft.core.Tables.load(spark, dir, "events"), "user_id", "ts",
+            when(col("event_type") === "view", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3),
+            nSteps = 3, windowMs = 21600000L, maxUserEvents = 100000)
+            .write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[skew] DONE  $tag q142_guarded: $t%.2f s")
+          t
+        }
+        val gClean = guarded(scaledDir, "clean")
+        val gBot = guarded(botDir, "bot-guarded")
+        Some((clean, bot, bot / math.max(clean, 1e-9),
+          gClean, gBot, gBot / math.max(gClean, 1e-9)))
+      }
     val qJson = (results.map { case (q, c, s, r) =>
       f""""$q":{"clean":$c%.3f,"skewed":$s%.3f,"ratio":$r%.2f}"""
     } ++ giantResult.map { case (c, g, r) =>
       f""""q58_seq_packing_giant_source":{"clean":$c%.3f,"skewed":$g%.3f,"ratio":$r%.2f}"""
+    } ++ botResult.map { case (c, s, r, gc, gs, gr) =>
+      f""""q142_window_funnel_bot_user":{"clean":$c%.3f,"skewed":$s%.3f,"ratio":$r%.2f,"guarded_clean":$gc%.3f,"guarded_skewed":$gs%.3f,"guarded_ratio":$gr%.2f}"""
     }).mkString("{", ",", "}")
     val line =
       f"""{"metric":"skew_trend","factor":$factor,"span_copies":$SpanDupCopies,"hot_key_pct":$HotKeyPct,"giant_source_pct":90,"queries":$qJson,"clean_dir":"$scaledDir"}"""

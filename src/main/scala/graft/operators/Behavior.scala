@@ -56,6 +56,54 @@ object Behavior {
   private[graft] def funnelLevel(acc: Column): Column =
     size(filter(acc, v => v =!= lit(None_)))
 
+  /** The `strict_order` fold (ClickHouse windowFunnel mode): any tracked
+    * event that is not a chain's NEXT step KILLS that chain — a step-s
+    * event extends level s-1 to s (or starts a chain, s = 1) and every
+    * other live chain dies, so after each event at most ONE chain
+    * survives. The event universe is the PROJECTED step events (`stepOf`
+    * non-null); untracked rows are not interventions — they were never
+    * part of the relation handed to the funnel. Because a killed chain's
+    * best level must still count (the mode reports the deepest level any
+    * chain EVER reached), the accumulator carries one extra slot:
+    * `acc(nSteps)` = max level reached so far. */
+  private[graft] def funnelAccStrictOrder(evs: Column, init: Column,
+      windowMs: Long, nSteps: Int): Column =
+    aggregate(
+      evs, init,
+      (acc, e) => {
+        val s = -e.getField("ns")
+        val t = e.getField("t")
+        val cand = when(s === 1, t).otherwise(
+          when(element_at(acc, s - 1) >= t - lit(windowMs),
+            element_at(acc, s - 1)).otherwise(lit(None_)))
+        transform(acc, (v, i) =>
+          when(i === nSteps,
+            greatest(v, when(cand =!= lit(None_), s.cast("long"))
+              .otherwise(lit(0L))))
+            .otherwise(when(i === s - 1, cand).otherwise(lit(None_))))
+      })
+
+  private[graft] def strictOrderInit(nSteps: Int): Column =
+    concat(array_repeat(lit(None_), nSteps), array(lit(0L)))
+
+  /** windowFunnel in `strict_order` mode: same chain definition as
+    * [[funnelLevels]] PLUS no tracked event may intervene between
+    * consecutive chain steps. Same greedy argument (at most one live
+    * chain makes it trivial); ties stay strict via the (t, -step) sort. */
+  def funnelLevelsStrictOrder(events: DataFrame, userCol: String,
+      tsCol: String, stepOf: Column, nSteps: Int,
+      windowMs: Long): DataFrame = {
+    require(nSteps >= 1 && nSteps <= 32, s"nSteps out of range: $nSteps")
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    funnelGrouped(funnelStepped(events, userCol, tsCol, stepOf, nSteps))
+      .select(col("user_id"),
+        element_at(
+          funnelAccStrictOrder(col("evs"), strictOrderInit(nSteps),
+            windowMs, nSteps),
+          nSteps + 1).cast("int").as("funnel_level"))
+      .orderBy("user_id")
+  }
+
   /** (user_id, t, step) projection of the funnel-relevant events. */
   private[graft] def funnelStepped(events: DataFrame, userCol: String,
       tsCol: String, stepOf: Column, nSteps: Int): DataFrame =

@@ -61,6 +61,16 @@ object BehaviorQueries {
     // enumeration oracle certifies the incremental path externally.
     "q145_streaming_funnel" -> ((s, dir) =>
       graft.streaming.StreamingReconcile.funnelStream(s, dir,
+        funnelStep, nSteps = 3, windowMs = FunnelWindowMs)),
+
+    // windowFunnel in STRICT_ORDER mode: any tracked event that is not a
+    // chain's next step kills the chain, so valid chains are exactly
+    // CONSECUTIVE runs of the per-user step sequence — the fold keeps at
+    // most one live chain plus the max level ever reached. The oracle
+    // spells "no intervening tracked event" as NOT EXISTS with the
+    // fold's exact tie order ((t, -step)), so ties cannot diverge.
+    "q146_funnel_strict_order" -> ((s, dir) =>
+      Behavior.funnelLevelsStrictOrder(events(s, dir), "user_id", "ts",
         funnelStep, nSteps = 3, windowMs = FunnelWindowMs))
   )
 
@@ -71,6 +81,32 @@ object BehaviorQueries {
     "q145_streaming_funnel" -> FunnelOracle,
 
     "q142_window_funnel" -> FunnelOracle,
+
+    "q146_funnel_strict_order" -> {
+      // "x intervenes between a and b" in the fold's exact processing
+      // order: after a and before b under the (t, -step) sort — step
+      // DESC breaks timestamp ties, so a same-instant deeper event
+      // precedes a shallower one on both sides
+      def interv(a: String, b: String) =
+        s"EXISTS (SELECT 1 FROM e x WHERE x.user_id = $a.user_id " +
+          s"AND (x.t > $a.t OR (x.t = $a.t AND x.s < $a.s)) " +
+          s"AND (x.t < $b.t OR (x.t = $b.t AND x.s > $b.s)))"
+      "WITH e AS (SELECT user_id, epoch_ms(ts) AS t, " +
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS s " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1), " +
+        "l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id " +
+        s"AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs AND NOT ${interv("a", "b")}), " +
+        "l3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id " +
+        s"AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs AND NOT ${interv("a", "b")} " +
+        "JOIN e c ON c.user_id = a.user_id AND c.s = 3 AND c.t > b.t " +
+        s"AND c.t <= a.t + $FunnelWindowMs AND NOT ${interv("b", "c")}) " +
+        "SELECT user_id, CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3 " +
+        "WHEN user_id IN (SELECT user_id FROM l2) THEN 2 " +
+        "WHEN user_id IN (SELECT user_id FROM l1) THEN 1 ELSE 0 END AS funnel_level " +
+        "FROM u ORDER BY user_id"
+    },
 
     "q143_cohort_retention" ->
       (s"WITH c AS (SELECT user_id, min(epoch_ms(ts)) // $HourMs AS cohort_bucket " +

@@ -118,6 +118,58 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Set((1L, 4L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  private def strictLevels(df: DataFrame, windowMs: Long): Map[Long, Int] =
+    Behavior.funnelLevelsStrictOrder(df, "user_id", "ts", step, 3, windowMs)
+      .as[(Long, Int)].collect().toMap
+
+  test("strict_order: an intervening tracked event kills the chain") {
+    val m = 60000L
+    val df = ev(Seq(
+      (1L, 0L, "view"), (1L, 10 * m, "click"), (1L, 20 * m, "purchase"), // clean run -> 3
+      (2L, 0L, "view"), (2L, 10 * m, "click"), (2L, 15 * m, "view"),
+      (2L, 20 * m, "purchase"),                  // second view intervenes -> 2
+      (3L, 0L, "view"), (3L, 10 * m, "purchase"), (3L, 20 * m, "click"), // step-3 kills -> 1
+      (4L, 0L, "view"), (4L, 10 * m, "click"), (4L, 11 * m, "click"),
+      (4L, 20 * m, "purchase")))                 // duplicate click kills -> 2
+    assert(strictLevels(df, 60 * m) ===
+      Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 2))
+    // non-funnel events are NOT interventions (they never enter the fold)
+    val df2 = ev(Seq(
+      (1L, 0L, "view"), (1L, 5 * m, "error"), (1L, 10 * m, "click"),
+      (1L, 20 * m, "purchase")))
+    assert(strictLevels(df2, 60 * m) === Map(1L -> 3))
+  }
+
+  test("strict_order: fold equals the consecutive-run brute force on random sequences") {
+    val rnd = new scala.util.Random(101)
+    val types = Vector("view", "click", "purchase")
+    val rows = for {
+      u <- 1L to 50L
+      _ <- 1 to (1 + rnd.nextInt(14))
+    } yield (u, rnd.nextInt(150).toLong * 1000L, types(rnd.nextInt(types.size)))
+    val w = 40000L
+    def stepOf(t: String) = t match {
+      case "view" => 1; case "click" => 2; case _ => 3 }
+    val brute: Map[Long, Int] = rows.groupBy(_._1).map { case (u, es) =>
+      // the fold's exact order: (t asc, step desc)
+      val seq = es.map { case (_, t, ty) => (t, stepOf(ty)) }
+        .sortBy { case (t, s) => (t, -s) }
+      var start = Long.MinValue; var level = 0; var best = 0
+      seq.foreach { case (t, s) =>
+        if (s == 1) { start = t; level = 1 }
+        else if (s == level + 1 && start != Long.MinValue && t <= start + w)
+          level = s
+        else { level = 0; start = Long.MinValue }
+        best = math.max(best, level)
+      }
+      (u, best)
+    }
+    val got = strictLevels(ev(rows), w)
+    assert(got === brute,
+      brute.keys.filter(u => got.get(u) != brute.get(u))
+        .map(u => s"$u: got ${got.get(u)} want ${brute.get(u)}").mkString(", "))
+  }
+
   test("funnel store: sequential batch folds equal one pass; replay is a no-op") {
     import graft.streaming.StreamingReconcile
     val m = 60000L
