@@ -106,6 +106,32 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("cohort retention: random events equal the brute-force cohort matrix") {
+    val rnd = new scala.util.Random(31)
+    val types = Vector("signup", "view", "click")
+    val h = 3600000L
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(72).toLong * 600000L,
+        types(rnd.nextInt(types.size))))
+    val brute: Map[(Long, Long), Long] = {
+      val cohort = rows.filter(_._3 == "signup").groupBy(_._1)
+        .map { case (u, es) => (u, es.map(_._2).min / h) }
+      rows.flatMap { case (u, t, _) =>
+        cohort.get(u).map(c => (u, c, t / h - c)) }
+        .filter { case (_, _, off) => off >= 0 && off <= 10 }
+        .distinct // one row per (user, bucket)
+        .groupBy { case (_, c, off) => (c, off) }
+        .map { case (k, xs) => (k, xs.map(_._1).distinct.size.toLong) }
+    }
+    val got = Behavior.cohortRetention(ev(rows), "user_id", "ts",
+        col("event_type") === "signup", h, 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, off, n) => ((c, off), n) }.toMap
+    // the fixture's ms values start at epoch 0, so both sides bucket on
+    // the same integer hours — direct equality
+    assert(got === brute)
+  }
+
   test("sequence pairs: strict ordered count incl. ties") {
     val df = ev(Seq(
       (1L, 0L, "view"), (1L, 1L, "view"), (1L, 2L, "purchase"), (1L, 3L, "purchase"), // 2*2 pairs
