@@ -203,6 +203,58 @@ object ScaleQueries {
           .select(lit("ALL").as("lang"), col("exact_distinct"),
             estOk(col("sk"), col("exact_distinct"))))
         .orderBy("lang")
+    }),
+
+    // BUCKETED co-located join — the shuffle-free join layout the scale
+    // notes promise, DEMONSTRATED: lineitem and orders land as bucketed
+    // tables (same bucket count, same key), and the fact↔fact join then
+    // plans with ZERO Exchange on either side (the scan IS the
+    // partitioning; only sorts remain, since each writer task emits its
+    // own file per bucket). At 100 TB this is THE difference between
+    // re-shuffling both fact tables on every join and reading them
+    // pre-placed — the broadcast-demotion rule makes fact↔fact joins
+    // SMJ, and bucketing removes their exchanges. The emission carries
+    // `join_exchange_free`, computed from the EXECUTED join plan
+    // in-query (the parity-boolean discipline), so the structural claim
+    // is itself oracle-gated; values are the q15 DECIMAL(18,2) exact-sum
+    // discipline, verified against a plain-layout DuckDB join.
+    "q147_bucketed_join" -> ((s, dir) => {
+      val scratch = graft.core.Fs.scratchDir("graft_bucketed")
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val tLi = s"graft_bkt_li_$tag"
+      val tOrd = s"graft_bkt_ord_$tag"
+      try {
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$scratch/li").saveAsTable(tLi)
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$scratch/ord").saveAsTable(tOrd)
+        // hint: the scratch-path tables bypass the CorpusScale registry
+        // (they're not Tables.load reads), so pin the fact↔fact SMJ the
+        // same way the registry would — a broadcast here would "pass"
+        // the exchange-free check without demonstrating the layout
+        val joined = s.table(tLi).hint("merge")
+          .join(s.table(tOrd), col("l_orderkey") === col("o_orderkey"))
+        // the join's own executed plan: bucketed scans feed the SMJ
+        // directly — any Exchange means the layout was not honoured
+        val exchangeFree =
+          !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        joined.groupBy("o_orderpriority")
+          .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)")
+            .as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("join_exchange_free", lit(exchangeFree))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true) // materialise before the tables drop
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tLi")
+        s.sql(s"DROP TABLE IF EXISTS $tOrd")
+        graft.core.Fs.deleteRecursively(scratch)
+      }
     })
   )
 
@@ -216,6 +268,12 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q147_bucketed_join" ->
+      ("SELECT o_orderpriority, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue, " +
+        "count(*) AS n_rows, TRUE AS join_exchange_free " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q74_quantized_knn" ->
       PipelineQueries.knnInvariantOracle(Seq("recall_ok", "err_ok")),
     "q75_hll_union" ->
