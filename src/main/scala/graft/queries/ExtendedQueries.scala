@@ -269,10 +269,57 @@ object ExtendedQueries {
       AsOfJoin.broadcastBackward(left, right, Seq("user_id"), "ts", "ts", Seq("s_value"))
         .select("event_id", "user_id", "s_value", "match_ts")
         .orderBy("event_id")
+    }),
+
+    // the ClickHouse URL-functions surface (domain / path / query-param /
+    // protocol / fragment / cutQueryString / topLevelDomain) over URLs
+    // planted deterministically from the key (the q98/q132 fixture
+    // pattern — both engines SYNTHESIZE the same strings, so extraction
+    // is hash-comparable). Spark side = the native codegen'd parse_url
+    // (java.net.URI semantics); oracle side = structure-anchored RE2
+    // regexes — identical on well-formed URLs, which the fixture
+    // guarantees by construction. Map-only, no shuffle.
+    "q148_url_functions" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val url = concat(
+        lit("https://sub"), pmod(k, lit(7)).cast("string"),
+        lit(".example"), pmod(k, lit(13)).cast("string"),
+        lit(".com:8"), lpad(pmod(k, lit(1000)).cast("string"), 3, "0"),
+        lit("/cat"), pmod(k, lit(5)).cast("string"),
+        lit("/item?id="), k.cast("string"),
+        lit("&ref=r"), pmod(k, lit(3)).cast("string"),
+        lit("#frag"), pmod(k, lit(2)).cast("string"))
+      Tables.load(s, dir, "customer")
+        .select(k, url.as("url"))
+        .select(col("c_custkey"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("id_param"),
+          expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+          expr("parse_url(url, 'REF')").as("fragment"),
+          regexp_replace(col("url"), "[?].*$", "").as("no_query"),
+          regexp_extract(expr("parse_url(url, 'HOST')"),
+            "\\.([a-z]+)$", 1).as("tld"))
+        .orderBy("c_custkey")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_url_functions" ->
+      ("WITH r AS (SELECT c_custkey, 'https://sub' || CAST(c_custkey % 7 AS VARCHAR) || " +
+        "'.example' || CAST(c_custkey % 13 AS VARCHAR) || '.com:8' || " +
+        "lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '/cat' || CAST(c_custkey % 5 AS VARCHAR) || " +
+        "'/item?id=' || CAST(c_custkey AS VARCHAR) || '&ref=r' || CAST(c_custkey % 3 AS VARCHAR) || " +
+        "'#frag' || CAST(c_custkey % 2 AS VARCHAR) AS url FROM customer) " +
+        "SELECT c_custkey, url, " +
+        "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param, " +
+        "regexp_extract(url, '^([a-z]+)://', 1) AS scheme, " +
+        "regexp_extract(url, '#(.*)$', 1) AS fragment, " +
+        "regexp_replace(url, '[?].*$', '') AS no_query, " +
+        "regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '\\.([a-z]+)$', 1) AS tld " +
+        "FROM r ORDER BY c_custkey"),
     "q23_distinct_agg" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status FROM lineitem",
     "q24_setops" ->
