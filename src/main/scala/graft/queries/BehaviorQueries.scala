@@ -71,7 +71,24 @@ object BehaviorQueries {
     // fold's exact tie order ((t, -step)), so ties cannot diverge.
     "q146_funnel_strict_order" -> ((s, dir) =>
       Behavior.funnelLevelsStrictOrder(events(s, dir), "user_id", "ts",
-        funnelStep, nSteps = 3, windowMs = FunnelWindowMs))
+        funnelStep, nSteps = 3, windowMs = FunnelWindowMs)),
+
+    // the literal ClickHouse retention() combinator: per user,
+    // r1 = cond1 ever held; rN = r1 AND condN — then the report row of
+    // Σr1..ΣrN. Two fully map-side-combined aggregates (bool_or per
+    // user, sums over users), no sequence state at all.
+    "q149_retention_flags" -> ((s, dir) => {
+      val e = events(s, dir)
+      val flags = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("c1"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c2"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c3"))
+      flags.agg(
+        sum(col("c1")).as("r1"),
+        sum(col("c1") * col("c2")).as("r2"),
+        sum(col("c1") * col("c3")).as("r3"),
+        count(lit(1)).as("n_users"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,6 +98,15 @@ object BehaviorQueries {
     "q145_streaming_funnel" -> FunnelOracle,
 
     "q142_window_funnel" -> FunnelOracle,
+
+    "q149_retention_flags" ->
+      ("WITH f AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3 " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT CAST(sum(c1) AS BIGINT) AS r1, CAST(sum(c1 * c2) AS BIGINT) AS r2, " +
+        "CAST(sum(c1 * c3) AS BIGINT) AS r3, count(*) AS n_users FROM f"),
 
     "q146_funnel_strict_order" -> {
       // "x intervenes between a and b" in the fold's exact processing
