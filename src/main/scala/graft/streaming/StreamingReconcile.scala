@@ -483,47 +483,73 @@ object StreamingReconcile {
 
   /** Fold one micro-batch of events into the persisted per-user FUNNEL
     * state store (the incremental form of
-    * [[graft.operators.Behavior.funnelLevels]]). Store relation:
-    * `(user_id, acc: array<long>, _graft_batch)`, atomically replaced per
-    * batch (AtomicStore tmp/rename; the in-store batch id is the replay
-    * guard, the mergeFingerprintBatch discipline).
+    * [[graft.operators.Behavior.funnelLevels]]).
+    *
+    * Layout: `(user_id, acc: array<long>, _graft_batch)` PARTITIONED by
+    * `bucket = hash(user_id) mod nBuckets`, written per batch via
+    * dynamic partition overwrite of ONLY the buckets the batch touches —
+    * a batch that reaches 1% of users rewrites ~1% of the state, so the
+    * per-batch cost is O(batch + state-in-touched-buckets), never an
+    * O(all-users) whole-store rewrite (which the first cut of this store
+    * paid; at 1B users that is the difference between a state UPDATE and
+    * a nightly state COPY).
+    *
+    * Replay/crash protocol: the guard is IN-ROW and PER-BUCKET
+    * (`_graft_batch` = the batch that last folded the bucket). Dynamic
+    * overwrite commits partition dirs one by one, so a torn commit
+    * leaves some buckets folded and some not — the replay folds exactly
+    * the stale buckets (the fold is NOT idempotent from a post-fold
+    * accumulator, so skipped-if-done is load-bearing, not an
+    * optimisation) and the store converges to the clean state.
     *
     * Correct BY the fold's shape: funnel state is a LEFT FOLD over the
     * user's time-sorted step events, so folding batch k's events (sorted)
     * from the accumulator after batches 0..k-1 is bit-identical to one
     * pass over all events — provided batch admission is time-ordered
     * (the file-admission contract every gate stream here uses). A daily
-    * funnel over 100 TB of history therefore costs O(day + users), never
-    * a history rescan; state is one fixed-width array per user (bounded
-    * by the user population, the q46-session-state bound). */
+    * funnel over 100 TB of history therefore costs O(day + touched
+    * state), never a history rescan; state is one fixed-width array per
+    * user. */
   def mergeFunnelBatch(spark: SparkSession, storePath: String,
       batch: DataFrame, stepOf: org.apache.spark.sql.Column, nSteps: Int,
-      windowMs: Long, batchId: Long): Unit = {
+      windowMs: Long, batchId: Long, nBuckets: Int = 64): Unit = {
     import graft.operators.Behavior
-    val stored = graft.core.AtomicStore.read(spark, storePath)
-    val lastBatch: Option[Long] = stored.flatMap(df =>
-      Option(df.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long]))
-    if (lastBatch.exists(_ >= batchId)) return // at-least-once replay
     val grouped = Behavior.funnelGrouped(
       Behavior.funnelStepped(batch, "user_id", "ts", stepOf, nSteps))
+      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)))
+    if (grouped.isEmpty) return // no funnel-step events in this batch
     val emptyEvs = array().cast("array<struct<t:bigint,ns:int>>")
-    val merged = stored match {
-      case Some(df) =>
-        df.drop(BatchCol).withColumnRenamed("acc", "__acc")
-          .join(grouped, Seq("user_id"), "full_outer")
-          .select(col("user_id"),
+    val init = Behavior.funnelInit(nSteps)
+    val merged =
+      if (!graft.core.Fs.exists(spark, storePath))
+        grouped.select(col("bucket"), col("user_id"),
+          Behavior.funnelAcc(col("evs"), init, windowMs).as("acc"),
+          lit(batchId).as(BatchCol))
+      else {
+        // bounded driver collect: <= nBuckets longs by construction
+        val touched = grouped.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val old = spark.read.parquet(storePath)
+          .filter(col("bucket").isin(touched: _*))
+        // per-bucket replay guard: buckets already folded to >= batchId
+        // (a torn previous commit) are NOT rewritten — refolding from a
+        // post-fold accumulator would let an early event extend a chain
+        // whose start the fold recorded from a LATER event
+        val doneBuckets = old.filter(col(BatchCol) >= batchId)
+          .select("bucket").distinct()
+        val oldStale = old.filter(col(BatchCol) < batchId).drop(BatchCol)
+        oldStale.withColumnRenamed("acc", "__acc")
+          .join(grouped.join(doneBuckets, Seq("bucket"), "left_anti"),
+            Seq("bucket", "user_id"), "full_outer")
+          .select(col("bucket"), col("user_id"),
             Behavior.funnelAcc(coalesce(col("evs"), emptyEvs),
-              coalesce(col("__acc"), Behavior.funnelInit(nSteps)),
-              windowMs).as("acc"))
-      case None =>
-        grouped.select(col("user_id"),
-          Behavior.funnelAcc(col("evs"), Behavior.funnelInit(nSteps),
-            windowMs).as("acc"))
-    }
-    // replace materialises the tmp BEFORE deleting the old store, so the
-    // lazy self-read above is safe (AtomicStore.replace contract)
-    graft.core.AtomicStore.replace(spark, storePath,
-      merged.withColumn(BatchCol, lit(batchId)))
+              coalesce(col("__acc"), init), windowMs).as("acc"),
+            lit(batchId).as(BatchCol))
+          .localCheckpoint(true) // materialise BEFORE overwriting the dirs it reads
+      }
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(storePath)
   }
 
   /** The q142 window funnel as a LIVE STREAM over time-split event files:
@@ -567,7 +593,7 @@ object StreamingReconcile {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      graft.core.AtomicStore.readRequired(spark, store)
+      spark.read.parquet(store)
         .select(col("user_id"),
           Behavior.funnelLevel(col("acc")).as("funnel_level"))
         .orderBy("user_id")

@@ -210,20 +210,57 @@ class BehaviorSpec extends SparkSpec {
     val store = tmpDir("graft_funnel_store") + "/state"
     val w = 60 * m
     StreamingReconcile.mergeFunnelBatch(spark, store,
-      df.filter(col("ts") < new Timestamp(45 * m)), step, 3, w, batchId = 0L)
+      df.filter(col("ts") < new Timestamp(45 * m)), step, 3, w, batchId = 0L,
+      nBuckets = 4)
     StreamingReconcile.mergeFunnelBatch(spark, store,
-      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L)
+      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L,
+      nBuckets = 4)
     def storeLevels: Map[Long, Int] =
-      graft.core.AtomicStore.readRequired(spark, store)
+      spark.read.parquet(store)
         .select(col("user_id"),
           Behavior.funnelLevel(col("acc")).as("l"))
         .as[(Long, Int)].collect().toMap
     val batch = levels(df, w)
     assert(storeLevels === batch)
-    // replayed batch id must not move the store
+    // replayed batch id must not move the store (per-bucket in-row guard)
     StreamingReconcile.mergeFunnelBatch(spark, store,
-      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L)
+      df.filter(col("ts") >= new Timestamp(45 * m)), step, 3, w, batchId = 1L,
+      nBuckets = 4)
     assert(storeLevels === batch)
+  }
+
+  test("funnel store: a torn per-bucket commit heals on replay, and only touched buckets rewrite") {
+    import graft.streaming.StreamingReconcile
+    val m = 60000L
+    val rnd = new scala.util.Random(77)
+    val types = Vector("view", "click", "purchase")
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(120).toLong * m,
+        types(rnd.nextInt(types.size))))
+    val df = ev(rows)
+    val w = 45 * m
+    val cut = new Timestamp(60 * m)
+    val b0 = df.filter(col("ts") < cut)
+    val b1 = df.filter(col("ts") >= cut)
+    val store = tmpDir("graft_funnel_torn") + "/state"
+    StreamingReconcile.mergeFunnelBatch(spark, store, b0, step, 3, w, 0L, nBuckets = 4)
+    // simulate a TORN batch-1 commit: only bucket 2's users got folded
+    val bkt2 = b1.filter(
+      pmod(xxhash64(col("user_id")), lit(4L)) === 2L)
+    StreamingReconcile.mergeFunnelBatch(spark, store, bkt2, step, 3, w, 1L, nBuckets = 4)
+    // the replay delivers the FULL batch 1: bucket 2 must be skipped
+    // (refolding a post-fold accumulator corrupts it), the rest folded
+    StreamingReconcile.mergeFunnelBatch(spark, store, b1, step, 3, w, 1L, nBuckets = 4)
+    val got = spark.read.parquet(store)
+      .select(col("user_id"), Behavior.funnelLevel(col("acc")).as("l"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === levels(df, w))
+    // untouched buckets keep their batch id — only touched dirs rewrote
+    val perBucket = spark.read.parquet(store)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(max(StreamingReconcile.BatchCol).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(perBucket.values.toSet.contains(1L))
   }
 
   test("funnel stream over the fixture equals the batch operator") {
