@@ -86,6 +86,51 @@ object Behavior {
   private[graft] def strictOrderInit(nSteps: Int): Column =
     concat(array_repeat(lit(None_), nSteps), array(lit(0L)))
 
+  /** The `strict_dedup` fold (ClickHouse windowFunnel mode): a step-s
+    * event kills every chain whose matched set already CONTAINS s (all
+    * chains at level >= s — level s-1's old occupant included, since a
+    * level-s chain holds step s) while chains at level < s-1 are
+    * untouched (their sets lack s) and level s-1 both survives and
+    * spawns the extension. Kills depend only on s, so all chains at a
+    * level share fate and the max-start greedy stays optimal. Same
+    * max-level extra slot as [[funnelAccStrictOrder]] — killed chains'
+    * best level must still count. */
+  private[graft] def funnelAccStrictDedup(evs: Column, init: Column,
+      windowMs: Long, nSteps: Int): Column =
+    aggregate(
+      evs, init,
+      (acc, e) => {
+        val s = -e.getField("ns")
+        val t = e.getField("t")
+        val cand = when(s === 1, t).otherwise(
+          when(element_at(acc, s - 1) >= t - lit(windowMs),
+            element_at(acc, s - 1)).otherwise(lit(None_)))
+        transform(acc, (v, i) =>
+          when(i === nSteps,
+            greatest(v, when(cand =!= lit(None_), s.cast("long"))
+              .otherwise(lit(0L))))
+            .otherwise(when(i < s - 1, v)
+              .otherwise(when(i === s - 1, cand).otherwise(lit(None_)))))
+      })
+
+  /** windowFunnel in `strict_dedup` mode: same chains as [[funnelLevels]]
+    * PLUS a repeat of an already-matched condition between consecutive
+    * chain steps interrupts the chain (an event of step <= k between the
+    * k-th and (k+1)-th chain members). */
+  def funnelLevelsStrictDedup(events: DataFrame, userCol: String,
+      tsCol: String, stepOf: Column, nSteps: Int,
+      windowMs: Long): DataFrame = {
+    require(nSteps >= 1 && nSteps <= 32, s"nSteps out of range: $nSteps")
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    funnelGrouped(funnelStepped(events, userCol, tsCol, stepOf, nSteps))
+      .select(col("user_id"),
+        element_at(
+          funnelAccStrictDedup(col("evs"), strictOrderInit(nSteps),
+            windowMs, nSteps),
+          nSteps + 1).cast("int").as("funnel_level"))
+      .orderBy("user_id")
+  }
+
   /** windowFunnel in `strict_order` mode: same chain definition as
     * [[funnelLevels]] PLUS no tracked event may intervene between
     * consecutive chain steps. Same greedy argument (at most one live

@@ -73,6 +73,17 @@ object BehaviorQueries {
       Behavior.funnelLevelsStrictOrder(events(s, dir), "user_id", "ts",
         funnelStep, nSteps = 3, windowMs = FunnelWindowMs)),
 
+    // windowFunnel in STRICT_DEDUP mode: a repeat of an ALREADY-MATCHED
+    // condition between consecutive chain steps interrupts the chain
+    // (an event of step <= k inside the (k, k+1) gap); chains at lower
+    // levels survive, so the multi-chain greedy persists — with the
+    // max-level slot, since deeper chains can die after being counted.
+    // Completes the ClickHouse mode family: default (q142),
+    // strict_order (q146), strict_dedup (here).
+    "q150_funnel_strict_dedup" -> ((s, dir) =>
+      Behavior.funnelLevelsStrictDedup(events(s, dir), "user_id", "ts",
+        funnelStep, nSteps = 3, windowMs = FunnelWindowMs)),
+
     // the literal ClickHouse retention() combinator: per user,
     // r1 = cond1 ever held; rN = r1 AND condN — then the report row of
     // Σr1..ΣrN. Two fully map-side-combined aggregates (bool_or per
@@ -107,6 +118,30 @@ object BehaviorQueries {
         "FROM events GROUP BY user_id) " +
         "SELECT CAST(sum(c1) AS BIGINT) AS r1, CAST(sum(c1 * c2) AS BIGINT) AS r2, " +
         "CAST(sum(c1 * c3) AS BIGINT) AS r3, count(*) AS n_users FROM f"),
+
+    "q150_funnel_strict_dedup" -> {
+      // gap (k, k+1) may not contain a repeat of a matched condition:
+      // x.s <= k, in the fold's (t, -step) processing order
+      def repeatIn(a: String, b: String, maxS: Int) =
+        s"EXISTS (SELECT 1 FROM e x WHERE x.user_id = $a.user_id AND x.s <= $maxS " +
+          s"AND (x.t > $a.t OR (x.t = $a.t AND x.s < $a.s)) " +
+          s"AND (x.t < $b.t OR (x.t = $b.t AND x.s > $b.s)))"
+      "WITH e AS (SELECT user_id, epoch_ms(ts) AS t, " +
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS s " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1), " +
+        "l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id " +
+        s"AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs AND NOT ${repeatIn("a", "b", 1)}), " +
+        "l3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON b.user_id = a.user_id " +
+        s"AND a.s = 1 AND b.s = 2 AND b.t > a.t AND b.t <= a.t + $FunnelWindowMs AND NOT ${repeatIn("a", "b", 1)} " +
+        "JOIN e c ON c.user_id = a.user_id AND c.s = 3 AND c.t > b.t " +
+        s"AND c.t <= a.t + $FunnelWindowMs AND NOT ${repeatIn("b", "c", 2)}) " +
+        "SELECT user_id, CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3 " +
+        "WHEN user_id IN (SELECT user_id FROM l2) THEN 2 " +
+        "WHEN user_id IN (SELECT user_id FROM l1) THEN 1 ELSE 0 END AS funnel_level " +
+        "FROM u ORDER BY user_id"
+    },
 
     "q146_funnel_strict_order" -> {
       // "x intervenes between a and b" in the fold's exact processing

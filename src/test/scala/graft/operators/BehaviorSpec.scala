@@ -196,6 +196,61 @@ class BehaviorSpec extends SparkSpec {
         .map(u => s"$u: got ${got.get(u)} want ${brute.get(u)}").mkString(", "))
   }
 
+  private def dedupLevels(df: DataFrame, windowMs: Long): Map[Long, Int] =
+    Behavior.funnelLevelsStrictDedup(df, "user_id", "ts", step, 3, windowMs)
+      .as[(Long, Int)].collect().toMap
+
+  test("strict_dedup: a repeated matched condition kills the chain; lower levels survive") {
+    val m = 60000L
+    val df = ev(Seq(
+      (1L, 0L, "view"), (1L, 10 * m, "click"), (1L, 20 * m, "purchase"), // clean -> 3
+      (2L, 0L, "view"), (2L, 5 * m, "view"), (2L, 10 * m, "click"),
+      (2L, 20 * m, "purchase"),   // repeat view kills chain 1, chain 2 completes -> 3
+      (3L, 0L, "view"), (3L, 10 * m, "click"), (3L, 12 * m, "view"),
+      (3L, 20 * m, "purchase"),   // view (matched) in gap (2,3) kills -> 2, no rebuild to 3
+      (4L, 0L, "view"), (4L, 10 * m, "click"), (4L, 12 * m, "click"),
+      (4L, 20 * m, "purchase")))  // repeat click kills level 2; re-extends from the
+                                  // SURVIVING level-1 chain at 12m -> purchase completes -> 3
+    assert(dedupLevels(df, 60 * m) === Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 3))
+  }
+
+  test("strict_dedup: fold equals chain-enumeration brute force on random sequences") {
+    val rnd = new scala.util.Random(202)
+    val types = Vector("view", "click", "purchase")
+    val rows = for {
+      u <- 1L to 50L
+      _ <- 1 to (1 + rnd.nextInt(14))
+    } yield (u, rnd.nextInt(150).toLong * 1000L, types(rnd.nextInt(types.size)))
+    val w = 40000L
+    def stepOf(t: String) = t match {
+      case "view" => 1; case "click" => 2; case _ => 3 }
+    // fold-order comparison key
+    def before(a: (Long, Int), b: (Long, Int)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    val brute: Map[Long, Int] = rows.groupBy(_._1).map { case (u, es) =>
+      val e = es.map { case (_, t, ty) => (t, stepOf(ty)) }
+      // valid chain: steps 1..L, strictly increasing ts, window from the
+      // first member, and no x with x.s <= k inside gap (member k, k+1)
+      def gapClean(a: (Long, Int), b: (Long, Int), maxS: Int): Boolean =
+        !e.exists(x => x._2 <= maxS && before(a, x) && before(x, b))
+      def extend(have: List[(Long, Int)], want: Int, start: Long): Boolean = {
+        val k = have.size
+        if (k >= want) true
+        else e.exists { c =>
+          c._2 == k + 1 && c._1 > have.head._1 && c._1 <= start + w &&
+            gapClean(have.head, c, k) && extend(c :: have, want, start)
+        }
+      }
+      def reach(lvl: Int): Boolean =
+        e.exists(a => a._2 == 1 && extend(List(a), lvl, a._1))
+      (u, (3 to 1 by -1).find(reach).getOrElse(0))
+    }
+    val got = dedupLevels(ev(rows), w)
+    assert(got === brute,
+      brute.keys.filter(u => got.get(u) != brute.get(u))
+        .map(u => s"$u: got ${got.get(u)} want ${brute.get(u)}").mkString(", "))
+  }
+
   test("funnel store: sequential batch folds equal one pass; replay is a no-op") {
     import graft.streaming.StreamingReconcile
     val m = 60000L
