@@ -518,7 +518,11 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val idxDir = graft.core.Fs.scratchDir("graft_bm25_index")
       try {
-        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
+        // buckets sized to the gate corpus (the 100 TB deployment knob is
+        // vocabulary-hash fanout; 64 dirs for a <1 MB corpus is pure
+        // small-file overhead — results are bucket-count-invariant, spec'd)
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id",
+          idxDir.toString, buckets = 8)
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
           .orderBy("query_id", "rank")
           .localCheckpoint(true) // materialise before the index dir dies
@@ -542,7 +546,7 @@ object PipelineQueries {
       val idxDir = graft.core.Fs.scratchDir("graft_bm25_append")
       try {
         graft.text.Retrieval.buildBm25Index(shard(0), "text", "doc_id",
-          idxDir.toString, shardId = "shard0")
+          idxDir.toString, buckets = 8, shardId = "shard0")
         graft.text.Retrieval.appendBm25Index(shard(1), "text", "doc_id",
           idxDir.toString, "shard1")
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s), k = 5)
@@ -560,7 +564,8 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val idxDir = graft.core.Fs.scratchDir("graft_bm25_blockmax")
       try {
-        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id", idxDir.toString)
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id",
+          idxDir.toString, buckets = 8)
         graft.text.Retrieval.queryBm25Index(s, idxDir.toString, bm25QueryDf(s),
             k = 5, blockMax = true)
           .orderBy("query_id", "rank")
@@ -970,7 +975,31 @@ object PipelineQueries {
           col("c.has_brace").as("has_brace"),
           col("c.keep").as("keep"),
           col("c.clean_text").as("clean_text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // HYBRID retrieval — BM25 ⊕ dense-cosine fused by reciprocal-rank
+    // fusion (Cormack et al. 2009), the production default for combining
+    // an inverted-index probe with an ANN probe (incomparable score
+    // scales ⇒ rank-only fusion). Both input lists are the engine's own
+    // ranked paths (q91's direct BM25, q34's exact kNN — the fixture's
+    // embeddings are the documents' embedding column, row-aligned ids);
+    // contributions are quantised to longs so the fused ordering is
+    // integer-exact, and the DuckDB oracle recomputes BOTH lists and the
+    // fusion bit-for-bit. At index scale the same fuse runs over
+    // queryBm25Index/queryIvfIndex emissions unchanged (k-bounded inputs;
+    // the fusion never touches the corpus).
+    "q151_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val sparse = graft.text.Retrieval.bm25TopK(docs, bm25QueryDf(s),
+        "text", "doc_id", k = 10)
+      val dense = Similarity.bruteForceKnn(
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb,
+          "vec_id", "embedding", k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      graft.sim.Hybrid.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** Phase-split timers for the persisted-index catalog queries, consumed
@@ -1218,10 +1247,10 @@ object PipelineQueries {
       s"(CASE WHEN CAST(${listCount(Toks, "'the','a','and','of','to','in','is','it'")} AS DOUBLE) / len($Toks) > 0.01 THEN 0.3 ELSE 0.0 END), 1)"
 
 
-  /** Shared q91/q95 oracle: the direct BM25 plan and the persisted-index
-    * probe must land value-identical, so one SQL text gates both. */
-  private def Bm25OracleSql: String =
-    (s"WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
+  /** The BM25 ranking CTE chain (…, rk) shared by the q91/q95/q97/q112
+    * oracle and q151's sparse leg. */
+  private def Bm25RankCtes: String =
+    (s"t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
         s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}), " +
         "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), " +
         "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
@@ -1239,10 +1268,39 @@ object PipelineQueries {
         "agg AS (SELECT query_id, doc_id, sum(s) AS score_u, count(*) AS n_hit_terms " +
         "FROM sc GROUP BY query_id, doc_id), " +
         "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score_u DESC, doc_id) AS rank FROM agg) " +
+        "ORDER BY score_u DESC, doc_id) AS rank FROM agg)")
+
+  /** Shared q91/q95 oracle: the direct BM25 plan and the persisted-index
+    * probe must land value-identical, so one SQL text gates both. */
+  private def Bm25OracleSql: String =
+    (s"WITH $Bm25RankCtes " +
         "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
         "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
         "FROM rk WHERE rank <= 5 ORDER BY query_id, rank")
+
+  /** q151 oracle: recompute the sparse (BM25) and dense (exact cosine)
+    * top-10 lists, quantise each rank's RRF contribution to a long, sum,
+    * re-rank. Bit-for-bit with [[graft.sim.Hybrid.rrfFuse]]. */
+  private def HybridRrfOracleSql: String =
+    (s"WITH $Bm25RankCtes, " +
+        "dq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)), " +
+        "dpairs AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id, " +
+        "list_sum(list_transform(range(1, len(dq.embedding)+1), i -> CAST(dq.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(dq.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM dq, embeddings c WHERE c.vec_id <> dq.vec_id), " +
+        "drk AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, doc_id) AS rank FROM dpairs), " +
+        "u AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(floor(1000000000 / (60 + rank)) AS BIGINT) AS w FROM rk WHERE rank <= 10 " +
+        "UNION ALL SELECT CAST(query_id AS BIGINT), CAST(doc_id AS BIGINT), " +
+        "CAST(floor(1000000000 / (60 + rank)) AS BIGINT) FROM drk WHERE rank <= 10), " +
+        "fagg AS (SELECT query_id, doc_id, sum(w) AS rrf_u, count(*) AS n_lists " +
+        "FROM u GROUP BY query_id, doc_id), " +
+        "frk AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rrf_u DESC, doc_id) AS rank FROM fagg) " +
+        "SELECT query_id, doc_id, CAST(rank AS INT) AS rank, " +
+        "CAST(rrf_u AS BIGINT) AS rrf_u, CAST(n_lists AS INT) AS n_lists " +
+        "FROM frk WHERE rank <= 10 ORDER BY query_id, rank")
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -1682,7 +1740,9 @@ object PipelineQueries {
         // empty array is '' in Spark — spell the empty case explicitly
         "CASE WHEN text IS NULL THEN NULL WHEN len(kept) = 0 THEN '' " +
         "ELSE array_to_string(kept, chr(10)) END AS clean_text " +
-        "FROM c ORDER BY doc_id")
+        "FROM c ORDER BY doc_id"),
+
+    "q151_hybrid_rrf" -> HybridRrfOracleSql
   )
 }
 

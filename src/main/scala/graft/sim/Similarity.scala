@@ -569,9 +569,7 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, kCodes: Int = 16, lloydIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val d = corpus.select(size(col(vecCol))).head().getInt(0) // 1-row collect
-    require(d % m == 0, s"embedding dim $d not divisible by m=$m blocks")
-    val sub = d / m
+    import org.apache.spark.sql.{Row, types => T}
     // ONE seed job for all m blocks: the per-block seed sets are the same
     // kCodes corpus rows (minimising (xxhash64(id), id)) sliced per
     // block, so sorting the corpus once and slicing the collected FULL
@@ -583,22 +581,68 @@ object Similarity {
       .limit(kCodes)
       .select(col(vecCol).cast("array<float>").as("__v"))
       .collect().map(_.getSeq[Float](0))
-    (0 until m).map { b =>
-      import org.apache.spark.sql.{Row, types => T}
-      val cents0 = spark.createDataFrame(
+    require(seedVecs.nonEmpty, "PQ training needs a non-empty corpus")
+    val d = seedVecs.head.length // dim from the seeds — no extra 1-row job
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m blocks")
+    val sub = d / m
+    // The codebook is m × kCodes rows BY CONSTRUCTION (PQ's whole point is
+    // that this table is tiny), so the centroids live driver-side between
+    // Lloyd iterations: each iteration is ONE two-shuffle job over ALL m
+    // blocks — explode each corpus row into its m (block, subvector)
+    // rows, assign against the block's centroid set (broadcast m-row
+    // relation), one (block, centroid, pos) mean aggregate — instead of
+    // the m-subplan union the per-block formulation paid (m × ~3 AQE
+    // stage-jobs per iteration, the dominant cost of the PQ gate family
+    // at gate scale). Assignment and mean arithmetic are row-for-row
+    // identical to the per-block form, so the trained floats don't move.
+    var cents: Array[Array[(Long, Seq[Float])]] = Array.tabulate(m)(b =>
+      seedVecs.map { case v => v.slice(b * sub, (b + 1) * sub) }
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    val centsSchema = T.StructType(Seq(
+      T.StructField("block", T.IntegerType, nullable = false),
+      T.StructField("cents", T.ArrayType(T.StructType(Seq(
+        T.StructField("centroid_id", T.LongType, nullable = false),
+        T.StructField("centroid_vec", T.ArrayType(T.FloatType)))),
+        containsNull = false), nullable = false)))
+    for (_ <- 1 to lloydIters) {
+      val centsByBlock = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          seedVecs.toSeq.zipWithIndex.map { case (v, i) =>
-            Row(i.toLong, v.slice(b * sub, (b + 1) * sub))
-          }, 1),
-        T.StructType(Seq(
-          T.StructField("centroid_id", T.LongType, nullable = false),
-          T.StructField("centroid_vec", T.ArrayType(T.FloatType)))))
-      val sc = corpus.select(col(idCol).as("__pid"),
-        slice(col(vecCol), b * sub + 1, sub).cast("array<float>").as("__sv"))
-      val cents = (1 to lloydIters).foldLeft(cents0)((c, _) =>
-        refineCentroids(sc, c, "__pid", "__sv", 100))
-      cents.withColumn("block", lit(b))
-    }.reduce(_ unionByName _)
+          (0 until m).map(b =>
+            Row(b, cents(b).map { case (i, v) => Row(i, v) }.toSeq)), 1),
+        centsSchema)
+      val exploded = corpus.select(
+        posexplode(array((0 until m).map(b =>
+          slice(col(vecCol), b * sub + 1, sub).cast("array<float>")): _*))
+          .as(Seq("block", "__v")))
+      val assigned = exploded.join(broadcast(centsByBlock), Seq("block"))
+        .select(col("block"), col("__v"),
+          element_at(graft.functions.expressions.NearestCentroids(
+            col("__v"), col("cents"), 1), 1)
+            .getField("centroid_id").as("centroid_id"))
+      // bounded collect: ≤ m × kCodes rows; empty clusters keep their
+      // previous centroid (the refineCentroids left-join semantics)
+      val means = assigned
+        .select(col("block"), col("centroid_id"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("block", "centroid_id", "pos").agg(avg("x").as("mn"))
+        .groupBy("block", "centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s("mn").cast("float")).as("__new_vec"))
+        .collect()
+      val updated = means.map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+      cents = Array.tabulate(m)(b => cents(b).map { case (i, v) =>
+        (i, updated.getOrElse((b, i), v)) })
+    }
+    // literal local relation: consuming it (write / encode / LUT) costs
+    // zero extra corpus jobs
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (for (b <- 0 until m; (i, v) <- cents(b)) yield Row(b, i, v)).toList, 1),
+      T.StructType(Seq(
+        T.StructField("block", T.IntegerType, nullable = false),
+        T.StructField("centroid_id", T.LongType, nullable = false),
+        T.StructField("centroid_vec", T.ArrayType(T.FloatType)))))
   }
 
   /** PQ codes per row: for each block, the id of its nearest block
@@ -610,13 +654,24 @@ object Similarity {
     * the corpus never shuffles. Output: (id, codes: array<long>). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
-    val m = codebooks.agg(max(col("block"))).head().getInt(0) + 1 // 1-row
-    val sub = codebooks.select(size(col("centroid_vec"))).head().getInt(0)
-    val oneRow = (0 until m).map(b =>
-        codebooks.filter(col("block") === b)
-          .agg(collect_list(struct(col("centroid_id"), col("centroid_vec")))
-            .as(s"__cents_$b")))
-      .reduce(_ crossJoin _) // m 1-row frames → one 1-row frame
+    val spark = df.sparkSession
+    import org.apache.spark.sql.{Row, types => T}
+    // ONE bounded collect (m × kCodes rows — the codebook is tiny by
+    // construction) replaces two metadata 1-row jobs plus m
+    // filter+aggregate subplans per encode; the literal 1-row build side
+    // carries float bits unchanged, so codes are identical.
+    val cb = collectCodebook(codebooks)
+    val m = cb.length
+    val sub = cb.head.head._2.length
+    val centsType = T.ArrayType(T.StructType(Seq(
+      T.StructField("centroid_id", T.LongType, nullable = false),
+      T.StructField("centroid_vec", T.ArrayType(T.FloatType)))),
+      containsNull = false)
+    val oneRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(cb.map(block =>
+        block.map { case (i, v) => Row(i, v) }.toSeq): _*)), 1),
+      T.StructType((0 until m).map(b =>
+        T.StructField(s"__cents_$b", centsType, nullable = false))))
     val codes = array((0 until m).map { b =>
       element_at(graft.functions.expressions.NearestCentroids(
         slice(col(vecCol), b * sub + 1, sub).cast("array<float>"),
@@ -624,6 +679,21 @@ object Similarity {
     }: _*)
     df.crossJoin(broadcast(oneRow))
       .select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** Driver-side codebook image: per block (ascending), the (centroid_id,
+    * centroid_vec) pairs sorted by id. Bounded by m × kCodes — the
+    * codebook's defining property. */
+  private def collectCodebook(codebooks: DataFrame): Array[Array[(Long, Seq[Float])]] = {
+    val rows = codebooks.select(col("block").cast("int"),
+        col("centroid_id").cast("long"),
+        col("centroid_vec").cast("array<float>"))
+      .collect()
+    require(rows.nonEmpty, "empty PQ codebook")
+    val m = rows.map(_.getInt(0)).max + 1
+    val byBlock = rows.groupBy(_.getInt(0))
+    Array.tabulate(m)(b => byBlock(b).sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getSeq[Float](2))))
   }
 
   /** PQ top-k by asymmetric-distance computation (ADC): the query stays
@@ -668,23 +738,39 @@ object Similarity {
     * block so positional `element_at` indexing is exact. */
   private def pqLut(cb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val sub = cb.select(size(col("centroid_vec"))).head().getInt(0) // 1-row
+    val spark = queries.sparkSession
+    import org.apache.spark.sql.{Row, types => T}
+    // literal codebook build side (bounded collect, float bits unchanged)
+    // + ONE per-query aggregate building the nested [block][code] table
+    // positionally — replaces a metadata job, a codebook-relation scan,
+    // and a second shuffle per LUT. Each (block, code) pair is unique, so
+    // the ascending struct sort orders by (block, code) exactly as the
+    // two-level form did and never consults the float fields.
+    val cbl = collectCodebook(cb)
+    val m = cbl.length
+    val kCodes = cbl.head.length
+    val sub = cbl.head.head._2.length
+    val cbLit = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (for (b <- 0 until m; (i, v) <- cbl(b)) yield Row(b, i, v)).toList, 1),
+      T.StructType(Seq(
+        T.StructField("block", T.IntegerType, nullable = false),
+        T.StructField("code", T.LongType, nullable = false),
+        T.StructField("centroid_vec", T.ArrayType(T.FloatType)))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
-    q.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("qn"), col("block"),
-        col("centroid_id").as("code"),
+    q.crossJoin(broadcast(cbLit))
+      .select(col("query_id"), col("qn"), col("block"), col("code"),
         dot(slice(col("qv"), (col("block") * sub + 1).cast("int"), lit(sub)),
           col("centroid_vec")).as("pdot"),
         dot(col("centroid_vec"), col("centroid_vec")).as("n2"))
-      .groupBy("query_id", "qn", "block")
-      .agg(transform(
-        array_sort(collect_list(struct(col("code"), col("pdot"), col("n2")))),
-        s => struct(s("pdot").as("pdot"), s("n2").as("n2"))).as("blockRow"))
       .groupBy("query_id", "qn")
-      .agg(transform(
-        array_sort(collect_list(struct(col("block"), col("blockRow")))),
-        s => s("blockRow")).as("lut"))
+      .agg(array_sort(collect_list(
+        struct(col("block"), col("code"), col("pdot"), col("n2")))).as("flat"))
+      .select(col("query_id"), col("qn"),
+        transform(sequence(lit(0), lit(m - 1)), b =>
+          transform(slice(col("flat"), b * lit(kCodes) + 1, lit(kCodes)), s =>
+            struct(s("pdot").as("pdot"), s("n2").as("n2")))).as("lut"))
   }
 
   /** ADC score for rows carrying (codes, lut, qn): a LEFT-TO-RIGHT array

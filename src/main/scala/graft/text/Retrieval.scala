@@ -111,7 +111,7 @@ object Retrieval {
         .delete(root, true)
     }
     writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
-    val stats = shardStats(docs, textCol)
+    val stats = shardStats(docs, textCol, path, shardId)
     graft.core.AtomicStore.replace(spark, s"$path/meta",
       metaRelation(spark, shardDf(spark, path, shardId), stats, buckets,
         Set(shardId)))
@@ -139,7 +139,7 @@ object Retrieval {
         Seq("tok"), "full_outer")
       .select(col("tok"),
         (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
-    val s = shardStats(docs, textCol)
+    val s = shardStats(docs, textCol, path, shardId)
     val merged = IndexStats(meta.stats.nDocs + s.nDocs,
       meta.stats.nTextDocs + s.nTextDocs, meta.stats.sumDl + s.sumDl)
     graft.core.AtomicStore.replace(spark, s"$path/meta",
@@ -291,13 +291,23 @@ object Retrieval {
     * the EXACT long token-count sum (avgdl derives from these on read, so
     * appends merge without double-rounding). Bounded driver collect: one
     * row. */
-  private def shardStats(docs: DataFrame, textCol: String): IndexStats = {
+  /** Shard ingest stats WITHOUT a second tokenize pass: the postings just
+    * written already paid the regex-split corpus scan, and a doc's token
+    * count is recoverable from them exactly — `dl = Σ_tok tf`, so
+    * `sum_dl = Σ tf` over the shard's postings (map-only sum, no shuffle,
+    * no doc grouping; empty-token docs contribute 0 on both derivations).
+    * n_docs / n_text_docs come from one column-pruned pass over the input
+    * relation (count only — the tokenizer never runs here). At 100 TB this
+    * turns ingest from two full regex passes over the shard text into one. */
+  private def shardStats(docs: DataFrame, textCol: String, path: String,
+      shardId: String): IndexStats = {
     val r = docs.agg(count(lit(1)).as("n_docs"),
-        count(col(textCol)).as("n_text_docs"),
-        coalesce(sum(when(col(textCol).isNotNull,
-          size(TextAnalysis.tokens(col(textCol))))), lit(0L)).as("sum_dl"))
+        count(col(textCol)).as("n_text_docs"))
       .head()
-    IndexStats(r.getLong(0), r.getLong(1), r.getLong(2))
+    val sumDl = spark(docs).read.parquet(s"$path/postings")
+      .filter(col("shard") === shardId)
+      .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    IndexStats(r.getLong(0), r.getLong(1), sumDl)
   }
 
   /** Assemble the meta relation: vocabulary-sized df rows stay
