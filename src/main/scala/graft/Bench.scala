@@ -29,6 +29,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
+    // measurement knob: SPARK_GRAFT_AQE=0 disables adaptive execution for
+    // the session (runtime-settable), to quantify AQE's per-exchange
+    // stage-job dispatch against gate-scale inputs
+    if (sys.env.get("SPARK_GRAFT_AQE").contains("0"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen + file listing, outside the timed region
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

@@ -24,10 +24,21 @@ object JobStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
+    // measurement knob: SPARK_GRAFT_AQE=0 disables adaptive execution for
+    // the session (runtime-settable), to quantify AQE's per-exchange
+    // stage-job dispatch against gate-scale inputs
+    if (sys.env.get("SPARK_GRAFT_AQE").contains("0"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     @volatile var jobs = 0L; @volatile var stages = 0L; @volatile var tasks = 0L
+    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (jobLog) System.err.println(s"[job] ${j.jobId} stages=${j.stageInfos.size} " +
+          s"tasks=${j.stageInfos.map(_.numTasks).sum} " +
+          j.stageInfos.map(_.name).mkString(" | "))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages += 1
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks += 1
     }

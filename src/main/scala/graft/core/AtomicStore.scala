@@ -28,12 +28,20 @@ object AtomicStore {
 
   /** Recover-and-read: Some(store) if present (after adopting a completed
     * tmp when the store itself is missing), None if the store does not
-    * exist yet. */
-  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    * exist yet. A caller that KNOWS the store's schema (every engine
+    * store is written by the engine) should pass it: an explicit schema
+    * skips the per-read footer-inference Spark job — one job per store
+    * read, and the index/store gates read meta relations constantly.
+    * Partition columns belong in the schema AS STRINGS (partition type
+    * inference is disabled session-wide). */
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = null): Option[DataFrame] = {
     heal(spark, path)
     val store = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, store)
-    if (fs.exists(store)) Some(spark.read.parquet(path)) else None
+    if (!fs.exists(store)) None
+    else if (schema == null) Some(spark.read.parquet(path))
+    else Some(spark.read.schema(schema).parquet(path))
   }
 
   /** The crash-recovery half of [[read]] without the read: adopt a
@@ -62,8 +70,9 @@ object AtomicStore {
     * the store path in the message. Every store whose data tree is swapped
     * by a compactor must read through this, not bare `spark.read.parquet`
     * (round-6 advice #3). */
-  def readRequired(spark: SparkSession, path: String): DataFrame =
-    read(spark, path).getOrElse(throw new IllegalStateException(
+  def readRequired(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame =
+    read(spark, path, schema).getOrElse(throw new IllegalStateException(
       s"store data tree at $path is missing (no completed ${path}_tmp to " +
         "adopt) — the store meta references data that is gone"))
 

@@ -1,5 +1,7 @@
 package graft.sim
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -186,8 +188,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
     // all centroids as a single-row array relation (bytes ~ nCentroids × dim)
-    val centArr = centroids.agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val centArr = centArrLiteral(centroids)
 
     val corpusAssigned = assignProbes(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
@@ -224,16 +225,27 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
-    (1 to lloydIters).foldLeft(seeds)((c, _) =>
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
+    // bounded collect (nCentroids rows): a LOCAL literal result means the
+    // centroids write, the assignment's one-row broadcast, and every
+    // count derived from it cost zero extra Spark jobs (LocalTableScan
+    // collects driver-side) — and the float bits ride through unchanged
+    localRelation(cents)
   }
+
+  /** Bounded-relation literalizer: collect + re-emit as a LocalRelation
+    * with the same schema. Only for relations bounded by construction
+    * (centroids, codebooks, meta rows — never corpus data). */
+  private def localRelation(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.collect().toList.asJava, df.schema)
 
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCentroids: Int = 16, lloydIters: Int = 0,
       lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit = {
     val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids,
-      lloydIters, lloydSamplePct)
+      lloydIters, lloydSamplePct) // LOCAL literal — see trainIvfCentroids
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // a REBUILD over a previously-used path must not inherit stale
     // partitions: the shard write below uses dynamic partition overwrite
@@ -250,7 +262,9 @@ object Similarity {
     // produced them: re-evaluating `cents` would re-run every Lloyd pass
     // (double build cost) and make on-disk ≡ assignment hold only by
     // recomputation determinism instead of by construction
-    writeAssignedShard(corpus, idCol, vecCol, path, shardId)
+    // assign against the SAME literal rows the centroids write emitted —
+    // on-disk ≡ assignment by construction, with no re-read of the tree
+    writeAssignedShard(corpus, idCol, vecCol, path, shardId, cents)
     writeIvfMeta(corpus.sparkSession, path, Set(shardId))
   }
 
@@ -298,17 +312,25 @@ object Similarity {
     * stays readable until the flip. */
   private final case class IvfMeta(shards: Set[String], gen: String)
 
+  /** Meta relation schema ([[writeIvfMeta]] writes it; pre-`gen` metas
+    * read a null gen column) — footer-job-free meta reads. */
+  private val IvfMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("gen",
+      org.apache.spark.sql.types.StringType)))
+
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfMeta =
-    graft.core.AtomicStore.read(spark, s"$path/meta") match {
+    graft.core.AtomicStore.read(spark, s"$path/meta", IvfMetaSchema) match {
       case Some(df) =>
-        val gen =
-          if (!df.columns.contains("gen")) ""
-          else df.select("gen").head() match {
-            case r if r.isNullAt(0) => ""
-            case r => r.getString(0)
-          }
-        IvfMeta(df.select("shard_id").collect().map(_.getString(0)).toSet, gen)
+        // ONE collect for ids + gen (a meta read happens on every probe
+        // and append; the old head-then-collect pair was two jobs)
+        val genCol = if (df.columns.contains("gen")) col("gen")
+          else lit(null).cast("string")
+        val rows = df.select(col("shard_id"), genCol.as("gen")).collect()
+        val gen = rows.headOption.flatMap(r => Option(r.getString(1))).getOrElse("")
+        IvfMeta(rows.map(_.getString(0)).toSet, gen)
       case None => IvfMeta(Set.empty, "")
     }
 
@@ -323,30 +345,37 @@ object Similarity {
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Set[String], gen: String = ""): Unit = {
     import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
     val rel = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        ids.toSeq.sorted.map(Row(_, gen)), 1),
+      ids.toSeq.sorted.map(Row(_, gen): Row).asJava,
       T.StructType(Seq(
         T.StructField("shard_id", T.StringType),
         T.StructField("gen", T.StringType))))
     graft.core.AtomicStore.replace(spark, s"$path/meta", rel)
   }
 
+  /** `centroids = null` (the append path) reads the FROZEN relation from
+    * the index; the build path passes the literal it just wrote. */
   private def writeAssignedShard(rows: DataFrame, idCol: String,
-      vecCol: String, path: String, shardId: String): Unit = {
+      vecCol: String, path: String, shardId: String,
+      centroids: DataFrame = null): Unit = {
     // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
     graft.core.AtomicStore.heal(rows.sparkSession, s"$path/assigned")
-    val centArr = rows.sparkSession.read.parquet(s"$path/centroids").agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val (centArr, nCents) = centArrLiteralN(
+      if (centroids != null) centroids
+      else rows.sparkSession.read.parquet(s"$path/centroids"))
     // cluster rows by centroid before the partitioned write (the BM25
     // postings lesson, measured there at 2.5x build cost): without the
     // repartition every shuffle task writes a sliver into every centroid
     // directory — tasks × centroids small files, the metadata bomb at
-    // cluster scale. One file per centroid per shard instead.
+    // cluster scale. One file per centroid per shard instead — writer
+    // count pinned to nCentroids (AQE does not coalesce a user
+    // repartition, so an unsized one runs shuffle.partitions writer
+    // tasks, most of them empty).
     assignProbes(
         rows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
       .withColumn("shard", lit(shardId))
-      .repartition(col("centroid_id"))
+      .repartition(math.max(nCents, 1), col("centroid_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "centroid_id")
@@ -399,8 +428,7 @@ object Similarity {
     val meta = readIvfMeta(spark, path)
     val root = genRoot(path, meta.gen)
     val cents = spark.read.parquet(s"$root/centroids")
-    val centArr = cents.agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val centArr = centArrLiteral(cents)
     val queryProbes = assignProbes(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), centArr, "qv", nProbe)
     // partition values round-trip as strings (type inference is disabled
@@ -487,6 +515,37 @@ object Similarity {
     * `transform`+`array_sort` form it replaced is kept below as the parity
     * oracle). The input never shuffles — the join is a
     * BroadcastNestedLoopJoin against a single row. */
+  /** The (centroid_id, centroid_vec) relation collapsed into the one-row
+    * `cents` array via a BOUNDED collect (nCentroids rows — tiny by
+    * definition) and re-emitted as a literal local relation: broadcasting
+    * it costs one trivial job instead of an aggregate over the centroid
+    * relation's plan (a parquet scan + exchange under AQE at every
+    * assignment site). Field types (generic centroid id) and float bits
+    * ride through the collect unchanged; element order is irrelevant —
+    * [[graft.functions.expressions.NearestCentroids]] breaks ties by
+    * centroid id, never array position. */
+  private[sim] def centArrLiteral(cents: DataFrame): DataFrame =
+    centArrLiteralN(cents)._1
+
+  /** [[centArrLiteral]] plus the centroid count (free from the same
+    * bounded collect — callers sizing a repartition need it). */
+  private[sim] def centArrLiteralN(cents: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.{Row, types => T}
+    val spark = cents.sparkSession
+    val idF = cents.schema("centroid_id")
+    val vecF = cents.schema("centroid_vec")
+    val rows = cents.select("centroid_id", "centroid_vec").collect()
+    val elem = T.StructType(Seq(
+      T.StructField("centroid_id", idF.dataType, idF.nullable),
+      T.StructField("centroid_vec", vecF.dataType, vecF.nullable)))
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(
+      Seq(Row(rows.map(r => Row(r.get(0), r.get(1))).toSeq): Row).asJava,
+      T.StructType(Seq(
+        T.StructField("cents", T.ArrayType(elem, containsNull = false))))),
+      rows.length)
+  }
+
   private[sim] def assignProbes(
       df: DataFrame, centArr: DataFrame, vec: String, topN: Int): DataFrame =
     df.crossJoin(broadcast(centArr)) // 1-row build side: map-side append
@@ -526,8 +585,7 @@ object Similarity {
   def refineCentroids(
       corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
       samplePct: Int = 100): DataFrame = {
-    val centArr = cents.agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val centArr = centArrLiteral(cents)
     val sample = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(100)) < samplePct)
       .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
@@ -606,9 +664,8 @@ object Similarity {
         containsNull = false), nullable = false)))
     for (_ <- 1 to lloydIters) {
       val centsByBlock = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          (0 until m).map(b =>
-            Row(b, cents(b).map { case (i, v) => Row(i, v) }.toSeq)), 1),
+        (0 until m).map(b =>
+          Row(b, cents(b).map { case (i, v) => Row(i, v) }.toSeq): Row).asJava,
         centsSchema)
       val exploded = corpus.select(
         posexplode(array((0 until m).map(b =>
@@ -637,8 +694,7 @@ object Similarity {
     // literal local relation: consuming it (write / encode / LUT) costs
     // zero extra corpus jobs
     spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (for (b <- 0 until m; (i, v) <- cents(b)) yield Row(b, i, v)).toList, 1),
+      (for (b <- 0 until m; (i, v) <- cents(b)) yield Row(b, i, v): Row).toList.asJava,
       T.StructType(Seq(
         T.StructField("block", T.IntegerType, nullable = false),
         T.StructField("centroid_id", T.LongType, nullable = false),
@@ -667,9 +723,10 @@ object Similarity {
       T.StructField("centroid_id", T.LongType, nullable = false),
       T.StructField("centroid_vec", T.ArrayType(T.FloatType)))),
       containsNull = false)
+    import scala.jdk.CollectionConverters._
     val oneRow = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(cb.map(block =>
-        block.map { case (i, v) => Row(i, v) }.toSeq): _*)), 1),
+      Seq(Row(cb.map(block =>
+        block.map { case (i, v) => Row(i, v) }.toSeq): _*): Row).asJava,
       T.StructType((0 until m).map(b =>
         T.StructField(s"__cents_$b", centsType, nullable = false))))
     val codes = array((0 until m).map { b =>
@@ -750,9 +807,9 @@ object Similarity {
     val m = cbl.length
     val kCodes = cbl.head.length
     val sub = cbl.head.head._2.length
+    import scala.jdk.CollectionConverters._
     val cbLit = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (for (b <- 0 until m; (i, v) <- cbl(b)) yield Row(b, i, v)).toList, 1),
+      (for (b <- 0 until m; (i, v) <- cbl(b)) yield Row(b, i, v): Row).toList.asJava,
       T.StructType(Seq(
         T.StructField("block", T.IntegerType, nullable = false),
         T.StructField("code", T.LongType, nullable = false),
@@ -840,8 +897,7 @@ object Similarity {
       .limit(nCentroids)
       .select(col(idCol).as("centroid_id"),
         col(vecCol).cast("array<float>").as("centroid_vec"))
-    val centArr = seeds.agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val centArr = centArrLiteral(seeds)
     val assigned = assignProbes(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       centArr, "cv", 1).select("neighbor_id", "centroid_id")
@@ -1076,8 +1132,7 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<float>").as("centroid_vec"))
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) =>
       refineCentroids(corpus, c, idCol, vecCol, lloydSamplePct))
-    val centArr = cents.agg(
-      collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("cents"))
+    val centArr = centArrLiteral(cents)
     assignProbes(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centArr, "__v", 1)
   }

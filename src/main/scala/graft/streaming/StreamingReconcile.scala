@@ -560,7 +560,7 @@ object StreamingReconcile {
     * admission = event-time order), so users spanning the boundary
     * genuinely exercise the seeded cross-batch fold. */
   def funnelStream(spark: SparkSession, dir: String, stepOf: org.apache.spark.sql.Column,
-      nSteps: Int, windowMs: Long): DataFrame = {
+      nSteps: Int, windowMs: Long): DataFrame = withStateWidth(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.Behavior
     val name = "q145_streaming_funnel"
@@ -688,7 +688,7 @@ object StreamingReconcile {
   /** The q138 gate runner: stream the events files through [[scd2Runs]]
     * into an append parquet sink, return the closed intervals in the
     * q135 emission shape. */
-  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Stream(spark: SparkSession, dir: String): DataFrame = withStateWidth(spark, 8) {
     import spark.implicits._
     val src = readEvents(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),

@@ -110,10 +110,10 @@ object Retrieval {
       root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(root, true)
     }
-    writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
-    val stats = shardStats(docs, textCol, path, shardId)
+    val tf = writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
+    val stats = shardStats(docs, textCol, tf)
     graft.core.AtomicStore.replace(spark, s"$path/meta",
-      metaRelation(spark, shardDf(spark, path, shardId), stats, buckets,
+      metaRelation(spark, shardDfOf(tf), stats, buckets,
         Set(shardId)))
   }
 
@@ -133,13 +133,13 @@ object Retrieval {
       System.err.println(s"[bm25] shard $shardId already in index at $path — skipping")
       return false
     }
-    writeShardPostings(docs, textCol, idCol, path, meta.buckets, shardId)
+    val tf = writeShardPostings(docs, textCol, idCol, path, meta.buckets, shardId)
     val mergedDf = meta.df.withColumnRenamed("df", "__old")
-      .join(shardDf(spark, path, shardId).withColumnRenamed("df", "__new"),
+      .join(shardDfOf(tf).withColumnRenamed("df", "__new"),
         Seq("tok"), "full_outer")
       .select(col("tok"),
         (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
-    val s = shardStats(docs, textCol, path, shardId)
+    val s = shardStats(docs, textCol, tf)
     val merged = IndexStats(meta.stats.nDocs + s.nDocs,
       meta.stats.nTextDocs + s.nTextDocs, meta.stats.sumDl + s.sumDl)
     graft.core.AtomicStore.replace(spark, s"$path/meta",
@@ -230,9 +230,20 @@ object Retrieval {
     * the sibling column's regex split re-runs per EXPLODED row — 12x
     * measured at sf0.1 (2.3 s vs 0.2 s for the explode stage; the split
     * runs |tokens| times per doc instead of once). */
+  /** Write one shard's postings + impacts and return the CHECKPOINTED
+    * (doc_id, tok, dl, tf, bucket, block, shard) relation both were
+    * written from: one tokenize+aggregate pass serves the postings write,
+    * the impacts derivation, the shard's df, and sum_dl — the old shape
+    * paid a second full regex pass (stats) plus a disk re-read with a
+    * footer-inference job (impacts). The checkpoint holds exactly the
+    * postings rows being written (shard-bounded, the same bytes the write
+    * emits), and because the write COPIES the checkpoint, everything
+    * derived from it is consistent with what landed on disk by
+    * construction — the build-once discipline with a stronger mechanism
+    * than re-reading. */
   private[text] def writeShardPostings(
       docs: DataFrame, textCol: String, idCol: String, path: String,
-      buckets: Int, shardId: String): Unit = {
+      buckets: Int, shardId: String): DataFrame = {
     // adopt a torn compact FIRST: this write (re-)creates the tree dirs,
     // after which the read-side recovery would orphan a completed tmp
     // holding all pre-compact postings (AtomicStore.heal scaladoc)
@@ -244,46 +255,43 @@ object Retrieval {
       .select(col(idCol).as("doc_id"),
         size(col("__toks")).as("dl"),
         explode(col("__toks")).as("tok"))
-    toks.groupBy("doc_id", "tok", "dl")
+    val tf = toks.groupBy("doc_id", "tok", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
       .withColumn("block", pmod(xxhash64(col("doc_id")), lit(PostingBlocks)))
       .withColumn("shard", lit(shardId))
-      .repartition(col("bucket"))
+      .localCheckpoint(true)
+    // one writer task per bucket (explicit count — AQE does not coalesce
+    // a user repartition): one file per (shard, bucket), never
+    // tasks × buckets slivers
+    tf.repartition(math.max(buckets, 1), col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "bucket")
       .parquet(s"$path/postings")
-    // impacts from the postings just WRITTEN (build-once discipline);
-    // vocabulary × PostingBlocks rows, bucket-partitioned so a probe
-    // prunes them exactly like postings. `n` (postings rows per block)
-    // makes the shard's df DERIVABLE from this far smaller tree —
-    // [[shardDf]] reads impacts, not postings, saving the second
-    // full-postings re-read per build/append
-    spark(docs).read.parquet(s"$path/postings")
-      .filter(col("shard") === shardId)
-      .groupBy("tok", "block")
+    // impacts: vocabulary × PostingBlocks rows, bucket-partitioned so a
+    // probe prunes them exactly like postings; `n` (postings rows per
+    // block) keeps the shard's df derivable from this far smaller tree
+    tf.groupBy("tok", "block")
       .agg(max("tf").as("max_tf"), min("dl").as("min_dl"),
         count(lit(1)).as("n"))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
       .withColumn("shard", lit(shardId))
-      .repartition(col("bucket"))
+      .repartition(math.max(buckets, 1), col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "bucket")
       .parquet(s"$path/impacts")
+    tf
   }
 
-  /** Per-term document frequencies of ONE shard, from the impacts tree
-    * just WRITTEN (build-once discipline — derived from what is ON DISK,
-    * not the lazy plan). Postings are unique per (doc, tok), so the sum
-    * of per-block row counts per tok IS the df; impacts is vocabulary ×
-    * blocks rows — far cheaper to re-read than the full postings. */
-  private def shardDf(spark: org.apache.spark.sql.SparkSession, path: String,
-      shardId: String): DataFrame =
-    spark.read.parquet(s"$path/impacts")
-      .filter(col("shard") === shardId)
-      .groupBy("tok").agg(sum("n").as("df"))
+  /** Per-term document frequencies of one shard from its CHECKPOINTED
+    * postings relation (postings are unique per (doc, tok), so the row
+    * count per tok IS the df) — consistent with what is on disk because
+    * the write copies the same checkpoint
+    * ([[writeShardPostings]] scaladoc). */
+  private def shardDfOf(tf: DataFrame): DataFrame =
+    tf.groupBy("tok").agg(count(lit(1)).as("df"))
 
   private def spark(df: DataFrame) = df.sparkSession
 
@@ -291,22 +299,20 @@ object Retrieval {
     * the EXACT long token-count sum (avgdl derives from these on read, so
     * appends merge without double-rounding). Bounded driver collect: one
     * row. */
-  /** Shard ingest stats WITHOUT a second tokenize pass: the postings just
-    * written already paid the regex-split corpus scan, and a doc's token
-    * count is recoverable from them exactly — `dl = Σ_tok tf`, so
-    * `sum_dl = Σ tf` over the shard's postings (map-only sum, no shuffle,
-    * no doc grouping; empty-token docs contribute 0 on both derivations).
-    * n_docs / n_text_docs come from one column-pruned pass over the input
-    * relation (count only — the tokenizer never runs here). At 100 TB this
-    * turns ingest from two full regex passes over the shard text into one. */
-  private def shardStats(docs: DataFrame, textCol: String, path: String,
-      shardId: String): IndexStats = {
+  /** Shard ingest stats WITHOUT a second tokenize pass: a doc's token
+    * count is recoverable from its postings exactly — `dl = Σ_tok tf`, so
+    * `sum_dl = Σ tf` over the shard's checkpointed postings relation
+    * (map-only sum, no shuffle, no doc grouping; empty-token docs
+    * contribute 0 on both derivations). n_docs / n_text_docs come from one
+    * column-pruned pass over the input relation (count only — the
+    * tokenizer never runs here). At 100 TB this turns ingest from two full
+    * regex passes over the shard text into one. */
+  private def shardStats(docs: DataFrame, textCol: String,
+      tf: DataFrame): IndexStats = {
     val r = docs.agg(count(lit(1)).as("n_docs"),
         count(col(textCol)).as("n_text_docs"))
       .head()
-    val sumDl = spark(docs).read.parquet(s"$path/postings")
-      .filter(col("shard") === shardId)
-      .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    val sumDl = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
     IndexStats(r.getLong(0), r.getLong(1), sumDl)
   }
 
@@ -340,9 +346,31 @@ object Retrieval {
         "sum_dl", "buckets", "shard_id"))
   }
 
+  /** The meta relation's fixed schema ([[metaRelation]] writes it) —
+    * passed to every meta read so no footer-inference job runs. */
+  private val MetaSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("kind", StringType), StructField("n_docs", LongType),
+      StructField("n_text_docs", LongType), StructField("sum_dl", LongType),
+      StructField("buckets", IntegerType), StructField("shard_id", StringType)))
+  }
+
+  /** Impacts-tree read schema (partition cols as strings — inference is
+    * off session-wide), for footer-job-free reads. */
+  private val ImpactsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tok", StringType), StructField("block", LongType),
+      StructField("max_tf", LongType), StructField("min_dl", IntegerType),
+      StructField("n", LongType),
+      StructField("shard", StringType), StructField("bucket", StringType)))
+  }
+
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IndexMeta = {
-    val rel = graft.core.AtomicStore.read(spark, s"$path/meta").getOrElse(
+    val rel = graft.core.AtomicStore.read(spark, s"$path/meta", MetaSchema).getOrElse(
       throw new IllegalStateException(s"no BM25 index meta at $path/meta"))
     val df = rel.filter(col("kind") === "df").select("tok", "df")
     // ONE bounded collect for both tail kinds (1 stats row + |shards|
@@ -505,7 +533,7 @@ object Retrieval {
     require(live.subsetOf(impactShards),
       s"block-max needs impacts for every live shard at $path — " +
         s"missing: ${(live -- impactShards).mkString(", ")} (rebuild the index)")
-    val ub = graft.core.AtomicStore.readRequired(spark, s"$path/impacts")
+    val ub = graft.core.AtomicStore.readRequired(spark, s"$path/impacts", ImpactsSchema)
       .filter(col("shard").isin(meta.shards.toSeq: _*) &&
         bucketPred && col("tok").isin(terms: _*))
       .groupBy("tok", "block") // shard ceilings merge under max/min
