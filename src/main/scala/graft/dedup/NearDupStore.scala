@@ -43,17 +43,31 @@ object NearDupStore {
   private def metaPath(path: String) = s"$path/meta"
   private def sigsPath(path: String) = s"$path/sigs"
 
+  // engine-written trees: explicit schemas make every read footer-job-
+  // free (partition col `shard` as string — inference is off)
+  private val MetaSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("shard_id", StringType)))
+  }
+  private val SigsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("sig", ArrayType(LongType, containsNull = false)),
+      StructField("ts", ArrayType(StringType, containsNull = false)),
+      StructField("shard", StringType)))
+  }
+
   private def shardIds(spark: SparkSession, path: String): Set[String] =
-    graft.core.AtomicStore.read(spark, metaPath(path)) match {
+    graft.core.AtomicStore.read(spark, metaPath(path), MetaSchema) match {
       case Some(df) => df.select("shard_id").collect().map(_.getString(0)).toSet
       case None => Set.empty
     }
 
   private def writeMeta(spark: SparkSession, path: String, ids: Set[String]): Unit = {
-    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
     val rel = spark.createDataFrame(
-      spark.sparkContext.parallelize(ids.toSeq.sorted.map(Row(_)), 1),
-      T.StructType(Seq(T.StructField("shard_id", T.StringType))))
+      ids.toSeq.sorted.map(id => Row(id)).asJava, MetaSchema)
     graft.core.AtomicStore.replace(spark, metaPath(path), rel)
   }
 
@@ -66,7 +80,7 @@ object NearDupStore {
       // corpus-scale store tree: register for the broadcast demotion rule;
       // readRequired so a torn compact self-heals on the next read
       graft.plans.CorpusScale.register(sigsPath(path))
-      Some(graft.core.AtomicStore.readRequired(spark, sigsPath(path))
+      Some(graft.core.AtomicStore.readRequired(spark, sigsPath(path), SigsSchema)
         .filter(col("shard").isin(ids.toSeq: _*))
         .select("id", "sig", "ts"))
     }
@@ -164,7 +178,7 @@ object NearDupStore {
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))
       writeMeta(spark, path, ids + CompactedShard)
-    val live = graft.core.AtomicStore.readRequired(spark, sigsPath(path))
+    val live = graft.core.AtomicStore.readRequired(spark, sigsPath(path), SigsSchema)
       .filter(col("shard").isin(ids.toSeq: _*))
       .select("id", "sig", "ts")
       .withColumn("shard", lit(CompactedShard))

@@ -49,17 +49,29 @@ object SeenStore {
   private def metaPath(path: String) = s"$path/meta"
   private def hashesPath(path: String) = s"$path/hashes"
 
+  // engine-written trees: explicit schemas make every read footer-job-
+  // free (partition col `shard` as string — inference is off)
+  private val MetaSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("shard_id", StringType)))
+  }
+  private val HashesSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("content_hash", LongType),
+      StructField("shard", StringType)))
+  }
+
   private def shardIds(spark: SparkSession, path: String): Set[String] =
-    graft.core.AtomicStore.read(spark, metaPath(path)) match {
+    graft.core.AtomicStore.read(spark, metaPath(path), MetaSchema) match {
       case Some(df) => df.select("shard_id").collect().map(_.getString(0)).toSet
       case None => Set.empty
     }
 
   private def writeMeta(spark: SparkSession, path: String, ids: Set[String]): Unit = {
-    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
     val rel = spark.createDataFrame(
-      spark.sparkContext.parallelize(ids.toSeq.sorted.map(Row(_)), 1),
-      T.StructType(Seq(T.StructField("shard_id", T.StringType))))
+      ids.toSeq.sorted.map(id => Row(id)).asJava, MetaSchema)
     graft.core.AtomicStore.replace(spark, metaPath(path), rel)
   }
 
@@ -75,7 +87,7 @@ object SeenStore {
       graft.plans.CorpusScale.register(hashesPath(path))
       // readRequired: a torn compact (crash inside the tree swap) heals
       // here instead of throwing on every read until manual repair
-      Some(graft.core.AtomicStore.readRequired(spark, hashesPath(path))
+      Some(graft.core.AtomicStore.readRequired(spark, hashesPath(path), HashesSchema)
         .filter(col("shard").isin(ids.toSeq: _*))
         .select("content_hash"))
     }
@@ -124,7 +136,7 @@ object SeenStore {
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))
       writeMeta(spark, path, ids + CompactedShard)
-    val live = graft.core.AtomicStore.readRequired(spark, hashesPath(path))
+    val live = graft.core.AtomicStore.readRequired(spark, hashesPath(path), HashesSchema)
       .filter(col("shard").isin(ids.toSeq: _*))
       .select("content_hash").distinct()
       .withColumn("shard", lit(CompactedShard))

@@ -201,7 +201,7 @@ object StreamingReconcile {
       val inDir = s"$scratch/in"
       val sink = s"$scratch/out"
       try {
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val docs = graft.core.Tables.load(spark, dir, "documents")
         graft.dedup.SeenStore.update(spark, store,
           docs.filter(col("doc_id") % 2 === 0), "text", "history")
         val redelivered = docs.filter(col("doc_id") % 2 === 0)
@@ -279,7 +279,7 @@ object StreamingReconcile {
       val inDir = s"$scratch/in"
       val sink = s"$scratch/out"
       try {
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val docs = graft.core.Tables.load(spark, dir, "documents")
         graft.dedup.NearDupStore.update(spark, store,
           docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", "history")
         val redelivered = docs.filter(col("doc_id") % 2 === 0)

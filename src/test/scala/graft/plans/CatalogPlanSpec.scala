@@ -53,6 +53,9 @@ class CatalogPlanSpec extends SparkSpec {
     // ≤8-row broadcast query side (the q34 bound) on both the exact
     // filtered scan and the per-label index probes
     "q129_filtered_knn",
+    // the dense leg IS q34's bounded-broadcast kNN (3-row query side);
+    // the sparse leg and the fusion are equi-join/aggregate only
+    "q151_hybrid_rrf",
     // 1-row total-mass cross join over the per-source aggregate
     "q122_token_budget",
     // two 1-row cross joins (source count; capped-prefix stats) over the
