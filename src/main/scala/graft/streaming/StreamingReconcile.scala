@@ -588,8 +588,11 @@ object StreamingReconcile {
       val q = stream.writeStream.queryName(name)
         .option("checkpointLocation", s"$scratch/ckpt")
         .foreachBatch { (b: DataFrame, id: Long) =>
+          // bucket count sized to the gate corpus (the deployment knob is
+          // user-hash fanout; 64 dirs for this state size is pure
+          // small-file overhead — fold results are bucket-count-invariant)
           mergeFunnelBatch(b.sparkSession, store, b, stepOf, nSteps,
-            windowMs, id)
+            windowMs, id, nBuckets = 8)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
