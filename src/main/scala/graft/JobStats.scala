@@ -51,6 +51,11 @@ object JobStats {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // drain the async listener bus ONCE between the warm pass and the
+    // first counter reset — late warm-pass events landing after the reset
+    // would inflate the first query's supposedly deterministic counts
+    // (the same beat each measured query already gets below)
+    Thread.sleep(300)
     val out = catalog.map { case (name, fn) =>
       jobs = 0; stages = 0; tasks = 0
       val ok = try {

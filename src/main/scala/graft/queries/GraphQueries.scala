@@ -94,30 +94,40 @@ object GraphQueries {
     // all-pairs Hamming — PNG bytes never reach it, so any encode/decode
     // corruption breaks the gate (the q89 audio discipline applied to
     // images).
-    "q133_image_dhash" -> ((s, dir) => {
-      import s.implicits._
-      val sigs = Tables.load(s, dir, "documents").select("doc_id").as[Long]
-        .map { id =>
-          val planted = id % 16 == 1
-          val m = (if (planted) id - 1 else id) % 999983L
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def h15(s: String): Long = { // first 15 md5-hex chars as a long,
-            val d = md.digest(s.getBytes("UTF-8")) // = PortableSql.hex15
-            var v = 0L
-            var i = 0
-            while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-            v >>> 4
-          }
-          val px = Array.tabulate(9 * 7) { i =>
-            val v = (h15(s"$m:${i + 1}") % 256L).toInt
-            if (planted && i == 0) (v + 128) % 256 else v
-          }
-          Multimodal.MediaRow(id, Multimodal.encodeGrayPng(px, 9, 7), "png")
-        }
-        .mapPartitions(rows => rows.flatMap(r =>
-          Multimodal.decodeDhash56(r).map(sig => (r.doc_id, sig))))
-        .toDF("id", "sig")
-      Dedup.simhashPairsOf(sigs, bits = 56, maxHamming = MaxDhashHamming)
+    "q133_image_dhash" -> ((s, dir) =>
+      Dedup.simhashPairsOf(dhashSigs(s, dir), bits = 56,
+          maxHamming = MaxDhashHamming)
+        .orderBy("id_a", "id_b")),
+
+    // q133 routed through the PERSISTED media feature store (round-8
+    // verdict task #4 — the q95 build→probe discipline applied to the
+    // codec pass): the synthetic PNG corpus is decoded ONCE, per ingest
+    // shard, into [[graft.multimodal.MediaFeatureStore]] (O(shard)
+    // dynamic-overwrite append + atomic meta, the SeenStore protocol),
+    // and the near-dup MINING then reads 16-byte (doc_id, sig) rows from
+    // the store — never the media bytes. The emission must equal q133's
+    // direct-path pairs bit-for-bit (same decode, same Manku banding), so
+    // the SAME pixel-formula oracle gates the whole store round trip: a
+    // feature lost or duplicated by the append/meta/read plumbing breaks
+    // the hash compare. At 100 TB this is the difference between a mining
+    // run that re-decodes the corpus (q133's x30 ratio of 30.1 is pure
+    // codec cost) and one that scans ~0.01% of the bytes (the
+    // bench_scale mining-leg cell quantifies it).
+    "q153_media_features" -> ((s, dir) => {
+      val storeDir = graft.core.Fs.scratchDir("graft_media_store")
+      val stored = try {
+        val sigs = dhashSigs(s, dir).withColumnRenamed("id", "doc_id")
+        // two ingest shards: decode + append is per-shard work (O(shard)),
+        // exercising the dynamic-overwrite + meta-merge path like q97
+        graft.multimodal.MediaFeatureStore.append(s, storeDir.toString,
+          sigs.filter(pmod(col("doc_id"), lit(2)) === 0), "dhash56", "s0")
+        graft.multimodal.MediaFeatureStore.append(s, storeDir.toString,
+          sigs.filter(pmod(col("doc_id"), lit(2)) === 1), "dhash56", "s1")
+        graft.multimodal.MediaFeatureStore.read(s, storeDir.toString, "dhash56")
+          .withColumnRenamed("doc_id", "id")
+          .localCheckpoint(true) // materialise before the store dir dies
+      } finally graft.core.Fs.deleteRecursively(storeDir)
+      Dedup.simhashPairsOf(stored, bits = 56, maxHamming = MaxDhashHamming)
         .orderBy("id_a", "id_b")
     }),
 
@@ -264,6 +274,35 @@ object GraphQueries {
   private val PhiDen = 500L
   private val LpIters = 3
 
+  /** The q133 synthetic-PNG decode pass, shared verbatim by q153 (store
+    * round trip) so the two paths' signatures are identical by
+    * construction: md5-formula pixels → real ImageIO PNG encode → real
+    * ImageIO decode → 56-bit dHash. Returns (id, sig). */
+  private def dhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        val planted = id % 16 == 1
+        val m = (if (planted) id - 1 else id) % 999983L
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h15(str: String): Long = { // first 15 md5-hex chars as a long,
+          val d = md.digest(str.getBytes("UTF-8")) // = PortableSql.hex15
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v >>> 4
+        }
+        val px = Array.tabulate(9 * 7) { i =>
+          val v = (h15(s"$m:${i + 1}") % 256L).toInt
+          if (planted && i == 0) (v + 128) % 256 else v
+        }
+        Multimodal.MediaRow(id, Multimodal.encodeGrayPng(px, 9, 7), "png")
+      }
+      .mapPartitions(rows => rows.flatMap(r =>
+        Multimodal.decodeDhash56(r).map(sig => (r.doc_id, sig))))
+      .toDF("id", "sig")
+  }
+
   /** DuckDB mirror of [[LinkGraph.pagerankMicro]] over
     * [[LinkGraph.covisitEdges]] — the power iteration unrolled `iters`
     * times as generated CTEs, every division a BIGINT floor (`//`), every
@@ -347,6 +386,9 @@ object GraphQueries {
     "q130_covisit_pagerank" -> pagerankOracle(Cap, MinW, Iters),
 
     "q133_image_dhash" -> dhashOracle(MaxDhashHamming),
+    // the store round trip must be BIT-IDENTICAL to the direct path, so
+    // the same pixel-formula oracle gates it
+    "q153_media_features" -> dhashOracle(MaxDhashHamming),
 
     // the exact full-vocabulary GROUP BY the Spark side's sketch design
     // exists to avoid — correct at any SF, affordable at the gate SF

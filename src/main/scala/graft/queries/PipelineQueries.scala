@@ -999,6 +999,62 @@ object PipelineQueries {
         .withColumnRenamed("neighbor_id", "doc_id")
       graft.sim.Hybrid.rrfFuse(Seq(sparse, dense), k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // BATCHED index retrieval (round-8 verdict task #1): the q95 index,
+    // probed with a 1000-QUERY BATCH through the distributed path —
+    // queries stay a DataFrame end to end, postings join them on the
+    // (bucket, term) EQUI key, df joins from the persisted vocabulary
+    // relation, and no term ever reaches the driver (the per-query path's
+    // foldable-literal pruning is the wrong trade at 10⁴⁺ queries; see
+    // queryBm25IndexBatched's scaladoc). The batch is GENERATED by pure
+    // integer arithmetic over a fixed vocabulary spanning the corpus df
+    // spectrum (rare 'dup' through ~80%-df stopword-likes), so the DuckDB
+    // oracle reproduces the exact query set and gates all 1000 rankings
+    // bit-for-bit — the same score algebra as q91/q95/q97/q112.
+    "q152_bm25_batch" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_batch")
+      try {
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id",
+          idxDir.toString, buckets = 8)
+        graft.text.Retrieval.queryBm25IndexBatched(s, idxDir.toString,
+            batchQueryDf(s), k = 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+
+    // BATCHED IVF probe parity (the q83 invariant shape): the same
+    // persisted index answers the same query set through the per-query
+    // path (broadcast probe relation) and the batched path (centroid_id
+    // equi-join, no forced broadcast) — ranks must agree row-for-row.
+    // The 10⁴-row batch stress and the no-BNLJ plan guard live in
+    // SimilaritySpec; this gate pins the two paths' VALUE equality
+    // externally.
+    "q154_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val idxDir = graft.core.Fs.scratchDir("graft_ivf_batch")
+      val (viaBatch, viaQuery) = try {
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir.toString,
+          nCentroids = 16)
+        (Similarity.queryIvfIndexBatched(s, idxDir.toString, q,
+            "vec_id", "embedding", k = 10, nProbe = 4).localCheckpoint(true),
+          Similarity.queryIvfIndex(s, idxDir.toString, q,
+            "vec_id", "embedding", k = 10, nProbe = 4).localCheckpoint(true))
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      val a = viaBatch.select(col("query_id"), col("neighbor_id"), col("rank"))
+      val b = viaQuery.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_q"))
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_results"),
+          max(when(col("rank").isNull || col("rank_q").isNull ||
+            col("rank") =!= col("rank_q"), 1).otherwise(0)).as("mm"))
+        .select(col("query_id"), col("n_results"),
+          (col("mm") === 0).as("batch_parity_ok"))
+        .orderBy("query_id")
     })
   )
 
@@ -1083,6 +1139,23 @@ object PipelineQueries {
             k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save())
         Map("ingest" -> ingest, "rebalance" -> rebalance, "probe" -> probe)
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+    }),
+    // q152's gate total folds the index build in; the split isolates the
+    // user-facing number — the 1000-query BATCHED probe itself
+    "q152_bm25_batch" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = graft.core.Fs.scratchDir("graft_bm25_batch_phase")
+      try {
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = timed(graft.text.Retrieval.buildBm25Index(
+          docs, "text", "doc_id", idxDir.toString, buckets = 8))
+        val probe = timed(graft.text.Retrieval
+          .queryBm25IndexBatched(s, idxDir.toString, batchQueryDf(s), k = 5)
+          .write.format("noop").mode("overwrite").save())
+        Map("build" -> build, "probe_1k_batch" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
     "q95_bm25_index" -> ((s, dir) => {
@@ -1236,6 +1309,49 @@ object PipelineQueries {
   private def bm25QueryDf(s: SparkSession) =
     s.createDataFrame(Bm25Queries).toDF("query_id", "term")
 
+  /** The q152 batch vocabulary: every token the documents fixture emits,
+    * alphabetical — spans the full df spectrum (rare 'dup' ≈ 5% through
+    * ~80%-df function words), so batched rankings exercise both idf
+    * extremes. Must stay single whitespace-free tokens (they are inlined
+    * into the oracle's list literal). */
+  private[queries] val BatchVocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val BatchQueryCount = 1000
+
+  /** 1000 generated (query_id, term) rows — 3 vocabulary picks per query
+    * by pure integer arithmetic (i, 7i+3, 13i+5 mod |vocab|), so the
+    * DuckDB oracle regenerates the identical batch with no hash function
+    * in the loop. Within-query collisions are intentional (both engines
+    * dedup at the contract boundary). */
+  private def batchQueryDf(s: SparkSession): DataFrame = {
+    val v = BatchVocab.length
+    val vocabArr = array(BatchVocab.map(lit): _*)
+    s.range(BatchQueryCount).select(
+      col("id").as("query_id"),
+      explode(array(
+        element_at(vocabArr, (pmod(col("id"), lit(v)) + 1).cast("int")),
+        element_at(vocabArr, (pmod(col("id") * 7 + 3, lit(v)) + 1).cast("int")),
+        element_at(vocabArr, (pmod(col("id") * 13 + 5, lit(v)) + 1).cast("int"))
+      )).as("term"))
+  }
+
+  /** The oracle-side regeneration of [[batchQueryDf]]: the same integer
+    * arithmetic over the same vocabulary literal, deduped like the engine
+    * dedups. Plugs into [[Bm25RankCtesWith]] as the `q` relation. */
+  private def BatchQCtes: String = {
+    val vocab = BatchVocab.map(t => s"'$t'").mkString("[", ", ", "]")
+    val v = BatchVocab.length
+    s"qraw AS (SELECT i AS query_id, unnest([" +
+      s"($vocab)[CAST(i % $v AS INT) + 1], " +
+      s"($vocab)[CAST((i * 7 + 3) % $v AS INT) + 1], " +
+      s"($vocab)[CAST((i * 13 + 5) % $v AS INT) + 1]]) AS term " +
+      s"FROM range($BatchQueryCount) r(i)), " +
+      "q AS (SELECT DISTINCT query_id, term FROM qraw)"
+  }
+
   private val Toks = "string_split_regex(trim(text), '\\s+')"
   private def listCount(list: String, markers: String) =
     s"len(list_filter($list, t -> list_contains([$markers], t)))"
@@ -1249,9 +1365,15 @@ object PipelineQueries {
 
   /** The BM25 ranking CTE chain (…, rk) shared by the q91/q95/q97/q112
     * oracle and q151's sparse leg. */
-  private def Bm25RankCtes: String =
+  private def Bm25RankCtes: String = Bm25RankCtesWith(
+    s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")})")
+
+  /** [[Bm25RankCtes]] with a caller-supplied `q(query_id, term)` CTE —
+    * the fixed VALUES set for the per-query gates, the generated
+    * 1000-query batch ([[BatchQCtes]]) for q152. */
+  private def Bm25RankCtesWith(qCte: String): String =
     (s"t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents), " +
-        s"q(query_id, term) AS (VALUES ${Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}), " +
+        s"$qCte, " +
         "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), " +
         "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
         "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
@@ -1274,6 +1396,14 @@ object PipelineQueries {
     * probe must land value-identical, so one SQL text gates both. */
   private def Bm25OracleSql: String =
     (s"WITH $Bm25RankCtes " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
+        "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
+        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank")
+
+  /** q152 oracle: the SAME ranking algebra over the GENERATED 1000-query
+    * batch — all 5000 ranked rows verified bit-for-bit. */
+  private def Bm25BatchOracleSql: String =
+    (s"WITH ${Bm25RankCtesWith(BatchQCtes)} " +
         "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, " +
         "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
         "FROM rk WHERE rank <= 5 ORDER BY query_id, rank")
@@ -1742,7 +1872,9 @@ object PipelineQueries {
         "ELSE array_to_string(kept, chr(10)) END AS clean_text " +
         "FROM c ORDER BY doc_id"),
 
-    "q151_hybrid_rrf" -> HybridRrfOracleSql
+    "q151_hybrid_rrf" -> HybridRrfOracleSql,
+    "q152_bm25_batch" -> Bm25BatchOracleSql,
+    "q154_ivf_batch" -> knnInvariantOracle(Seq("batch_parity_ok"))
   )
 }
 

@@ -368,10 +368,11 @@ object Similarity {
     // postings lesson, measured there at 2.5x build cost): without the
     // repartition every shuffle task writes a sliver into every centroid
     // directory — tasks × centroids small files, the metadata bomb at
-    // cluster scale. One file per centroid per shard instead — writer
-    // count pinned to nCentroids (AQE does not coalesce a user
-    // repartition, so an unsized one runs shuffle.partitions writer
-    // tasks, most of them empty).
+    // cluster scale. One file per centroid per shard instead — the
+    // explicit count PINS the writer-task count regardless of AQE and
+    // shuffle.partitions (a count-less repartition(col) carries the
+    // REPARTITION_BY_COL shuffle origin, which AQE's coalescing MAY
+    // resize).
     assignProbes(
         rows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), centArr, "cv", 1)
       .withColumn("shard", lit(shardId))
@@ -445,6 +446,58 @@ object Similarity {
       .filter(col("shard").isin(committed.toSeq: _*))
       .withColumn("centroid_id", col("centroid_id").cast(idType))
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    topKRank(scored, k)
+  }
+
+  /** BATCHED probe of a persisted IVF index — [[queryIvfIndex]] for a
+    * 10⁴–10⁶-row query relation. The per-query path broadcasts the probe
+    * relation into the corpus join (right for a handful of queries; a
+    * broadcast explosion for a production batch). Here:
+    *
+    *  1. query→centroid assignment stays the map-side
+    *     [[graft.functions.expressions.NearestCentroids]] pass against
+    *     the one-row centroid-array literal (bounded by nCentroids, never
+    *     by the batch — the only broadcast on the path);
+    *  2. the probe join corpus ⋈ queries is a plain `centroid_id`
+    *     EQUI-join with NO forced broadcast: at batch scale Spark plans a
+    *     shuffle hash/sort-merge join keyed on centroid_id (AQE still
+    *     broadcasts a genuinely small batch adaptively, converging on the
+    *     per-query plan) — never a BroadcastNestedLoopJoin over the
+    *     corpus (plan-guarded in SimilaritySpec);
+    *  3. the self-match filter rides the join as a post-condition and the
+    *     per-query top-k is the k-bounded [[TopKAggregate]] partial.
+    *
+    * Results are bit-identical to [[queryIvfIndex]] for any query set
+    * (same assignment, same cosine kernel, same rank algebra — spec'd).
+    * At cluster scale, a skew guard worth knowing: the shuffle key is
+    * centroid_id (cardinality = nCentroids), so size nCentroids ≳ the
+    * executor count for this path — the standard IVF deployment rule
+    * (√N centroids), not a new constraint. */
+  def queryIvfIndexBatched(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nProbe: Int = 4,
+      shardFilter: Set[String] = Set.empty): DataFrame = {
+    val meta = readIvfMeta(spark, path)
+    val root = genRoot(path, meta.gen)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val centArr = centArrLiteral(cents)
+    val queryProbes = assignProbes(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), centArr, "qv", nProbe)
+    val idType = cents.schema("centroid_id").dataType
+    val committed =
+      if (shardFilter.isEmpty) meta.shards else meta.shards.intersect(shardFilter)
+    graft.plans.CorpusScale.register(s"$root/assigned")
+    val corpusAssigned = graft.core.AtomicStore.readRequired(spark, s"$root/assigned")
+      .filter(col("shard").isin(committed.toSeq: _*))
+      .withColumn("centroid_id", col("centroid_id").cast(idType))
+    // the one line that differs from queryIvfIndex: no broadcast() on the
+    // query side — the planner (and AQE at runtime) picks the join
+    // strategy from actual sizes
+    val scored = corpusAssigned.join(queryProbes, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
@@ -749,8 +802,24 @@ object Similarity {
     require(rows.nonEmpty, "empty PQ codebook")
     val m = rows.map(_.getInt(0)).max + 1
     val byBlock = rows.groupBy(_.getInt(0))
-    Array.tabulate(m)(b => byBlock(b).sortBy(_.getLong(1))
+    // shape validation (codebooks are a PUBLIC API input to pqEncode /
+    // pqTopK): downstream pqLut slices the flattened table positionally
+    // and adcScored indexes lut[block][code+1], so a missing block, a
+    // ragged block, or non-dense code ids would mis-rank SILENTLY — fail
+    // loudly here instead
+    val missing = (0 until m).filterNot(byBlock.contains)
+    require(missing.isEmpty,
+      s"malformed PQ codebook: missing block(s) ${missing.mkString(", ")} of $m")
+    val out = Array.tabulate(m)(b => byBlock(b).sortBy(_.getLong(1))
       .map(r => (r.getLong(1), r.getSeq[Float](2))))
+    val kCodes = out.head.length
+    out.zipWithIndex.foreach { case (blk, b) =>
+      require(blk.length == kCodes,
+        s"malformed PQ codebook: block $b has ${blk.length} codes, block 0 has $kCodes")
+      require(blk.map(_._1).sameElements(0L until kCodes.toLong),
+        s"malformed PQ codebook: block $b code ids are not dense 0..${kCodes - 1}")
+    }
+    out
   }
 
   /** PQ top-k by asymmetric-distance computation (ADC): the query stays

@@ -111,10 +111,12 @@ object Retrieval {
         .delete(root, true)
     }
     val tf = writeShardPostings(docs, textCol, idCol, path, buckets, shardId)
-    val stats = shardStats(docs, textCol, tf)
-    graft.core.AtomicStore.replace(spark, s"$path/meta",
-      metaRelation(spark, shardDfOf(tf), stats, buckets,
-        Set(shardId)))
+    try {
+      val stats = shardStats(docs, textCol, tf)
+      graft.core.AtomicStore.replace(spark, s"$path/meta",
+        metaRelation(spark, shardDfOf(tf), stats, buckets,
+          Set(shardId)))
+    } finally tf.unpersist()
   }
 
   /** Fold one new shard into an existing index at O(shard) cost: postings
@@ -134,16 +136,18 @@ object Retrieval {
       return false
     }
     val tf = writeShardPostings(docs, textCol, idCol, path, meta.buckets, shardId)
-    val mergedDf = meta.df.withColumnRenamed("df", "__old")
-      .join(shardDfOf(tf).withColumnRenamed("df", "__new"),
-        Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
-    val s = shardStats(docs, textCol, tf)
-    val merged = IndexStats(meta.stats.nDocs + s.nDocs,
-      meta.stats.nTextDocs + s.nTextDocs, meta.stats.sumDl + s.sumDl)
-    graft.core.AtomicStore.replace(spark, s"$path/meta",
-      metaRelation(spark, mergedDf, merged, meta.buckets, meta.shards + shardId))
+    try {
+      val mergedDf = meta.df.withColumnRenamed("df", "__old")
+        .join(shardDfOf(tf).withColumnRenamed("df", "__new"),
+          Seq("tok"), "full_outer")
+        .select(col("tok"),
+          (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
+      val s = shardStats(docs, textCol, tf)
+      val merged = IndexStats(meta.stats.nDocs + s.nDocs,
+        meta.stats.nTextDocs + s.nTextDocs, meta.stats.sumDl + s.sumDl)
+      graft.core.AtomicStore.replace(spark, s"$path/meta",
+        metaRelation(spark, mergedDf, merged, meta.buckets, meta.shards + shardId))
+    } finally tf.unpersist()
     true
   }
 
@@ -230,17 +234,22 @@ object Retrieval {
     * the sibling column's regex split re-runs per EXPLODED row — 12x
     * measured at sf0.1 (2.3 s vs 0.2 s for the explode stage; the split
     * runs |tokens| times per doc instead of once). */
-  /** Write one shard's postings + impacts and return the CHECKPOINTED
+  /** Write one shard's postings + impacts and return the PERSISTED
     * (doc_id, tok, dl, tf, bucket, block, shard) relation both were
     * written from: one tokenize+aggregate pass serves the postings write,
     * the impacts derivation, the shard's df, and sum_dl — the old shape
     * paid a second full regex pass (stats) plus a disk re-read with a
-    * footer-inference job (impacts). The checkpoint holds exactly the
-    * postings rows being written (shard-bounded, the same bytes the write
-    * emits), and because the write COPIES the checkpoint, everything
-    * derived from it is consistent with what landed on disk by
-    * construction — the build-once discipline with a stronger mechanism
-    * than re-reading. */
+    * footer-inference job (impacts).
+    *
+    * Materialisation is a DISK_ONLY persist, not a localCheckpoint: the
+    * relation is O(shard postings) rows — corpus-class on the 100 TB
+    * ingest path — so it must not claim executor MEMORY_AND_DISK space,
+    * and a localCheckpoint truncates lineage, making an executor loss
+    * mid-build unrecoverable. Persist keeps the (deterministic:
+    * tokenize → hash-aggregate) lineage, so a lost block recomputes, and
+    * every consumer is an order-free aggregate (write / max / min /
+    * count / sum), so recomputation cannot change any derived value.
+    * CALLERS must unpersist after the meta commit. */
   private[text] def writeShardPostings(
       docs: DataFrame, textCol: String, idCol: String, path: String,
       buckets: Int, shardId: String): DataFrame = {
@@ -260,10 +269,12 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
       .withColumn("block", pmod(xxhash64(col("doc_id")), lit(PostingBlocks)))
       .withColumn("shard", lit(shardId))
-      .localCheckpoint(true)
-    // one writer task per bucket (explicit count — AQE does not coalesce
-    // a user repartition): one file per (shard, bucket), never
-    // tasks × buckets slivers
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // one writer task per bucket (the explicit count PINS the writer-task
+    // count regardless of AQE and shuffle.partitions; a count-less
+    // repartition(col) carries the REPARTITION_BY_COL shuffle origin,
+    // which AQE's coalescing MAY resize): one file per (shard, bucket),
+    // never tasks × buckets slivers
     tf.repartition(math.max(buckets, 1), col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -589,6 +600,72 @@ object Retrieval {
     * on this JVM — the measured-reduction observable (spec/ops aid; the
     * same numbers go to stderr per probe). */
   @volatile private[text] var lastBlockMaxStats: Option[(Long, Long)] = None
+
+  /** BATCHED probe of a persisted BM25 index — the 10⁴–10⁶-query
+    * production shape [[queryBm25Index]] is wrong for. The per-query path
+    * collects the term set driver-side to build FOLDABLE bucket/term
+    * literals (a pruning win for a handful of terms); at batch scale that
+    * collect is a driver OOM, the broadcast query relation explodes, and
+    * with thousands of distinct terms the literal bucket predicate stops
+    * pruning anything. This path keeps the queries DISTRIBUTED end to
+    * end:
+    *
+    *  1. the query relation computes its own `bucket` map-side with the
+    *     SAME `pmod(xxhash64(term), buckets)` expression the writer used;
+    *  2. postings join the query relation on the pure EQUI key
+    *     (bucket, term) — a shuffle hash/sort-merge join at batch scale
+    *     (AQE still broadcasts a genuinely small batch adaptively), never
+    *     a BroadcastNestedLoopJoin, with no driver-side term collect
+    *     anywhere on the path (plan-guarded in RetrievalSpec);
+    *  3. document frequencies join from the index's PERSISTED df relation
+    *     on the same `tok` equi key (vocabulary-sized, distributed);
+    *  4. corpus stats enter as LITERALS (the meta read is one bounded
+    *     collect of 1 + |shards| rows — never query- or corpus-sized);
+    *  5. the per-query top-k is the k-bounded [[TopKAggregate]] partial,
+    *     so the rank shuffle carries O(tasks × k) rows per query.
+    *
+    * Scores are bit-identical to [[queryBm25Index]] / [[bm25TopK]] for
+    * any query set (same quantised algebra, same literal stats — spec'd,
+    * and q152 gates a 1000-query batch against the q91-family oracle).
+    * `maxDfFrac` drops over-ceiling terms AFTER the df join (the direct
+    * path's approximate-rank-safety caveat applies); block-max pruning is
+    * per-query-threshold machinery and stays on the low-latency path. */
+  def queryBm25IndexBatched(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: DataFrame, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    val meta = readMeta(spark, path)
+    // distinct at the contract boundary — the queryBm25Index rationale
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+      .withColumn("__qbucket",
+        // partition values round-trip as strings (inference off
+        // session-wide) — compare string = string, the writer's layout
+        pmod(xxhash64(col("term")), lit(meta.buckets)).cast("string"))
+    graft.plans.CorpusScale.register(s"$path/postings")
+    val postings = graft.core.AtomicStore.readRequired(spark, s"$path/postings")
+      // orphan subtrees of torn appends stay invisible until replayed
+      .filter(col("shard").isin(meta.shards.toSeq: _*))
+    // (bucket, term) equi-join: bucket is functional on term, but keeping
+    // it in the key gives dynamic partition pruning a handle on the
+    // postings tree's partition column when the batch's term set is small
+    val tf = postings.join(q,
+        postings("bucket") === q("__qbucket") && postings("tok") === q("term"))
+      .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
+    // df from the persisted vocabulary relation — tok equi-join (the tf
+    // side is already term-restricted, so this is |hit postings| rows
+    // against |vocabulary|; Spark picks broadcast only if df is small)
+    val withDf = tf.join(meta.df, "tok")
+    val limited =
+      if (maxDfFrac >= 1.0) withDf
+      else withDf.filter(col("df") <= lit(maxDfFrac * meta.stats.nDocs))
+    val scored = limited.select(col("query_id"), col("doc_id"),
+      scoreU(col("tf"), col("df"), col("dl"),
+        lit(meta.stats.nDocs), lit(meta.stats.avgdl), k1, b).as("s"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
+    rankTopK(agg, k)
+  }
 
   /** Top-`k` documents per query by quantised-BM25 score.
     *

@@ -303,4 +303,39 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.queryIvfIndex(spark, dir, q, "vec_id", "embedding",
       k = 5, nProbe = 2, shardFilter = Set("nope")).count() == 0)
   }
+
+  test("queryIvfIndexBatched: bit-identical to the per-query probe; corpus join is equi, never nested-loop") {
+    val dir = tmpDir("graft_ivf_batched")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    // parity on the gate-sized query set AND on a corpus-sized batch
+    // (every vector as a query — the per-query path still handles it at
+    // fixture scale, so the two paths are directly comparable)
+    val q8 = emb.filter(col("vec_id") < 8)
+    assert(set(Similarity.queryIvfIndexBatched(spark, dir, q8,
+        "vec_id", "embedding", k = 5, nProbe = 2)) ==
+      set(Similarity.queryIvfIndex(spark, dir, q8,
+        "vec_id", "embedding", k = 5, nProbe = 2)))
+    val batched = Similarity.queryIvfIndexBatched(spark, dir, emb,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(set(batched) == set(Similarity.queryIvfIndex(spark, dir, emb,
+      "vec_id", "embedding", k = 5, nProbe = 2)))
+    // plan guard (round-8 verdict task #1): the corpus ⋈ queries join must
+    // key on centroid_id as a HASH/SMJ family join — the only permitted
+    // nested-loop is the 1-row centroid-array append (assignProbes), which
+    // never touches the corpus relation
+    val plan = batched.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("centroid_id")).toSeq
+    assert(joinLines.nonEmpty, "no centroid_id join found:\n" + plan.take(2000))
+    assert(joinLines.forall(l => !l.contains("BroadcastNestedLoopJoin")),
+      "corpus join planned as nested loop:\n" + joinLines.mkString("\n"))
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val bnljs = batched.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.forall(_.toString.contains("cents")),
+      "a BNLJ beyond the 1-row centroid append:\n" + bnljs.mkString("\n").take(2000))
+  }
 }

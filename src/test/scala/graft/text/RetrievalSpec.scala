@@ -86,6 +86,43 @@ class RetrievalSpec extends SparkSpec {
     assert(prunedFiles.nonEmpty)
   }
 
+  test("bm25 batched probe: bit-identical to the per-query path; no BNLJ, no term collect, distributed top-k") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx = tmpDir("bm25idx_batch")
+    Retrieval.buildBm25Index(docs, "text", "doc_id", idx, buckets = 16)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    // parity on the fixed query set (incl. duplicated rows — the contract
+    // boundary dedup must hold on this path too)
+    val terms = q(1L -> "dup", 1L -> "merge", 2L -> "vector", 2L -> "query",
+      3L -> "stream", 3L -> "stream")
+    assert(set(Retrieval.queryBm25IndexBatched(spark, idx, terms, k = 5)) ==
+      set(Retrieval.queryBm25Index(spark, idx, terms, k = 5)))
+    // parity on a GENERATED 2k-query batch vs the direct in-memory path
+    // (queryBm25Index's driver-side term collect makes it the wrong
+    // comparator at this scale; bm25TopK shares no index code with the
+    // batched probe, so agreement certifies the whole index round trip)
+    val vocab = Seq("dup", "merge", "vector", "query", "stream", "filter",
+      "batch", "scan", "hash", "join")
+    val vocabArr = array(vocab.map(lit): _*)
+    val batch = spark.range(2000).select(col("id").as("query_id"),
+      explode(array(
+        element_at(vocabArr, (pmod(col("id"), lit(10)) + 1).cast("int")),
+        element_at(vocabArr, (pmod(col("id") * 3 + 1, lit(10)) + 1).cast("int"))
+      )).as("term"))
+    val probe = Retrieval.queryBm25IndexBatched(spark, idx, batch, k = 3)
+    assert(set(probe) == set(Retrieval.bm25TopK(docs, batch, "text", "doc_id", k = 3)))
+    // plan guard (round-8 verdict task #1): the batched path must be pure
+    // equi-join — no BroadcastNestedLoopJoin, no CartesianProduct — and
+    // must keep the k-bounded partial aggregate (never a window sort)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ on the batched probe:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "cartesian on the batched probe:\n" + plan.take(2000))
+    assert(!plan.contains("Window ["), "window sort on the batched probe:\n" + plan.take(2000))
+    assert(plan.contains("TopKAggregate") || plan.contains("topk"),
+      "k-bounded TopK aggregate missing from the batched probe:\n" + plan.take(2000))
+  }
+
   test("bm25: duplicated (query_id, term) rows leave both paths unchanged and agreeing") {
     // without the contract-boundary distinct, the direct path inflates tf
     // (nonlinear score change) while the index path duplicates scored rows
