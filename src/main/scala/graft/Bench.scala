@@ -134,7 +134,30 @@ object Bench {
         }
       }
     val phasesJson = phases.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Per-query regression gate (round-8 verdict #3): bench/thresholds.json
+    // holds 1.5 × the best median-of-3 of the last two rounds per query;
+    // a median above its threshold lands in the `regressions` array so the
+    // round artifact adjudicates the VM's 133–146 s bounce band itself
+    // instead of by eye. New queries have no threshold yet (not flagged).
+    val thresholds: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench/thresholds.json"))
+        // flat {"name": seconds} map we generate ourselves — a regex scan
+        // is enough and keeps the bench free of JSON dependencies
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressed = results.flatMap { case (name, rs) =>
+      thresholds.get(name).filter(t => median(rs) > t).map(t => (name, median(rs), t))
+    }.sortBy { case (_, m, t) => -(m / t) } // worst overshoot first
+    def regJson(rs: Seq[(String, Double, Double)]) = rs.map { case (n, m, t) =>
+      s"""{"query":"$n","median":${fmt(m)},"threshold":${fmt(t)}}"""
+    }.mkString("[", ",", "]")
+    val regressionsJson = regJson(regressed)
+    // the compact stdout line must stay inside the harness's ~2 KB tail:
+    // cap its array at the 12 worst, with the true count alongside
+    val regressionsCompact = regJson(regressed.take(12))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"regressions":$regressionsJson,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in
     // r1) — FULL runs only: a filtered iteration run must not overwrite
     // the round's record with a subset.
@@ -143,6 +166,13 @@ object Bench {
       Files.writeString(Paths.get("tmp/bench_latest.json"), line + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(line)
+    // COMPACT summary as the LAST stdout line (round-8 verdict #5): the
+    // round harness keeps only a ~2 KB tail of stdout, so the full
+    // 16 KB record above arrives mid-truncated and unparseable
+    // (BENCH_r08 'parsed: null'). This line carries the headline numbers
+    // + the regression verdict and POINTS at the full per-query record,
+    // so the round artifact is parseable standalone.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"n_regressions":${regressed.size},"regressions":$regressionsCompact,"failed":$failedJson,"sf":"$sfDir","full_record":"tmp/bench_latest.json"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,9 @@ import graft.text.TextAnalysis
   *   table: documents
   * output:
   *   path: /data/shards
+  *   bucket_by: doc_id          # optional: bucketed (CLUSTERED BY) layout
+  *   buckets: 8                 #   — downstream joins on the key plan
+  *   table: my_corpus           #   with zero Exchange on the corpus side
   * steps: normalize,redact,dedup_exact,dedup_minhash,quality_filter,split,pack
   * quality_min: 0.3            # quality_filter threshold
   * minhash_threshold: 0.7      # dedup_minhash estimated-Jaccard cutoff
@@ -187,13 +190,20 @@ object GraftPipeline {
       pqRebalanceCorpusTable: String = "embeddings",
       upsampleRatesU: Map[String, Long] = Map.empty,
       unimaxBudget: Long = 0L, unimaxEpochs: Long = 1L,
-      fuzzyPrefixLen: Int = 30) {
+      fuzzyPrefixLen: Int = 30,
+      bucketBy: String = "", buckets: Int = 8, outputTable: String = "") {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
       if (dataCardPath.nonEmpty) dataCardPath else s"${outputDir}_card"
     /** Replay-guard key for the fingerprint store: one fold per shard. */
     def shardId: String = if (shardIdOverride.nonEmpty) shardIdOverride else inputDir
+    /** Session-catalog name for the bucketed output table — deterministic
+      * per output path, so a replay resolves the same table. */
+    def tableName: String =
+      if (outputTable.nonEmpty) outputTable
+      else "graft_out_" + Integer.toHexString(outputDir.hashCode) + "_" +
+        outputDir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
   }
 
   /** Steps that rewrite the `text` column. The seen store hashes the FINAL
@@ -312,6 +322,12 @@ object GraftPipeline {
     else if (steps.contains("unimax") &&
         !kv.get("unimax.epochs").flatMap(_.toLongOption).forall(_ >= 1))
       Left("unimax.epochs must be a positive integer (whole epochs cap)")
+    else if (!kv.get("output.buckets").flatMap(_.toIntOption).forall(_ > 0))
+      Left("output.buckets must be a positive integer")
+    else if (kv.getOrElse("output.bucket_by", "").isEmpty &&
+        kv.contains("output.buckets"))
+      Left("output.buckets without output.bucket_by does nothing — set " +
+        "output.bucket_by (the join key, e.g. doc_id) or drop output.buckets")
     else parseRates(kv.getOrElse("mix_rates", "")) match {
       case Left(err) => Left(err)
       case Right(rates) if steps.contains("mix") && rates.isEmpty =>
@@ -373,7 +389,10 @@ object GraftPipeline {
       pqRebalanceCorpusTable = kv.getOrElse("pq.rebalance_corpus.table", "embeddings"),
       upsampleRatesU = uRates,
       unimaxBudget = kv.get("unimax.budget_tokens").flatMap(_.toLongOption).getOrElse(0L),
-      unimaxEpochs = kv.get("unimax.epochs").flatMap(_.toLongOption).getOrElse(1L))
+      unimaxEpochs = kv.get("unimax.epochs").flatMap(_.toLongOption).getOrElse(1L),
+      bucketBy = kv.getOrElse("output.bucket_by", ""),
+      buckets = kv.get("output.buckets").flatMap(_.toIntOption).getOrElse(8),
+      outputTable = kv.getOrElse("output.table", ""))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -790,7 +809,7 @@ object GraftPipeline {
             "Restore the output, point output.path at the committed shard, or " +
             "pass a new shard_id to reprocess as a fresh shard.")
       System.err.println(s"[$Name] shard ${cfg.shardId} already processed — skipping")
-      val committed = spark.read.parquet(cfg.outputDir)
+      val committed = readCommitted(spark, cfg)
       // the short-circuit must still run EVERY idempotent post-write
       // maintenance step against the committed output (round-6 advice #1):
       // a crash after the dedup-store update but before the later folds
@@ -801,13 +820,45 @@ object GraftPipeline {
       return (in, committed.count())
     }
     val out = plan(spark, cfg)
-    val writer = out.write.mode("overwrite")
-    (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
-      .parquet(cfg.outputDir)
-    val written = spark.read.parquet(cfg.outputDir)
+    if (cfg.bucketBy.isEmpty) {
+      val writer = out.write.mode("overwrite")
+      (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
+        .parquet(cfg.outputDir)
+    } else {
+      // BUCKETED shard layout (round-8 verdict task #2): the output lands
+      // as a session-catalog table CLUSTERED BY the join key, so every
+      // downstream join-back on that key — snapshot diffs, store-probe
+      // joins, q16-class fact⋈fact aggregates — reads the corpus
+      // PRE-PLACED and plans with zero Exchange on this side (q147
+      // demonstrates the join; GraftPipelineSpec asserts it on a real
+      // pipeline output). At 100 TB this removes the single largest
+      // recurring shuffle in the x10/x30 trend's non-codec rows: the
+      // corpus re-partition that every post-ingest join used to pay.
+      // The explicit repartition pins one file per (split ×) bucket —
+      // without it every writer task emits its own file per bucket
+      // (tasks × buckets slivers, the BM25 postings lesson).
+      val writer = out.repartition(cfg.buckets, col(cfg.bucketBy))
+        .write.mode("overwrite")
+        .format("parquet").option("path", cfg.outputDir)
+        .bucketBy(cfg.buckets, cfg.bucketBy).sortBy(cfg.bucketBy)
+      (if (cfg.steps.contains("split")) writer.partitionBy("split") else writer)
+        .saveAsTable(cfg.tableName)
+    }
+    val written = readCommitted(spark, cfg)
     postWrite(spark, cfg, written)
     (in, written.count())
   }
+
+  /** The committed output relation. Bucketed outputs read through the
+    * session catalog so consumers inherit the bucketing metadata (a plain
+    * `spark.read.parquet` of the same files would silently drop it and
+    * re-shuffle on the next join); a fresh session replaying a bucketed
+    * shard whose table registration is gone falls back to the files —
+    * correct rows, bucketing ignored (re-register or re-run to restore). */
+  private def readCommitted(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    if (cfg.bucketBy.nonEmpty && spark.catalog.tableExists(cfg.tableName))
+      spark.table(cfg.tableName)
+    else spark.read.parquet(cfg.outputDir)
 
   /** Every post-write maintenance step, each idempotent per shard id (or
     * a pure function of the committed output), so [[run]] can execute the

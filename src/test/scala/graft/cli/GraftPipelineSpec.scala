@@ -50,6 +50,62 @@ class GraftPipelineSpec extends SparkSpec {
     assert(firstPacks.count() == 0)
   }
 
+  test("bucketed output: rows identical to plain layout; doc_id join-back plans with zero Exchange on the corpus side") {
+    val outPlain = tmpDir("pipe_plain")
+    val outBkt = tmpDir("pipe_bkt")
+    val base = Map("input.path" -> sf001, "input.table" -> "documents",
+      "steps" -> "normalize,dedup_exact,quality_filter", "quality_min" -> "0.3")
+    GraftPipeline.run(spark,
+      GraftPipeline.fromKv(base + ("output.path" -> outPlain)).toOption.get)
+    val cfg = GraftPipeline.fromKv(base ++ Map("output.path" -> outBkt,
+      "output.bucket_by" -> "doc_id", "output.buckets" -> "4")).toOption.get
+    val (_, nOut) = GraftPipeline.run(spark, cfg)
+    try {
+      // same rows as the plain layout — bucketing is layout, not semantics
+      val plainIds = spark.read.parquet(outPlain).select("doc_id")
+        .collect().map(_.get(0)).toSet
+      val bktIds = spark.table(cfg.tableName).select("doc_id")
+        .collect().map(_.get(0)).toSet
+      assert(bktIds == plainIds && nOut == plainIds.size)
+      // one file per bucket (the explicit repartition pins writer tasks —
+      // without it: tasks × buckets slivers)
+      val files = new java.io.File(outBkt).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected 4 bucket files, got $files")
+      // the join-back (snapshot-diff / store-probe shape): corpus ⋈ keys
+      // on doc_id — the BUCKETED side must feed the join with NO Exchange
+      // (its scan IS the partitioning); the q147 merge hint pins SMJ so a
+      // broadcast cannot mask the layout claim at fixture scale
+      val corpus = spark.table(cfg.tableName)
+      val probe = spark.table(cfg.tableName).select("doc_id", "n_chars")
+        .withColumnRenamed("n_chars", "prev_chars")
+      val joined = corpus.hint("merge").join(probe, Seq("doc_id"))
+      assert(joined.count() == nOut)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed join-back still exchanges:\n" + plan.take(2500))
+      // the replay short-circuit resolves the committed output through the
+      // session catalog (bucketing metadata intact), not a raw file read
+      val seenDir = tmpDir("pipe_bkt_seen")
+      val cfg2 = GraftPipeline.fromKv(base ++ Map("output.path" -> outBkt,
+        "output.bucket_by" -> "doc_id", "output.buckets" -> "4",
+        "steps" -> "normalize,dedup_exact,dedup_seen",
+        "seen_store.path" -> seenDir, "shard_id" -> "s0")).toOption.get
+      GraftPipeline.run(spark, cfg2)
+      val (_, nReplay) = GraftPipeline.run(spark, cfg2) // short-circuits
+      assert(nReplay == spark.table(cfg2.tableName).count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${cfg.tableName}")
+  }
+
+  test("bucketed output config: buckets must be positive and need bucket_by") {
+    val base = Map("input.path" -> "a", "output.path" -> "b", "steps" -> "normalize")
+    assert(GraftPipeline.fromKv(base ++ Map("output.bucket_by" -> "doc_id",
+      "output.buckets" -> "0")).isLeft)
+    assert(GraftPipeline.fromKv(base + ("output.buckets" -> "8")).isLeft)
+    assert(GraftPipeline.fromKv(base ++ Map("output.bucket_by" -> "doc_id",
+      "output.buckets" -> "8")).isRight)
+  }
+
   test("dedup_minhash step drops planted near-duplicates but keeps originals") {
     import spark.implicits._
     val out = tmpDir("pipe2")
