@@ -277,8 +277,10 @@ object GraphQueries {
   /** The q133 synthetic-PNG decode pass, shared verbatim by q153 (store
     * round trip) so the two paths' signatures are identical by
     * construction: md5-formula pixels → real ImageIO PNG encode → real
-    * ImageIO decode → 56-bit dHash. Returns (id, sig). */
-  private def dhashSigs(s: SparkSession, dir: String): DataFrame = {
+    * ImageIO decode → 56-bit dHash. Returns (id, sig).
+    * private[graft]: [[graft.ScaleBench]] times the codec and mining legs
+    * apart in the x10 trend. */
+  private[graft] def dhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents").select("doc_id").as[Long]
       .map { id =>
