@@ -1032,6 +1032,36 @@ object PipelineQueries {
     // The 10⁴-row batch stress and the no-BNLJ plan guard live in
     // SimilaritySpec; this gate pins the two paths' VALUE equality
     // externally.
+    // HYBRID fusion AT BATCH SCALE — the q151 shape with the round-9
+    // batched sparse leg: 1000 generated BM25 queries probe the persisted
+    // index through the DISTRIBUTED path (q152's plan), the dense leg is
+    // the exact cosine top-10 for the 500 queries that have vectors
+    // (query ids 500–999 fuse a single list — the partial-coverage arm a
+    // production fusion must handle), and RRF sums quantised-long
+    // contributions. The DuckDB oracle regenerates the whole thing —
+    // batch, both rankings, fusion — bit-for-bit, so this gate retires
+    // the "retrieval probes assume a ≤8-row broadcast query set" watch
+    // item across the fusion path too. (At true batch scale the dense leg
+    // routes through queryIvfIndexBatched — q154 gates its parity; the
+    // exact leg here is the oracle-reproducible stand-in, like q151's.)
+    "q155_hybrid_batch" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val idxDir = graft.core.Fs.scratchDir("graft_hybrid_batch")
+      val sparse = try {
+        graft.text.Retrieval.buildBm25Index(docs, "text", "doc_id",
+          idxDir.toString, buckets = 8)
+        graft.text.Retrieval.queryBm25IndexBatched(s, idxDir.toString,
+            batchQueryDf(s), k = 10)
+          .localCheckpoint(true) // materialise before the index dir dies
+      } finally graft.core.Fs.deleteRecursively(idxDir)
+      val dense = Similarity.bruteForceKnn(
+          emb.filter(col("vec_id") < 500), emb, "vec_id", "embedding", k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      graft.sim.Hybrid.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q154_ivf_batch" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -1408,12 +1438,25 @@ object PipelineQueries {
         "CAST(score_u AS BIGINT) AS score_u, n_hit_terms " +
         "FROM rk WHERE rank <= 5 ORDER BY query_id, rank")
 
+  /** q155 oracle: the q151 fusion formula over the GENERATED 1000-query
+    * batch — sparse CTEs from [[BatchQCtes]], dense queries = the 500
+    * vector-bearing ids (ids 500–999 fuse a single list), all 10 000
+    * fused rows bit-for-bit. */
+  private def HybridBatchOracleSql: String =
+    HybridRrfSqlWith(Bm25RankCtesWith(BatchQCtes),
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500")
+
   /** q151 oracle: recompute the sparse (BM25) and dense (exact cosine)
     * top-10 lists, quantise each rank's RRF contribution to a long, sum,
     * re-rank. Bit-for-bit with [[graft.sim.Hybrid.rrfFuse]]. */
-  private def HybridRrfOracleSql: String =
-    (s"WITH $Bm25RankCtes, " +
-        "dq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)), " +
+  private def HybridRrfOracleSql: String = HybridRrfSqlWith(Bm25RankCtes,
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)")
+
+  /** The shared RRF-fusion SQL: a BM25 rank-CTE chain (ending in `rk`)
+    * plus a dense query relation, fused by the quantised-long formula. */
+  private def HybridRrfSqlWith(bm25Ctes: String, dqSql: String): String =
+    (s"WITH $bm25Ctes, " +
+        s"dq AS ($dqSql), " +
         "dpairs AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id, " +
         "list_sum(list_transform(range(1, len(dq.embedding)+1), i -> CAST(dq.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / " +
         "(sqrt(list_sum(list_transform(dq.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
@@ -1874,7 +1917,8 @@ object PipelineQueries {
 
     "q151_hybrid_rrf" -> HybridRrfOracleSql,
     "q152_bm25_batch" -> Bm25BatchOracleSql,
-    "q154_ivf_batch" -> knnInvariantOracle(Seq("batch_parity_ok"))
+    "q154_ivf_batch" -> knnInvariantOracle(Seq("batch_parity_ok")),
+    "q155_hybrid_batch" -> HybridBatchOracleSql
   )
 }
 

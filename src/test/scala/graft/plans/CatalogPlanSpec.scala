@@ -56,6 +56,11 @@ class CatalogPlanSpec extends SparkSpec {
     // the dense leg IS q34's bounded-broadcast kNN (3-row query side);
     // the sparse leg and the fusion are equi-join/aggregate only
     "q151_hybrid_rrf",
+    // same class at batch scale: the dense leg broadcasts the FIXED
+    // 500-row vector query set (~128 KB — bounded by the literal filter,
+    // never by the corpus); the 1000-query sparse leg is the batched
+    // equi-join path (checkpointed) and the fusion is aggregate-only
+    "q155_hybrid_batch",
     // 1-row total-mass cross join over the per-source aggregate
     "q122_token_budget",
     // two 1-row cross joins (source count; capped-prefix stats) over the
