@@ -30,6 +30,12 @@ object GraftSession {
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.parquet.filterPushdown", "true")
+    // cached relations (the shard-ingest persist in Retrieval, pqKnn's
+    // codebook) otherwise pin their below-cache shuffles to the static
+    // partition count and block AQE re-planning above them — with the
+    // flag on, AQE may re-coalesce around InMemoryRelation output (safe:
+    // consumers here are order-free aggregates and pinned-count writes)
+    c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // Partition ids stay strings end-to-end (the reference round-trips them
     // as strings, database/sidefunctions.go:11-15); inference would turn
     // part=199605 into an int on read-back and break verdict joins.

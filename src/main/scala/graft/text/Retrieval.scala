@@ -269,7 +269,7 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)))
       .withColumn("block", pmod(xxhash64(col("doc_id")), lit(PostingBlocks)))
       .withColumn("shard", lit(shardId))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one writer task per bucket (the explicit count PINS the writer-task
     // count regardless of AQE and shuffle.partitions; a count-less
     // repartition(col) carries the REPARTITION_BY_COL shuffle origin,
