@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{BehaviorQueries, CurationQueries, ExtendedQueries, GraphQueries, PipelineQueries, ReferenceQueries, ScaleQueries}
+import graft.queries.{BehaviorQueries, CurationQueries, ExtendedQueries, GraphQueries, PipelineQueries, ReferenceQueries, RollupQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query implementations live in graft.queries.*; this object is the flat
@@ -17,14 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.all ++ PipelineQueries.all ++ ExtendedQueries.all ++
       CurationQueries.all ++ ScaleQueries.all ++ GraphQueries.all ++
-      BehaviorQueries.all
+      BehaviorQueries.all ++ RollupQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++
       CurationQueries.oracles ++ ScaleQueries.oracles ++ GraphQueries.oracles ++
-      BehaviorQueries.oracles
+      BehaviorQueries.oracles ++ RollupQueries.oracles
 
   /** Per-phase timers (e.g. index build vs probe) for catalog queries
     * whose single number hides which phase moved — [[Bench]] records

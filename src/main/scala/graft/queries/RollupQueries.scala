@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.AggStore
+import graft.core.{Fs, Tables}
+import graft.operators.Sample
+import graft.sources.ZOrder
+
+/** Round-9 production-layout family: the incremental rollup store
+  * (ClickHouse AggregatingMergeTree analogue), deterministic hash
+  * sampling (ClickHouse `SAMPLE` clause analogue), and an end-to-end
+  * gate for the existing Z-order clustered writer. Each query is a full
+  * round trip —
+  * build the persisted artifact, read through it — gated by a DuckDB
+  * oracle that recomputes the answer FROM RAW, so the incremental /
+  * sampled / re-laid-out path must be bit-identical to the direct one. */
+object RollupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The q157 sampling parameters, shared by the Spark side and the
+    * oracle text so the interval literals cannot drift apart. */
+  private val SampleFraction = 0.1
+  private val (sampleLo, sampleHi) = Sample.portableBounds(SampleFraction, 0.0)
+
+  /** events projected to the rollup's columns (shard split key kept). */
+  private def rollupInput(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      col("event_id"), col("event_type"),
+      to_date(col("ts")).as("event_day"), col("value"))
+
+  val all: Map[String, Q] = Map(
+    // Incremental rollup: three derived ingest shards (event_id mod 3 —
+    // standing in for three daily batches) append their PARTIAL STATES to
+    // the persisted store; the emission is the merged read. The oracle
+    // re-aggregates the raw events table, so state decomposition + merge
+    // must reproduce the from-raw GROUP BY exactly — which the integer
+    // micro-unit sum state guarantees where a double sum would drift with
+    // merge order. Store I/O is scratch (built and deleted inside the
+    // query); a production rollup passes a durable path.
+    "q156_agg_rollup" -> ((s, dir) => {
+      val ev = rollupInput(s, dir)
+      val store = Fs.scratchDir("graft_agg_rollup")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.append(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type", "event_day"), valueCol = "value",
+            shardId = s"batch_$i")
+        }
+        AggStore.merged(s, store.toString)
+          .select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+          .orderBy("event_type", "event_day")
+          // materialise before the finally deletes the files the plan reads
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
+    // Deterministic hash sample (SAMPLE 0.1 semantics): both orders and
+    // customer sampled BY THE SAME KEY (custkey), then joined — the
+    // sample-consistency property (join of samples ≡ sample of the join)
+    // is what the oracle verifies, since it filters the JOINED relation
+    // once. The predicate is map-only (no RNG, no shuffle); customer is a
+    // dimension so the join broadcasts.
+    "q157_hash_sample" -> ((s, dir) => {
+      val so = Sample.portable(Tables.load(s, dir, "orders"), "o_custkey", SampleFraction)
+      val sc = Sample.portable(Tables.load(s, dir, "customer"), "c_custkey", SampleFraction)
+      so.join(sc, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Z-order layout round trip: rewrite events through
+    // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
+    // 2-d box query over the re-laid-out files. q76 gates the curve
+    // ARITHMETIC bit-for-bit; this gates the WRITER path end to end — the
+    // curve is layout-only, so the oracle runs the same box on the RAW
+    // fixture and any row lost or duplicated by the rewrite is a hash
+    // mismatch. (The skipping win itself is measured in
+    // sources/ZOrderSpec, where the layout contrast is observable.) The
+    // ts dimension enters as seconds-from-corpus-min: scale16 maps
+    // [0, max] onto the 16-bit grid, and raw epoch seconds would collapse
+    // the month's span into one cell at the top of the domain.
+    "q158_zorder_box" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val out = Fs.scratchDir("graft_zorder_box")
+      try {
+        // production stats lookup: two longs off one tiny agg job
+        val r = ev.agg(min(unix_seconds(col("ts"))), max(unix_seconds(col("ts"))),
+          max(col("user_id"))).head()
+        val (t0, t1, maxUser) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        ZOrder.writeClustered(ev, col("user_id"),
+          unix_seconds(col("ts")) - lit(t0), maxA = maxUser, maxB = t1 - t0,
+          path = s"$out/events_z", numFiles = 8)
+        s.read.parquet(s"$out/events_z")
+          .filter(col("user_id").between(10L, 49L) &&
+            col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("ts") <= lit("2024-01-14 23:59:59").cast("timestamp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(AggStore.micros(col("value"))).as("sum_micros"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(out)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q156_agg_rollup" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q157_hash_sample" ->
+      ("SELECT o_orderkey, o_custkey, c_name, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        s"WHERE ${PortableSql.hex15("md5(CAST(o_custkey AS VARCHAR))")} >= $sampleLo " +
+        s"AND ${PortableSql.hex15("md5(CAST(o_custkey AS VARCHAR))")} < $sampleHi " +
+        "ORDER BY o_orderkey"),
+    "q158_zorder_box" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v " +
+        "FROM events WHERE user_id BETWEEN 10 AND 49 " +
+        "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+        "AND ts <= TIMESTAMP '2024-01-14 23:59:59' " +
+        "GROUP BY event_type ORDER BY event_type")
+  )
+}

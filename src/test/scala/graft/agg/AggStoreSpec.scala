@@ -1,0 +1,96 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** AggStore contract: incremental states merge to the exact from-raw
+  * answer, appends are replay-idempotent, compaction is invisible to
+  * readers, and the torn-compact crash window heals (the SeenStore
+  * protocol, re-verified on this store because its write path is a
+  * separate implementation). */
+class AggStoreSpec extends SparkSpec {
+
+  private def events = Tables.load(spark, sf001, "events")
+    .select(col("event_id"), col("event_type"),
+      to_date(col("ts")).as("event_day"), col("value"))
+
+  private val keys = Seq("event_type", "event_day")
+
+  private def fromRaw = events.groupBy(keys.map(col): _*).agg(
+    count(lit(1)).as("n"),
+    sum(AggStore.micros(col("value"))).as("sum_micros"),
+    min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+
+  private def appendSplit(store: String, nShards: Int): Unit =
+    (0L until nShards.toLong).foreach { i =>
+      AggStore.append(spark, store,
+        events.filter(pmod(col("event_id"), lit(nShards.toLong)) === i),
+        keys, "value", s"batch_$i")
+    }
+
+  test("incremental merge reproduces the from-raw rollup bit-for-bit") {
+    val store = tmpDir("agg_merge")
+    appendSplit(store, 3)
+    assert(asSet(AggStore.merged(spark, store)) == asSet(fromRaw))
+    assert(AggStore.processedShards(spark, store) ==
+      Set("batch_0", "batch_1", "batch_2"))
+  }
+
+  test("replaying a committed shard id is a no-op (even with different rows)") {
+    val store = tmpDir("agg_replay")
+    appendSplit(store, 3)
+    val before = asSet(AggStore.merged(spark, store))
+    // a replay never legitimately carries different rows; the guard must
+    // hold anyway (crash-recovery replays the same shard id blindly)
+    AggStore.append(spark, store, events.limit(10), keys, "value", "batch_1")
+    assert(asSet(AggStore.merged(spark, store)) == before)
+  }
+
+  test("compact: reader-invisible, fewer files, replay history retained") {
+    val store = tmpDir("agg_compact")
+    appendSplit(store, 3)
+    val before = asSet(AggStore.merged(spark, store))
+    val filesBefore = graft.core.AtomicStore.dataFileCount(spark, s"$store/states")
+    assert(AggStore.compact(spark, store))
+    assert(asSet(AggStore.merged(spark, store)) == before,
+      "compaction changed the merged read")
+    assert(graft.core.AtomicStore.dataFileCount(spark, s"$store/states") < filesBefore)
+    // long-gone shards still short-circuit after compaction
+    assert(AggStore.processedShards(spark, store) ==
+      Set("batch_0", "batch_1", "batch_2"))
+  }
+
+  test("append over a TORN compact heals first — pre-compact states survive") {
+    val store = tmpDir("agg_torn")
+    AggStore.append(spark, store,
+      events.filter(pmod(col("event_id"), lit(2L)) === 0L), keys, "value", "s0")
+    assert(AggStore.compact(spark, store))
+    // crash between the compact swap's delete and rename
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store/states"),
+      new org.apache.hadoop.fs.Path(s"$store/states_tmp")))
+    AggStore.append(spark, store,
+      events.filter(pmod(col("event_id"), lit(2L)) === 1L), keys, "value", "s1")
+    assert(asSet(AggStore.merged(spark, store)) == asSet(fromRaw),
+      "pre-compact states were orphaned by the post-crash append")
+  }
+
+  test("key schema drift fails loudly, not with silent column soup") {
+    val store = tmpDir("agg_schema")
+    appendSplit(store, 2)
+    val drifted = events.withColumn("event_day", col("event_day").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      AggStore.append(spark, store, drifted, keys, "value", "later")
+    }
+    assert(e.getMessage.contains("key schema mismatch"))
+  }
+}
