@@ -113,11 +113,17 @@ object AggStore {
     }
     // partial states: Catalyst's partial/final HashAggregate already
     // map-side-combines this, so the shuffle carries states, not rows
+    // the measure is DOUBLE in the state schema regardless of its input
+    // type (a long column like n_chars casts exactly up to 2^53; the sum
+    // state is exact through the micro-unit long either way) — without
+    // the cast, a long-typed measure writes INT64 min_v/max_v that the
+    // schema'd read rejects
+    val measure = col(valueCol).cast(DoubleType)
     val partial = shard.groupBy(keys.map(col): _*).agg(
         count(lit(1)).as("n"),
-        coalesce(sum(micros(col(valueCol))), lit(0L)).as("sum_micros"),
-        min(col(valueCol)).as("min_v"),
-        max(col(valueCol)).as("max_v"))
+        coalesce(sum(micros(measure)), lit(0L)).as("sum_micros"),
+        min(measure).as("min_v"),
+        max(measure).as("max_v"))
       .withColumn("shard", lit(shardId))
     // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
     graft.core.AtomicStore.heal(spark, statesPath(path))

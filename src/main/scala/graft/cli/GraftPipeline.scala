@@ -147,8 +147,21 @@ import graft.text.TextAnalysis
   *    docs/chars/tokens, language spread, quality mass, Gopher keep-rate)
   *    written to `data_card.path` (default `<output.path>_card`) — the
   *    documentation artifact shipped beside the shards
+  *  - `sample` — deterministic hash sample (ClickHouse SAMPLE clause,
+  *    q157's operator): keep rows whose `sample.key_column` (default
+  *    doc_id) hashes into the `sample.fraction`-wide bucket window at
+  *    `sample.offset`; map-only, replay-stable (the same rows survive on
+  *    every run), and consistent with any other table sampled by the
+  *    same key
+  *  - `rollup` — post-write incremental-aggregate maintenance (q156's
+  *    AggStore): fold the shipped shard's partial states — count / exact
+  *    micro-unit sum / min / max of `rollup.value_column` (default
+  *    n_chars) grouped by `rollup.keys` (default source) — into the
+  *    store at `rollup_store.path` at O(shard); readers merge states
+  *    instead of rescanning shipped shards (AggregatingMergeTree shape)
   *  - `compact` — post-write small-file maintenance of every configured
-  *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25):
+  *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25 /
+  *    rollup):
   *    read-coalesce-
   *    atomic-swap, probe results unchanged, file count bounded again
   *
@@ -191,7 +204,12 @@ object GraftPipeline {
       upsampleRatesU: Map[String, Long] = Map.empty,
       unimaxBudget: Long = 0L, unimaxEpochs: Long = 1L,
       fuzzyPrefixLen: Int = 30,
-      bucketBy: String = "", buckets: Int = 8, outputTable: String = "") {
+      bucketBy: String = "", buckets: Int = 8, outputTable: String = "",
+      sampleKeyCol: String = "doc_id",
+      sampleFraction: Double = 0.0, sampleOffset: Double = 0.0,
+      rollupStorePath: String = "",
+      rollupKeys: Seq[String] = Seq("source"),
+      rollupValueCol: String = "n_chars") {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -275,11 +293,20 @@ object GraftPipeline {
         s"got '${kv("ann_index.mode")}'")
     else if (steps.contains("compact") && Seq("seen_store.path",
         "neardup_store.path", "fingerprint_store.path", "ann_index.path",
-        "bm25_index.path", "pq_index.path")
+        "bm25_index.path", "pq_index.path", "rollup_store.path")
         .forall(k => kv.getOrElse(k, "").isEmpty))
       Left("compact requires at least one store path to compact " +
         "(seen_store.path / neardup_store.path / fingerprint_store.path / " +
-        "ann_index.path / bm25_index.path / pq_index.path)")
+        "ann_index.path / bm25_index.path / pq_index.path / rollup_store.path)")
+    else if (steps.contains("rollup") && kv.getOrElse("rollup_store.path", "").isEmpty)
+      Left("rollup requires rollup_store.path")
+    else if (steps.contains("sample") && !kv.get("sample.fraction")
+        .flatMap(_.toDoubleOption).exists(f => f > 0.0 && f <= 1.0))
+      Left("sample requires sample.fraction in (0, 1]")
+    else if (steps.contains("sample") && !kv.getOrElse("sample.offset", "0")
+        .toDoubleOption.exists(o => o >= 0.0 &&
+          o + kv.get("sample.fraction").flatMap(_.toDoubleOption).getOrElse(0.0) <= 1.0))
+      Left("sample.offset must be >= 0 with offset + fraction <= 1")
     // an index build is POST-write while its probe executes in-plan
     // (pre-write): one run holding both would probe a missing/stale index,
     // and the post-write build would then run on the PROBE's output — which
@@ -392,7 +419,14 @@ object GraftPipeline {
       unimaxEpochs = kv.get("unimax.epochs").flatMap(_.toLongOption).getOrElse(1L),
       bucketBy = kv.getOrElse("output.bucket_by", ""),
       buckets = kv.get("output.buckets").flatMap(_.toIntOption).getOrElse(8),
-      outputTable = kv.getOrElse("output.table", ""))
+      outputTable = kv.getOrElse("output.table", ""),
+      sampleKeyCol = kv.getOrElse("sample.key_column", "doc_id"),
+      sampleFraction = kv.get("sample.fraction").flatMap(_.toDoubleOption).getOrElse(0.0),
+      sampleOffset = kv.get("sample.offset").flatMap(_.toDoubleOption).getOrElse(0.0),
+      rollupStorePath = kv.getOrElse("rollup_store.path", ""),
+      rollupKeys = kv.getOrElse("rollup.keys", "source")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      rollupValueCol = kv.getOrElse("rollup.value_column", "n_chars"))
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -485,6 +519,17 @@ object GraftPipeline {
     // the run's own store updates, so repeated appends don't accumulate
     // files indefinitely. No plan-time transform.
     "compact" -> ((_, df) => df),
+    // deterministic hash sample (q157's operator, production xxhash64
+    // family): a pure key-hash interval predicate — map-only, stable
+    // under replay (a re-run of the shard keeps exactly the same rows,
+    // so the shard-replay protocol's "re-run recomputes the identical
+    // output" invariant holds through this step too)
+    "sample" -> ((c, df) =>
+      graft.operators.Sample(df, c.sampleKeyCol, c.sampleFraction, c.sampleOffset)),
+    // incremental rollup maintenance (q156's AggStore): post-write like
+    // fingerprint_store — no plan-time transform; run() folds the
+    // written shard's partial aggregate states into rollup_store.path
+    "rollup" -> ((_, df) => df),
     // BM25 probe: the input relation IS the (query_id, term) set; the step
     // replaces it with the top-k result — config requires it to be last
     "bm25_query" -> ((c, df) =>
@@ -871,6 +916,12 @@ object GraftPipeline {
         cfg.shardId, written, Seq("source" -> col("source")),
         Seq(col("doc_id"), col("text"), col("source")))
     }
+    if (cfg.steps.contains("rollup"))
+      // partial states of the COMMITTED output (pure function of it, like
+      // the card) — shard-id-guarded in-store, so the replay
+      // short-circuit heals a crash between the write and this fold
+      graft.agg.AggStore.append(spark, cfg.rollupStorePath, written,
+        cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId)
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)
     if (cfg.steps.contains("dedup_neardup"))
@@ -954,6 +1005,8 @@ object GraftPipeline {
       if (cfg.bm25IndexPath.nonEmpty &&
           graft.core.Fs.exists(spark, s"${cfg.bm25IndexPath}/meta"))
         graft.text.Retrieval.compactBm25Index(spark, cfg.bm25IndexPath)
+      if (cfg.rollupStorePath.nonEmpty)
+        graft.agg.AggStore.compact(spark, cfg.rollupStorePath)
     }
   }
 

@@ -72,6 +72,14 @@ object RollupQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The q156 rollup as a LIVE STREAM (the AggregatingMergeTree
+    // ingestion loop): an availableNow events stream folds per-batch
+    // partial states into the persisted store; the emission is the
+    // merged store. Same oracle as q156 — the merge is associative, so
+    // micro-batching must be invisible in the result.
+    "q159_streaming_rollup" -> ((s, dir) =>
+      graft.streaming.StreamingReconcile.rollupStream(s, dir)),
+
     // Z-order layout round trip: rewrite events through
     // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
     // 2-d box query over the re-laid-out files. q76 gates the curve
@@ -111,6 +119,11 @@ object RollupQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_agg_rollup" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q159_streaming_rollup" ->
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +

@@ -252,6 +252,49 @@ object StreamingReconcile {
       } finally graft.core.Fs.deleteRecursively(scratch)
     }
 
+  /** Streaming incremental rollup (q159) — the `rollup` pipeline step as
+    * a live stream, the aggregate sibling of [[seenDedupStream]]: each
+    * micro-batch folds its PARTIAL AGGREGATE STATES into the persisted
+    * [[graft.agg.AggStore]] under the batch-id shard key. The append is
+    * idempotent per shard id in-store, so a redelivered micro-batch is a
+    * no-op by construction — no sink partition dance needed here, the
+    * store IS the output. Because the states are associative and
+    * commutative exact merges (count / micro-unit long sum / min / max),
+    * the merged read equals the batch rollup REGARDLESS of how the
+    * stream was micro-batched — which is exactly what the DuckDB oracle
+    * (the q156 SQL) checks end to end. At 100 TB this is the
+    * AggregatingMergeTree ingestion loop: the dashboard read touches
+    * O(distinct keys) state rows, never the event history. */
+  def rollupStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = scratchDir("graft_rollup_stream")
+    val store = s"$scratch/store"
+    val inDir = s"$scratch/in"
+    try {
+      val ev = graft.core.Tables.load(spark, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("event_day"), col("value"))
+      // two micro-batches: cross-batch state merging is exercised; the
+      // merged result is partitioning-independent (associative states),
+      // so the batch count is pure gate sizing
+      ev.repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = spark.readStream.schema(
+          spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = stream.writeStream.queryName("q159_streaming_rollup")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.agg.AggStore.append(b.sparkSession, store, b,
+            Seq("event_type", "event_day"), "value", s"batch_$id")
+        }
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.agg.AggStore.merged(spark, store)
+        .select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+        .orderBy("event_type", "event_day")
+        .localCheckpoint(true)
+    } finally graft.core.Fs.deleteRecursively(scratch)
+  }
+
   /** Streaming shard ingest with PERSISTED near-dup dedup (q110) — the
     * `dedup_neardup` pipeline step as a live stream, the MinHash-LSH
     * sibling of [[seenDedupStream]]: each micro-batch probes the

@@ -1187,4 +1187,72 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "unimax", "unimax.budget_tokens" -> "10",
       "unimax.epochs" -> "0")).swap.exists(_.contains("epochs")))
   }
+
+  test("rollup step: shard-over-shard aggregate states, replay heals, compact invisible") {
+    import spark.implicits._
+    val out = tmpDir("pipe_rollup")
+    val store = s"$out/rollup_store"
+    def doc(id: Long, lang: String, n: Long) = (id, s"text $id", lang, "src", n)
+    Seq(doc(1, "en", 10), doc(2, "en", 20), doc(3, "de", 5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/s1/documents.parquet")
+    Seq(doc(10, "en", 7), doc(11, "de", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/s2/documents.parquet")
+    def cfg(in: String, shard: String, steps: Seq[String] = Seq("rollup")) =
+      GraftPipeline.PipelineConfig(
+        inputDir = in, table = "documents", outputDir = s"$out/$shard",
+        steps = steps, qualityMin = 0.0,
+        minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+        rollupStorePath = store, rollupKeys = Seq("lang"))
+    GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    GraftPipeline.run(spark, cfg(s"$out/s2", "shard2"))
+    def merged = graft.agg.AggStore.merged(spark, store)
+      .select("lang", "n", "sum_micros", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val expect = Set(("en", 3L, 37000000L, 7.0, 20.0), ("de", 2L, 8000000L, 3.0, 5.0))
+    assert(merged == expect)
+    // replay of a committed shard: short-circuits the run AND the fold
+    // (shard-id guard in-store) — states unchanged
+    GraftPipeline.run(spark, cfg(s"$out/s1", "shard1"))
+    assert(merged == expect)
+    // compact in a replay run: reader-invisible, fold still guarded
+    GraftPipeline.run(spark, cfg(s"$out/s1", "shard1", Seq("rollup", "compact")))
+    assert(merged == expect)
+    assert(graft.agg.AggStore.processedShards(spark, store) ==
+      Set(s"$out/s1", s"$out/s2"))
+    // fromKv refuses the step without its store path
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "rollup")).swap.exists(_.contains("rollup_store.path")))
+  }
+
+  test("sample step: deterministic keyed fraction; config validates the window") {
+    val out = tmpDir("pipe_sample")
+    def cfg(o: String) = GraftPipeline.PipelineConfig(
+      inputDir = sf001, table = "documents", outputDir = o,
+      steps = Seq("sample"), qualityMin = 0.0,
+      minhashThreshold = 0.5, packBudget = 512, testPct = 1,
+      sampleFraction = 0.5)
+    val (nIn, nOut) = GraftPipeline.run(spark, cfg(s"$out/a"))
+    assert(nOut > 0 && nOut < nIn)
+    // binomial(500, 0.5): +-5 sigma ~ 56
+    assert(math.abs(nOut - nIn / 2) < 60, s"kept $nOut of $nIn at fraction 0.5")
+    // replay-stable: the same rows survive a second run (the property the
+    // shard-replay protocol depends on through this step)
+    GraftPipeline.run(spark, cfg(s"$out/b"))
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(s"$out/a") == ids(s"$out/b"))
+    // config validation: fraction required in (0,1], offset window bounded
+    def bad(kv: (String, String)*) = GraftPipeline.fromKv(Map("input.path" -> "a",
+      "output.path" -> "b", "steps" -> "sample") ++ kv.toMap).swap.toOption.get
+    assert(bad().contains("sample.fraction"))
+    assert(bad("sample.fraction" -> "1.5").contains("sample.fraction"))
+    assert(bad("sample.fraction" -> "0.5", "sample.offset" -> "0.8")
+      .contains("offset"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "sample", "sample.fraction" -> "0.25",
+      "sample.offset" -> "0.5")).isRight)
+  }
 }

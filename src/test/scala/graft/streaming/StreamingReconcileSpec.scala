@@ -462,4 +462,22 @@ class StreamingReconcileSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming rollup equals the batch rollup regardless of micro-batching") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.load(spark, sf001, "events")
+    val batch = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.agg.AggStore.micros(col("value").cast("double"))).as("sum_micros"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val streamed = StreamingReconcile.rollupStream(spark, sf001)
+    assert(sig(streamed) == sig(batch))
+    // rerun-stable: a second full stream run lands on the same answer
+    assert(sig(StreamingReconcile.rollupStream(spark, sf001)) == sig(batch))
+  }
 }
