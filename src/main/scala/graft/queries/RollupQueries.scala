@@ -72,6 +72,37 @@ object RollupQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Rollup with the DISTINCT-SKETCH state (the uniqState/uniqMerge half
+    // of the AggregatingMergeTree story): three shards each fold an HLL
+    // sketch of user_id per event_type; the merged read UNIONS sketches —
+    // it never re-counts raw history. q75's discipline for the gate: the
+    // emission pairs the oracle-computable exact distinct with a 5%
+    // accuracy boolean on the merged estimate (the exact pass exists only
+    // for the gate; production reads stop at the estimate).
+    "q160_rollup_distinct" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "user_id", "value")
+      val store = Fs.scratchDir("graft_rollup_distinct")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.append(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type"), valueCol = "value",
+            shardId = s"batch_$i", distinctCol = "user_id")
+        }
+        val m = AggStore.merged(s, store.toString)
+          .select(col("event_type"), col("n"), col("n_distinct_est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        m.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("n_users"),
+            (abs(col("n_distinct_est") - col("n_users")) <=
+              col("n_users") * 0.05).as("est_ok"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // The q156 rollup as a LIVE STREAM (the AggregatingMergeTree
     // ingestion loop): an availableNow events stream folds per-batch
     // partial states into the persisted store; the emission is the
@@ -123,6 +154,10 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q160_rollup_distinct" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q159_streaming_rollup" ->
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +

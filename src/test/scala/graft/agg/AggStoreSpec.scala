@@ -91,6 +91,36 @@ class AggStoreSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       AggStore.append(spark, store, drifted, keys, "value", "later")
     }
-    assert(e.getMessage.contains("key schema mismatch"))
+    assert(e.getMessage.contains("state schema mismatch"))
+    // the distinct-sketch setting is part of the state schema: a shard
+    // appended with a distinctCol into a sketch-less store must fail the
+    // same way (a silent mix would corrupt every later merge)
+    val e2 = intercept[IllegalArgumentException] {
+      AggStore.append(spark, store, events, keys, "value", "later2",
+        distinctCol = "event_id")
+    }
+    assert(e2.getMessage.contains("state schema mismatch"))
+  }
+
+  test("distinct-sketch state: merged estimate ≡ single-pass sketch, exact at fixture cardinality, compact-invariant") {
+    val store = tmpDir("agg_sketch")
+    (0L until 3L).foreach { i =>
+      AggStore.append(spark, store,
+        events.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys, "value", s"batch_$i", distinctCol = "event_id")
+    }
+    def est = AggStore.merged(spark, store)
+      .select("event_type", "event_day", "n", "n_distinct_est")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet // estimate is LongType
+    // event_id is unique per row → per-group distinct == n; HLL is exact
+    // in sparse mode at these cardinalities (< 100 per group at sf0.001)
+    val viaSketch = est
+    assert(viaSketch.forall { case (_, _, n, d) => d == n },
+      s"sketch estimates drifted from exact at sparse cardinality: " +
+        viaSketch.filterNot { case (_, _, n, d) => d == n })
+    // compaction unions the sketches; the merged read must not move
+    assert(AggStore.compact(spark, store))
+    assert(est == viaSketch)
   }
 }
