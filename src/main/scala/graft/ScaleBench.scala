@@ -108,7 +108,14 @@ object ScaleBench {
     // round 9: BATCHED index retrieval — build + 1000-query distributed
     // probe; the trend certifies the (bucket, term) equi-join path grows
     // with postings volume, never with |queries| × corpus
-    "q152_bm25_batch")
+    "q152_bm25_batch",
+    // round 9: incremental rollup store — three shard folds (each a
+    // map-side-combined groupBy of its slice) + the states-only merge
+    // read; the trend certifies the merge cost tracks the DISTINCT-KEY
+    // count (the scaled corpus extends the timeline, so (type, day) keys
+    // grow ~linearly while raw rows grow by the factor × density — the
+    // merge read must stay a dimension-sized job, never a corpus rescan)
+    "q156_agg_rollup")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact
