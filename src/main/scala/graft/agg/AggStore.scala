@@ -171,14 +171,17 @@ object AggStore {
 
   /** All committed partial states (orphans of torn appends filtered out),
     * or None before the first append. */
-  def states(spark: SparkSession, path: String): Option[DataFrame] = {
-    val meta = readMeta(spark, path)
+  def states(spark: SparkSession, path: String): Option[DataFrame] =
+    states(spark, path, readMeta(spark, path))
+
+  /** [[states]] with the meta already read — merged/compact read meta once
+    * and thread it here, so a store read costs ONE meta collect job. */
+  private def states(spark: SparkSession, path: String, meta: Meta): Option[DataFrame] =
     meta.stateSchema.map { ss =>
       graft.core.AtomicStore.readRequired(spark, statesPath(path), onDiskSchema(ss))
         .filter(col("shard").isin(meta.shardIds.toSeq: _*))
         .drop("shard")
     }
-  }
 
   /** Merge the mergeable states across shards: one row per group key with
     * exact n / sum_micros / min_v / max_v, the derived avg_v, and — when
@@ -191,7 +194,7 @@ object AggStore {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
-    val st = states(spark, path).get
+    val st = states(spark, path, meta).get
     val out = mergeStates(st, meta.keyNames, meta.hasSketch)
       .withColumn("avg_v", col("sum_micros") / lit(1e6) / col("n"))
     if (meta.hasSketch)
@@ -212,10 +215,7 @@ object AggStore {
     val ss = meta.stateSchema.get
     if (!meta.shardIds.contains(CompactedShard))
       writeMeta(spark, path, meta.shardIds + CompactedShard, ss)
-    val live = mergeStates(
-        graft.core.AtomicStore
-          .readRequired(spark, statesPath(path), onDiskSchema(ss))
-          .filter(col("shard").isin(meta.shardIds.toSeq: _*)),
+    val live = mergeStates(states(spark, path, meta).get,
         meta.keyNames, meta.hasSketch)
       .withColumn("shard", lit(CompactedShard))
     graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>

@@ -300,6 +300,12 @@ object GraftPipeline {
         "ann_index.path / bm25_index.path / pq_index.path / rollup_store.path)")
     else if (steps.contains("rollup") && kv.getOrElse("rollup_store.path", "").isEmpty)
       Left("rollup requires rollup_store.path")
+    else if (steps.contains("rollup") && kv.get("rollup.keys").exists(
+        _.split(",").map(_.trim).forall(_.isEmpty)))
+      // malformed config must fail BEFORE the shard output commits — an
+      // empty key list would otherwise throw in the post-write fold on
+      // every attempt, wedging the run mid-protocol
+      Left("rollup.keys must name at least one grouping column")
     else if (steps.contains("sample") && !kv.get("sample.fraction")
         .flatMap(_.toDoubleOption).exists(f => f > 0.0 && f <= 1.0))
       Left("sample requires sample.fraction in (0, 1]")

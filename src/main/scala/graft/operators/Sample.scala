@@ -77,11 +77,17 @@ object Sample {
       offset: Double = 0.0): DataFrame =
     df.filter(portablePredicate(col(keyCol), fraction, offset))
 
-  /** Production bucket: xxhash64 (codegen'd, one pass, no md5/string
-    * round-trip). Masked to the same non-negative 60-bit space so the
-    * interval arithmetic — and the nesting property — carry over. */
+  /** Production bucket: xxhash64 over the key's CANONICAL STRING form
+    * (as [[portableBucket]] does), folded to the same non-negative 60-bit
+    * space so the interval arithmetic — and the nesting property — carry
+    * over. The string cast is what makes the cross-table consistency
+    * guarantee real: xxhash64 hashes the same numeric value differently
+    * for IntegerType vs LongType, so hashing raw columns would silently
+    * de-correlate two tables whose shared key is stored at different
+    * widths (an INT custkey in one table, BIGINT in the other) — ~f² of
+    * referential pairs would survive instead of f, with no error. */
   def bucket(key: Column): Column =
-    pmod(xxhash64(key), lit(1L << PortableBits))
+    pmod(xxhash64(key.cast("string")), lit(1L << PortableBits))
 
   /** Production `SAMPLE fraction OFFSET offset` keyed on `keyCol`. */
   def apply(df: DataFrame, keyCol: String, fraction: Double,

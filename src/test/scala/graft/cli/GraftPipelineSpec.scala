@@ -1222,9 +1222,14 @@ class GraftPipelineSpec extends SparkSpec {
     assert(merged == expect)
     assert(graft.agg.AggStore.processedShards(spark, store) ==
       Set(s"$out/s1", s"$out/s2"))
-    // fromKv refuses the step without its store path
+    // fromKv refuses the step without its store path, and refuses an
+    // empty key list BEFORE anything runs (a post-write throw would wedge
+    // the shard mid-protocol on every replay)
     assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
       "steps" -> "rollup")).swap.exists(_.contains("rollup_store.path")))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "rollup", "rollup_store.path" -> "c",
+      "rollup.keys" -> " , ")).swap.exists(_.contains("rollup.keys")))
   }
 
   test("sample step: deterministic keyed fraction; config validates the window") {

@@ -67,6 +67,21 @@ class SampleSpec extends SparkSpec {
     assert(math.abs(n - 2000L) < 250, s"10% of 20k keys gave $n")
   }
 
+  test("production: cross-table consistency survives key-type width skew") {
+    // the same key VALUE stored at different widths (INT in one table,
+    // BIGINT in another) must land in the same bucket — the canonical
+    // string cast inside bucket() is what makes the documented
+    // join-consistency guarantee real (raw xxhash64 hashes IntegerType
+    // and LongType differently)
+    val asLong = spark.range(5000).select(col("id").cast("long").as("k"))
+    val asInt = spark.range(5000).select(col("id").cast("int").as("k"))
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      Sample(df, "k", 0.2).select(col("k").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+    assert(keep(asLong) == keep(asInt),
+      "sample survivors diverged across key widths — joins of samples would silently shrink")
+  }
+
   test("bounds validation") {
     intercept[IllegalArgumentException](Sample.portableBounds(0.0, 0.0))
     intercept[IllegalArgumentException](Sample.portableBounds(0.5, 0.6))
