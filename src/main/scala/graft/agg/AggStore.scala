@@ -51,32 +51,45 @@ object AggStore {
 
   private val MetaSchema = StructType(Seq(
     StructField("shard_id", StringType),
-    StructField("state_schema_json", StringType)))
+    StructField("state_schema_json", StringType),
+    StructField("key_names", StringType)))
+  /** key_names separator (column names can legally contain commas). */
+  private val KeySep = ""
 
-  /** Measure-state columns appended after the group keys. The optional
-    * fifth state, `n_distinct_sk` (a Datasketches HLL binary via
+  /** Per-measure states carry the measure name as a prefix:
+    * `<m>_sum_u` (micro-unit BIGINT sum), `<m>_min`, `<m>_max`. The
+    * single-measure [[append]] keeps its original unprefixed names
+    * (`sum_micros`/`min_v`/`max_v`). `n` is shared across measures; the
+    * optional `n_distinct_sk` (a Datasketches HLL binary via
     * `hll_sketch_agg` — the ClickHouse `uniqState` analogue, merge
-    * contract proven by q75), is present only when the store was built
-    * with a `distinctCol`. */
-  private val StateFields = Seq(
-    StructField("n", LongType),
-    StructField("sum_micros", LongType),
-    StructField("min_v", DoubleType),
-    StructField("max_v", DoubleType))
+    * contract proven by q75) is present only when the store was built
+    * with a `distinctCol`. Merge semantics at read/compact are derived
+    * from these names — see [[mergeExpr]]. */
   private val SketchField = StructField("n_distinct_sk", BinaryType)
-  private val StateNames = (StateFields :+ SketchField).map(_.name).toSet
+
+  /** The associative merge for one state column, by naming convention. */
+  private def mergeExpr(name: String): Column = name match {
+    case "n" => sum(col("n")).as("n")
+    case SketchField.name => hll_union_agg(col(name)).as(name)
+    case nm if nm == "sum_micros" || nm.endsWith("_sum_u") => sum(col(nm)).as(nm)
+    case nm if nm == "min_v" || nm.endsWith("_min") => min(col(nm)).as(nm)
+    case nm if nm == "max_v" || nm.endsWith("_max") => max(col(nm)).as(nm)
+    case nm => throw new IllegalStateException(
+      s"state column $nm has no merge rule — store meta is corrupt")
+  }
 
   /** Exact integer micro-units of a double measure — the mergeable sum
     * state (order-independent where double addition is not). DuckDB
     * mirror: `CAST(floor(value * 1e6) AS BIGINT)`. */
   def micros(c: Column): Column = floor(c * lit(1e6)).cast(LongType)
 
-  private case class Meta(shardIds: Set[String], stateSchema: Option[StructType]) {
+  private case class Meta(shardIds: Set[String], stateSchema: Option[StructType],
+      keyNames: Seq[String]) {
     /** Whether this store carries the distinct-sketch state. */
     def hasSketch: Boolean =
       stateSchema.exists(_.fieldNames.contains(SketchField.name))
-    def keyNames: Seq[String] =
-      stateSchema.get.fieldNames.toSeq.filterNot(StateNames)
+    def stateNames: Seq[String] =
+      stateSchema.get.fieldNames.toSeq.filterNot(keyNames.contains)
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta =
@@ -85,17 +98,20 @@ object AggStore {
         val rows = df.collect() // one row per ingested shard — tiny by design
         val schema = rows.headOption.map(r =>
           DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
-        Meta(rows.map(_.getString(0)).toSet, schema)
-      case None => Meta(Set.empty, None)
+        val keys = rows.headOption.toSeq
+          .flatMap(_.getString(2).split(KeySep).toSeq.filter(_.nonEmpty))
+        Meta(rows.map(_.getString(0)).toSet, schema, keys)
+      case None => Meta(Set.empty, None, Seq.empty)
     }
 
   private def writeMeta(spark: SparkSession, path: String, ids: Set[String],
-      stateSchema: StructType): Unit = {
+      stateSchema: StructType, keyNames: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     val json = stateSchema.json
+    val keys = keyNames.mkString(KeySep)
     val rel = spark.createDataFrame(
-      ids.toSeq.sorted.map(id => Row(id, json)).asJava, MetaSchema)
+      ids.toSeq.sorted.map(id => Row(id, json, keys)).asJava, MetaSchema)
     graft.core.AtomicStore.replace(spark, metaPath(path), rel)
   }
 
@@ -103,19 +119,12 @@ object AggStore {
     StructType(stateSchema.fields.toSeq :+ StructField("shard", StringType))
 
   /** The associative state merge (one row per group key): counts and
-    * micro-sums add, min/max fold, sketches union. Shared by [[merged]]
-    * and [[compact]] so compaction is reader-invisible by construction. */
-  private def mergeStates(st: DataFrame, keys: Seq[String],
-      hasSketch: Boolean): DataFrame = {
-    val base = Seq(
-      sum(col("n")).as("n"),
-      sum(col("sum_micros")).as("sum_micros"),
-      min(col("min_v")).as("min_v"),
-      max(col("max_v")).as("max_v"))
-    val aggs = if (hasSketch)
-      base :+ hll_union_agg(col(SketchField.name)).as(SketchField.name)
-    else base
-    st.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    * micro-sums add, min/max fold, sketches union — per state column via
+    * [[mergeExpr]]. Shared by [[merged]] and [[compact]] so compaction is
+    * reader-invisible by construction. */
+  private def mergeStates(st: DataFrame, meta: Meta): DataFrame = {
+    val aggs = meta.stateNames.map(mergeExpr)
+    st.groupBy(meta.keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Shard ids whose states are committed (the caller's replay guard —
@@ -126,27 +135,51 @@ object AggStore {
   /** Fold one shard's raw rows into partial states and commit them as the
     * shard's own subtree — O(shard), nothing else rewritten. Idempotent
     * per shard id. `keys` are the rollup's grouping columns (kept under
-    * their input names); `valueCol` the double measure. */
+    * their input names); `valueCol` the double measure (original
+    * single-measure form — states named `sum_micros`/`min_v`/`max_v`). */
   def append(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], valueCol: String, shardId: String,
+      distinctCol: String = null): Unit =
+    appendStates(spark, path, shard, keys, shardId, distinctCol,
+      Seq(("sum_micros", "min_v", "max_v", col(valueCol))))
+
+  /** Multi-measure [[append]]: each `(name, expr)` measure contributes
+    * `<name>_sum_u` / `<name>_min` / `<name>_max` states (one shared `n`).
+    * Measures are EXPRESSIONS, so derived quantities — the TPC-H Q1
+    * `extendedprice·(1−discount)` class — fold into states directly;
+    * a product of columns is not derivable from the factors' independent
+    * states, it must be a measure of its own. */
+  def appendMeasures(spark: SparkSession, path: String, shard: DataFrame,
+      keys: Seq[String], measures: Seq[(String, Column)], shardId: String,
       distinctCol: String = null): Unit = {
+    require(measures.nonEmpty, "rollup needs at least one measure")
+    appendStates(spark, path, shard, keys, shardId, distinctCol,
+      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
+  }
+
+  private def appendStates(spark: SparkSession, path: String, shard: DataFrame,
+      keys: Seq[String], shardId: String, distinctCol: String,
+      measures: Seq[(String, String, String, Column)]): Unit = {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     require(keys.nonEmpty, "rollup needs at least one grouping column")
+    val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
+      Seq("n", SketchField.name)
+    require(keys.intersect(reserved).isEmpty,
+      s"grouping columns collide with state names: ${keys.intersect(reserved)}")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
     // partial states: Catalyst's partial/final HashAggregate already
-    // map-side-combines this, so the shuffle carries states, not rows
-    // the measure is DOUBLE in the state schema regardless of its input
-    // type (a long column like n_chars casts exactly up to 2^53; the sum
+    // map-side-combines this, so the shuffle carries states, not rows.
+    // Measures are DOUBLE in the state schema regardless of input type
+    // (a long column like n_chars casts exactly up to 2^53; the sum
     // state is exact through the micro-unit long either way) — without
-    // the cast, a long-typed measure writes INT64 min_v/max_v that the
+    // the cast, a long-typed measure writes INT64 min/max that the
     // schema'd read rejects
-    val measure = col(valueCol).cast(DoubleType)
-    val baseAggs = Seq(
-      count(lit(1)).as("n"),
-      coalesce(sum(micros(measure)), lit(0L)).as("sum_micros"),
-      min(measure).as("min_v"),
-      max(measure).as("max_v"))
+    val measureAggs = measures.flatMap { case (sumN, minN, maxN, c) =>
+      val m = c.cast(DoubleType)
+      Seq(coalesce(sum(micros(m)), lit(0L)).as(sumN), min(m).as(minN), max(m).as(maxN))
+    }
+    val baseAggs = count(lit(1)).as("n") +: measureAggs
     val aggs = if (distinctCol != null)
       // the uniqState analogue: a mergeable Datasketches HLL of the
       // distinct column, unioned (never re-counted) at read/compact time
@@ -155,9 +188,10 @@ object AggStore {
     val partial = shard.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
-      require(existing == stateSchema,
-        s"state schema mismatch: store has $existing, shard brings " +
-          s"$stateSchema (keys, measure type, and distinctCol must not drift)")
+      require(existing == stateSchema && meta.keyNames == keys,
+        s"state schema mismatch: store has $existing (keys ${meta.keyNames}), " +
+          s"shard brings $stateSchema (keys $keys) — keys, measures, and " +
+          "distinctCol must not drift)")
     }
     // adopt a torn compact before (re-)creating the tree (AtomicStore.heal)
     graft.core.AtomicStore.heal(spark, statesPath(path))
@@ -166,7 +200,7 @@ object AggStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(statesPath(path))
-    writeMeta(spark, path, meta.shardIds + shardId, stateSchema)
+    writeMeta(spark, path, meta.shardIds + shardId, stateSchema, keys)
   }
 
   /** All committed partial states (orphans of torn appends filtered out),
@@ -195,8 +229,16 @@ object AggStore {
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
     val st = states(spark, path, meta).get
-    val out = mergeStates(st, meta.keyNames, meta.hasSketch)
-      .withColumn("avg_v", col("sum_micros") / lit(1e6) / col("n"))
+    // derived avg per measure: `avg_v` for the single-measure form,
+    // `<m>_avg` for named measures — the standard sum/count decomposition
+    val avgs: Seq[(String, Column)] = meta.stateNames.collect {
+      case "sum_micros" => "avg_v" -> (col("sum_micros") / lit(1e6) / col("n"))
+      case nm if nm.endsWith("_sum_u") =>
+        (nm.stripSuffix("_sum_u") + "_avg") -> (col(nm) / lit(1e6) / col("n"))
+    }
+    val out = avgs.foldLeft(mergeStates(st, meta)) {
+      case (df, (nm, c)) => df.withColumn(nm, c)
+    }
     if (meta.hasSketch)
       out.withColumn("n_distinct_est",
           hll_sketch_estimate(col(SketchField.name)))
@@ -214,9 +256,8 @@ object AggStore {
     if (meta.shardIds.isEmpty) return false
     val ss = meta.stateSchema.get
     if (!meta.shardIds.contains(CompactedShard))
-      writeMeta(spark, path, meta.shardIds + CompactedShard, ss)
-    val live = mergeStates(states(spark, path, meta).get,
-        meta.keyNames, meta.hasSketch)
+      writeMeta(spark, path, meta.shardIds + CompactedShard, ss, meta.keyNames)
+    val live = mergeStates(states(spark, path, meta).get, meta)
       .withColumn("shard", lit(CompactedShard))
     graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
       live.coalesce(nFiles)

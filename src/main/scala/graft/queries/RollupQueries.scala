@@ -72,6 +72,43 @@ object RollupQueries {
         .orderBy("o_orderkey")
     }),
 
+    // TPC-H Q1 answered FROM THE ROLLUP STORE (multi-measure states):
+    // three lineitem ingest shards each fold five measures — including
+    // the derived disc_price = extendedprice·(1−discount) and charge =
+    // disc_price·(1+tax), which are NOT derivable from the factors'
+    // independent states and so must be measures of their own — and the
+    // report reads merged states only. The oracle recomputes Q1 from raw
+    // lineitem in DuckDB; exact integer micro-unit sums make the
+    // incremental answer bit-identical to the from-raw one. This is the
+    // materialized-view pattern every ClickHouse deployment runs in
+    // front of its fact tables, on the canonical analytics query.
+    "q161_rollup_tpch_q1" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 23:59:59").cast("timestamp"))
+      val store = Fs.scratchDir("graft_rollup_q1")
+      try {
+        val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            li.filter(pmod(col("l_orderkey"), lit(3L)) === i),
+            keys = Seq("l_returnflag", "l_linestatus"),
+            measures = Seq(
+              "qty" -> col("l_quantity"),
+              "price" -> col("l_extendedprice"),
+              "disc_price" -> discPrice,
+              "charge" -> (discPrice * (lit(1.0) + col("l_tax"))),
+              "disc" -> col("l_discount")),
+            shardId = s"batch_$i")
+        }
+        AggStore.merged(s, store.toString)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("qty_sum_u"), col("price_sum_u"), col("disc_price_sum_u"),
+            col("charge_sum_u"), col("disc_sum_u"), col("n").as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Rollup with the DISTINCT-SKETCH state (the uniqState/uniqMerge half
     // of the AggregatingMergeTree story): three shards each fold an HLL
     // sketch of user_id per event_type; the merged read UNIONS sketches —
@@ -154,6 +191,19 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q161_rollup_tpch_q1" -> {
+      def sumU(e: String, as: String) =
+        s"CAST(sum(CAST(floor(($e) * 1e6) AS BIGINT)) AS BIGINT) AS $as"
+      "SELECT l_returnflag, l_linestatus, " +
+        sumU("l_quantity", "qty_sum_u") + ", " +
+        sumU("l_extendedprice", "price_sum_u") + ", " +
+        sumU("l_extendedprice * (1.0 - l_discount)", "disc_price_sum_u") + ", " +
+        sumU("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "charge_sum_u") + ", " +
+        sumU("l_discount", "disc_sum_u") + ", " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    },
     "q160_rollup_distinct" ->
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +

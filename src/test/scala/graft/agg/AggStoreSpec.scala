@@ -102,6 +102,45 @@ class AggStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("state schema mismatch"))
   }
 
+  test("multi-measure states: merged ≡ from-raw for derived-expression measures, compact-invariant") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val store = tmpDir("agg_multi")
+    (0L until 2L).foreach { i =>
+      AggStore.appendMeasures(spark, store,
+        li.filter(pmod(col("l_orderkey"), lit(2L)) === i),
+        keys = Seq("l_returnflag"),
+        measures = Seq("qty" -> col("l_quantity"), "disc_price" -> discPrice),
+        shardId = s"s$i")
+    }
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_returnflag", "n", "qty_sum_u", "disc_price_sum_u",
+        "qty_min", "disc_price_max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val fromRaw = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(AggStore.micros(col("l_quantity").cast("double"))).as("qty_sum_u"),
+      sum(AggStore.micros(discPrice.cast("double"))).as("disc_price_sum_u"),
+      min(col("l_quantity").cast("double")).as("qty_min"),
+      max(discPrice.cast("double")).as("disc_price_max"))
+    val viaStore = sig(AggStore.merged(spark, store))
+    assert(viaStore == sig(fromRaw))
+    // derived avg columns exist per measure
+    val cols = AggStore.merged(spark, store).columns.toSet
+    assert(Set("qty_avg", "disc_price_avg").subsetOf(cols), cols.toString)
+    assert(AggStore.compact(spark, store))
+    assert(sig(AggStore.merged(spark, store)) == viaStore)
+    // reserved-name collision fails loudly at append time
+    val e = intercept[IllegalArgumentException] {
+      AggStore.appendMeasures(spark, tmpDir("agg_collide"),
+        li.withColumnRenamed("l_returnflag", "qty_min"),
+        keys = Seq("qty_min"), measures = Seq("qty" -> col("l_quantity")),
+        shardId = "x")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("distinct-sketch state: merged estimate ≡ single-pass sketch, exact at fixture cardinality, compact-invariant") {
     val store = tmpDir("agg_sketch")
     (0L until 3L).foreach { i =>
