@@ -157,17 +157,16 @@ object AggStore {
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
   }
 
-  private def appendStates(spark: SparkSession, path: String, shard: DataFrame,
-      keys: Seq[String], shardId: String, distinctCol: String,
-      measures: Seq[(String, String, String, Column)]): Unit = {
-    require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
+  /** One shard's (or live tail's) partial states — the fold both
+    * [[appendStates]] persists and [[mergedWithTail]] computes on the fly. */
+  private def partialStates(shard: DataFrame, keys: Seq[String],
+      distinctCol: String,
+      measures: Seq[(String, String, String, Column)]): DataFrame = {
     require(keys.nonEmpty, "rollup needs at least one grouping column")
     val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
       Seq("n", SketchField.name)
     require(keys.intersect(reserved).isEmpty,
       s"grouping columns collide with state names: ${keys.intersect(reserved)}")
-    val meta = readMeta(spark, path)
-    if (meta.shardIds.contains(shardId)) return
     // partial states: Catalyst's partial/final HashAggregate already
     // map-side-combines this, so the shuffle carries states, not rows.
     // Measures are DOUBLE in the state schema regardless of input type
@@ -185,7 +184,16 @@ object AggStore {
       // distinct column, unioned (never re-counted) at read/compact time
       baseAggs :+ hll_sketch_agg(col(distinctCol)).as(SketchField.name)
     else baseAggs
-    val partial = shard.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    shard.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def appendStates(spark: SparkSession, path: String, shard: DataFrame,
+      keys: Seq[String], shardId: String, distinctCol: String,
+      measures: Seq[(String, String, String, Column)]): Unit = {
+    require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
+    val meta = readMeta(spark, path)
+    if (meta.shardIds.contains(shardId)) return
+    val partial = partialStates(shard, keys, distinctCol, measures)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
       require(existing == stateSchema && meta.keyNames == keys,
@@ -228,15 +236,19 @@ object AggStore {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
-    val st = states(spark, path, meta).get
-    // derived avg per measure: `avg_v` for the single-measure form,
-    // `<m>_avg` for named measures — the standard sum/count decomposition
+    finishMerged(mergeStates(states(spark, path, meta).get, meta), meta)
+  }
+
+  /** Derived read-time columns over merged states: per-measure avg
+    * (`avg_v` for the single-measure form, `<m>_avg` for named measures —
+    * the standard sum/count decomposition) and the sketch estimate. */
+  private def finishMerged(mergedStates: DataFrame, meta: Meta): DataFrame = {
     val avgs: Seq[(String, Column)] = meta.stateNames.collect {
       case "sum_micros" => "avg_v" -> (col("sum_micros") / lit(1e6) / col("n"))
       case nm if nm.endsWith("_sum_u") =>
         (nm.stripSuffix("_sum_u") + "_avg") -> (col(nm) / lit(1e6) / col("n"))
     }
-    val out = avgs.foldLeft(mergeStates(st, meta)) {
+    val out = avgs.foldLeft(mergedStates) {
       case (df, (nm, c)) => df.withColumn(nm, c)
     }
     if (meta.hasSketch)
@@ -244,6 +256,41 @@ object AggStore {
           hll_sketch_estimate(col(SketchField.name)))
         .drop(SketchField.name)
     else out
+  }
+
+  /** REALTIME (lambda) read: the persisted states merged together with
+    * the on-the-fly partial states of an UN-INGESTED tail — the answer a
+    * realtime materialized view serves between ingests. The tail pays one
+    * map-side-combined groupBy over ITS rows only; history stays states.
+    * The caller restates the same keys/measures the store was built with
+    * (measures are expressions, not recoverable from meta) — a mismatch
+    * fails loudly against the recorded state schema. Exactness carries
+    * over: states are associative, so merged(history) ⊎ partial(tail) ≡
+    * from-raw over history ∪ tail, which is what the q162 oracle checks. */
+  def mergedWithTail(spark: SparkSession, path: String, tail: DataFrame,
+      keys: Seq[String], valueCol: String, distinctCol: String = null): DataFrame =
+    mergedWithTailStates(spark, path, tail, keys, distinctCol,
+      Seq(("sum_micros", "min_v", "max_v", col(valueCol))))
+
+  /** Multi-measure [[mergedWithTail]] (the [[appendMeasures]] naming). */
+  def mergedWithTailMeasures(spark: SparkSession, path: String, tail: DataFrame,
+      keys: Seq[String], measures: Seq[(String, Column)],
+      distinctCol: String = null): DataFrame =
+    mergedWithTailStates(spark, path, tail, keys, distinctCol,
+      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
+
+  private def mergedWithTailStates(spark: SparkSession, path: String,
+      tail: DataFrame, keys: Seq[String], distinctCol: String,
+      measures: Seq[(String, String, String, Column)]): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.stateSchema.nonEmpty,
+      s"no aggregate store at $path — append a shard first")
+    val tailStates = partialStates(tail, keys, distinctCol, measures)
+    require(tailStates.schema == meta.stateSchema.get && keys == meta.keyNames,
+      s"tail states ${tailStates.schema} (keys $keys) do not match the " +
+        s"store's ${meta.stateSchema.get} (keys ${meta.keyNames})")
+    finishMerged(mergeStates(
+      states(spark, path, meta).get.unionByName(tailStates), meta), meta)
   }
 
   /** Small-file / state maintenance: pre-merge every recorded subtree into

@@ -72,6 +72,32 @@ object RollupQueries {
         .orderBy("o_orderkey")
     }),
 
+    // REALTIME (lambda) rollup read: two of the three event batches are
+    // folded into the persisted store; the third arrives as an
+    // UN-INGESTED live tail, and the read merges stored states with the
+    // tail's on-the-fly partial states. Same oracle as q156: history ⊎
+    // tail must equal the from-raw GROUP BY over everything — the answer
+    // a realtime materialized view serves between ingests, priced at one
+    // groupBy over the tail only.
+    "q162_rollup_realtime" -> ((s, dir) => {
+      val ev = rollupInput(s, dir)
+      val store = Fs.scratchDir("graft_rollup_rt")
+      try {
+        (0L to 1L).foreach { i =>
+          AggStore.append(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type", "event_day"), valueCol = "value",
+            shardId = s"batch_$i")
+        }
+        AggStore.mergedWithTail(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+            keys = Seq("event_type", "event_day"), valueCol = "value")
+          .select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+          .orderBy("event_type", "event_day")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // TPC-H Q1 answered FROM THE ROLLUP STORE (multi-measure states):
     // three lineitem ingest shards each fold five measures — including
     // the derived disc_price = extendedprice·(1−discount) and charge =
@@ -187,6 +213,11 @@ object RollupQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_agg_rollup" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q162_rollup_realtime" ->
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +

@@ -141,6 +141,23 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("mergedWithTail: history states ⊎ live tail ≡ from-raw; mismatched tail rejected") {
+    val store = tmpDir("agg_tail")
+    (0L until 2L).foreach { i =>
+      AggStore.append(spark, store,
+        events.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys, "value", s"batch_$i")
+    }
+    val tail = events.filter(pmod(col("event_id"), lit(3L)) === 2L)
+    val rt = AggStore.mergedWithTail(spark, store, tail, keys, "value")
+    assert(asSet(rt) == asSet(fromRaw))
+    // a tail with drifted keys must fail against the recorded schema
+    val e = intercept[IllegalArgumentException] {
+      AggStore.mergedWithTail(spark, store, tail, Seq("event_type"), "value")
+    }
+    assert(e.getMessage.contains("do not match"))
+  }
+
   test("distinct-sketch state: merged estimate ≡ single-pass sketch, exact at fixture cardinality, compact-invariant") {
     val store = tmpDir("agg_sketch")
     (0L until 3L).foreach { i =>
