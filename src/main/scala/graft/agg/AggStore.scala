@@ -67,13 +67,18 @@ object AggStore {
     * from these names — see [[mergeExpr]]. */
   private val SketchField = StructField("n_distinct_sk", BinaryType)
 
-  /** The associative merge for one state column, by naming convention. */
+  /** The associative merge for one state column, by naming convention.
+    * `_argmax` states are struct<ord, arg> maxima (the ClickHouse
+    * argMaxState: "value at the greatest ordinal"); struct comparison is
+    * lexicographic, so equal ordinals tie-break on the arg — the merge
+    * stays deterministic for any input. */
   private def mergeExpr(name: String): Column = name match {
     case "n" => sum(col("n")).as("n")
     case SketchField.name => hll_union_agg(col(name)).as(name)
     case nm if nm == "sum_micros" || nm.endsWith("_sum_u") => sum(col(nm)).as(nm)
     case nm if nm == "min_v" || nm.endsWith("_min") => min(col(nm)).as(nm)
     case nm if nm == "max_v" || nm.endsWith("_max") => max(col(nm)).as(nm)
+    case nm if nm.endsWith("_argmax") => max(col(nm)).as(nm)
     case nm => throw new IllegalStateException(
       s"state column $nm has no merge rule — store meta is corrupt")
   }
@@ -151,19 +156,23 @@ object AggStore {
     * states, it must be a measure of its own. */
   def appendMeasures(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], measures: Seq[(String, Column)], shardId: String,
-      distinctCol: String = null): Unit = {
+      distinctCol: String = null,
+      argMax: Seq[(String, Column, Column)] = Nil): Unit = {
     require(measures.nonEmpty, "rollup needs at least one measure")
     appendStates(spark, path, shard, keys, shardId, distinctCol,
-      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
+      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
+      argMax)
   }
 
   /** One shard's (or live tail's) partial states — the fold both
     * [[appendStates]] persists and [[mergedWithTail]] computes on the fly. */
   private def partialStates(shard: DataFrame, keys: Seq[String],
       distinctCol: String,
-      measures: Seq[(String, String, String, Column)]): DataFrame = {
+      measures: Seq[(String, String, String, Column)],
+      argMax: Seq[(String, Column, Column)] = Nil): DataFrame = {
     require(keys.nonEmpty, "rollup needs at least one grouping column")
     val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
+      argMax.map { case (nm, _, _) => s"${nm}_argmax" } ++
       Seq("n", SketchField.name)
     require(keys.intersect(reserved).isEmpty,
       s"grouping columns collide with state names: ${keys.intersect(reserved)}")
@@ -178,7 +187,13 @@ object AggStore {
       val m = c.cast(DoubleType)
       Seq(coalesce(sum(micros(m)), lit(0L)).as(sumN), min(m).as(minN), max(m).as(maxN))
     }
-    val baseAggs = count(lit(1)).as("n") +: measureAggs
+    // argMaxState: the (ordinal, value) pair at the group's greatest
+    // ordinal — "latest value per key" once the ordinal is an event time.
+    // Struct max is the mergeable form; arg rides inside the struct.
+    val argMaxAggs = argMax.map { case (nm, ord, arg) =>
+      max(struct(ord.as("ord"), arg.as("arg"))).as(s"${nm}_argmax")
+    }
+    val baseAggs = count(lit(1)).as("n") +: (measureAggs ++ argMaxAggs)
     val aggs = if (distinctCol != null)
       // the uniqState analogue: a mergeable Datasketches HLL of the
       // distinct column, unioned (never re-counted) at read/compact time
@@ -189,11 +204,12 @@ object AggStore {
 
   private def appendStates(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], shardId: String, distinctCol: String,
-      measures: Seq[(String, String, String, Column)]): Unit = {
+      measures: Seq[(String, String, String, Column)],
+      argMax: Seq[(String, Column, Column)] = Nil): Unit = {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
-    val partial = partialStates(shard, keys, distinctCol, measures)
+    val partial = partialStates(shard, keys, distinctCol, measures, argMax)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
       require(existing == stateSchema && meta.keyNames == keys,
@@ -275,17 +291,20 @@ object AggStore {
   /** Multi-measure [[mergedWithTail]] (the [[appendMeasures]] naming). */
   def mergedWithTailMeasures(spark: SparkSession, path: String, tail: DataFrame,
       keys: Seq[String], measures: Seq[(String, Column)],
-      distinctCol: String = null): DataFrame =
+      distinctCol: String = null,
+      argMax: Seq[(String, Column, Column)] = Nil): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
-      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
+      measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
+      argMax)
 
   private def mergedWithTailStates(spark: SparkSession, path: String,
       tail: DataFrame, keys: Seq[String], distinctCol: String,
-      measures: Seq[(String, String, String, Column)]): DataFrame = {
+      measures: Seq[(String, String, String, Column)],
+      argMax: Seq[(String, Column, Column)] = Nil): DataFrame = {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
-    val tailStates = partialStates(tail, keys, distinctCol, measures)
+    val tailStates = partialStates(tail, keys, distinctCol, measures, argMax)
     require(tailStates.schema == meta.stateSchema.get && keys == meta.keyNames,
       s"tail states ${tailStates.schema} (keys $keys) do not match the " +
         s"store's ${meta.stateSchema.get} (keys ${meta.keyNames})")

@@ -72,6 +72,35 @@ object RollupQueries {
         .orderBy("o_orderkey")
     }),
 
+    // argMax state (ClickHouse argMaxState/argMaxMerge): "latest value
+    // per key" folded incrementally — the state is the struct<ord, arg>
+    // maximum, so shards merge by struct max and the read never replays
+    // event history to find the newest row. Ordinal = (event time,
+    // event id): the unique id breaks timestamp ties deterministically,
+    // which is what lets the DuckDB oracle (an explicit ORDER BY ts
+    // DESC, event_id DESC window) match bit-for-bit.
+    "q163_rollup_argmax" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+      val store = Fs.scratchDir("graft_rollup_argmax")
+      try {
+        val ord = struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"))
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type"),
+            measures = Seq("value" -> col("value")),
+            shardId = s"batch_$i",
+            argMax = Seq(("latest", ord, col("value"))))
+        }
+        AggStore.merged(s, store.toString)
+          .select(col("event_type"), col("n"),
+            col("latest_argmax").getField("arg").as("latest_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // REALTIME (lambda) rollup read: two of the three event batches are
     // folded into the persisted store; the third arrives as an
     // UN-INGESTED live tail, and the read merges stored states with the
@@ -217,6 +246,13 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q163_rollup_argmax" ->
+      ("WITH r AS (SELECT event_type, value, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events), " +
+        "t AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) " +
+        "SELECT t.event_type, t.n, r.value AS latest_value " +
+        "FROM t JOIN r ON r.event_type = t.event_type AND r.rn = 1 " +
+        "ORDER BY t.event_type"),
     "q162_rollup_realtime" ->
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +

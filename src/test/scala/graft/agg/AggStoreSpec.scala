@@ -141,6 +141,32 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("argMax state: merged latest-per-key ≡ windowed from-raw, compact-invariant") {
+    val ev = Tables.load(spark, sf001, "events")
+    val store = tmpDir("agg_argmax")
+    val ord = struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"))
+    (0L until 3L).foreach { i =>
+      AggStore.appendMeasures(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys = Seq("event_type"), measures = Seq("value" -> col("value")),
+        shardId = s"s$i", argMax = Seq(("latest", ord, col("value"))))
+    }
+    def latest = AggStore.merged(spark, store)
+      .select(col("event_type"), col("latest_argmax").getField("arg"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val fromRaw = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val viaStore = latest
+    assert(viaStore == fromRaw)
+    assert(AggStore.compact(spark, store))
+    assert(latest == viaStore)
+  }
+
   test("mergedWithTail: history states ⊎ live tail ≡ from-raw; mismatched tail rejected") {
     val store = tmpDir("agg_tail")
     (0L until 2L).foreach { i =>
