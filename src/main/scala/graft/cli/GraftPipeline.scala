@@ -158,7 +158,11 @@ import graft.text.TextAnalysis
   *    micro-unit sum / min / max of `rollup.value_column` (default
   *    n_chars) grouped by `rollup.keys` (default source) — into the
   *    store at `rollup_store.path` at O(shard); readers merge states
-  *    instead of rescanning shipped shards (AggregatingMergeTree shape)
+  *    instead of rescanning shipped shards (AggregatingMergeTree shape).
+  *    `rollup.measures: name:sql-expr,…` switches to MULTI-MEASURE
+  *    states (q161's form — derived expressions like
+  *    `price:n_chars*0.5` are first-class measures), overriding
+  *    `rollup.value_column`
   *  - `compact` — post-write small-file maintenance of every configured
   *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25 /
   *    rollup):
@@ -209,7 +213,8 @@ object GraftPipeline {
       sampleFraction: Double = 0.0, sampleOffset: Double = 0.0,
       rollupStorePath: String = "",
       rollupKeys: Seq[String] = Seq("source"),
-      rollupValueCol: String = "n_chars") {
+      rollupValueCol: String = "n_chars",
+      rollupMeasures: Seq[(String, String)] = Nil) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -300,6 +305,20 @@ object GraftPipeline {
         "ann_index.path / bm25_index.path / pq_index.path / rollup_store.path)")
     else if (steps.contains("rollup") && kv.getOrElse("rollup_store.path", "").isEmpty)
       Left("rollup requires rollup_store.path")
+    else if (steps.contains("rollup") && parseMeasures(
+        kv.getOrElse("rollup.measures", "")).isLeft)
+      parseMeasures(kv.getOrElse("rollup.measures", "")).swap.toOption.map(Left(_)).get
+    else if (steps.contains("rollup") && parseMeasures(
+        kv.getOrElse("rollup.measures", "")).exists(_.exists(m =>
+          !measureSqlParses(m._2))))
+      // malformed measure SQL must fail BEFORE the shard output commits,
+      // not in the post-write fold (the rollup.keys rationale). Parsed
+      // explicitly: Spark 4's functions.expr defers parsing to analysis,
+      // so Try(expr(...)) alone would accept any garbage here
+      Left(s"rollup.measures: unparseable expression in " +
+        parseMeasures(kv.getOrElse("rollup.measures", "")).toOption.get
+          .filter(m => !measureSqlParses(m._2))
+          .map(m => s"'${m._1}:${m._2}'").mkString(", "))
     else if (steps.contains("rollup") && kv.get("rollup.keys").exists(
         _.split(",").map(_.trim).forall(_.isEmpty)))
       // malformed config must fail BEFORE the shard output commits — an
@@ -432,7 +451,42 @@ object GraftPipeline {
       rollupStorePath = kv.getOrElse("rollup_store.path", ""),
       rollupKeys = kv.getOrElse("rollup.keys", "source")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      rollupValueCol = kv.getOrElse("rollup.value_column", "n_chars"))
+      rollupValueCol = kv.getOrElse("rollup.value_column", "n_chars"),
+      rollupMeasures = parseMeasures(kv.getOrElse("rollup.measures", ""))
+        .getOrElse(Nil))
+
+  private def measureSqlParses(e: String): Boolean =
+    scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+    ).isSuccess
+
+  /** `qty:n_tokens,score:n_chars*0.5` → Right(Seq(qty -> "n_tokens", …)):
+    * the `rollup.measures` entries, TOP-LEVEL-comma separated (a comma
+    * inside parentheses belongs to the measure's SQL expression) and
+    * name:sql-expression split on the first colon. Strict like
+    * [[parseRates]] — a malformed entry fails the whole config. */
+  private[cli] def parseMeasures(s: String): Either[String, Seq[(String, String)]] = {
+    if (s.trim.isEmpty) return Right(Nil)
+    val entries = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => entries += sb.toString; sb.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        sb += c
+    }
+    entries += sb.toString
+    val parsed = entries.map(_.trim).filter(_.nonEmpty).map { e =>
+      e.split(":", 2) match {
+        case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
+          Right(k.trim -> v.trim)
+        case _ => Left(s"rollup.measures: expected name:expression, got '$e'")
+      }
+    }
+    parsed.collectFirst { case Left(err) => err }
+      .toLeft(parsed.collect { case Right(kv) => kv }.toSeq)
+  }
 
   /** `web:0.25,news:1.0` → Right(Map(web -> 0.25, …)). Strict: a malformed
     * entry or a rate outside [0, 1] fails the whole config — silently
@@ -922,12 +976,19 @@ object GraftPipeline {
         cfg.shardId, written, Seq("source" -> col("source")),
         Seq(col("doc_id"), col("text"), col("source")))
     }
-    if (cfg.steps.contains("rollup"))
+    if (cfg.steps.contains("rollup")) {
       // partial states of the COMMITTED output (pure function of it, like
       // the card) — shard-id-guarded in-store, so the replay
       // short-circuit heals a crash between the write and this fold
-      graft.agg.AggStore.append(spark, cfg.rollupStorePath, written,
-        cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId)
+      if (cfg.rollupMeasures.nonEmpty)
+        graft.agg.AggStore.appendMeasures(spark, cfg.rollupStorePath, written,
+          cfg.rollupKeys,
+          cfg.rollupMeasures.map { case (nm, e) => nm -> expr(e) },
+          cfg.shardId)
+      else
+        graft.agg.AggStore.append(spark, cfg.rollupStorePath, written,
+          cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId)
+    }
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)
     if (cfg.steps.contains("dedup_neardup"))

@@ -1260,4 +1260,32 @@ class GraftPipelineSpec extends SparkSpec {
       "steps" -> "sample", "sample.fraction" -> "0.25",
       "sample.offset" -> "0.5")).isRight)
   }
+
+  test("rollup step: multi-measure YAML config; malformed measures rejected pre-run") {
+    import spark.implicits._
+    val out = tmpDir("pipe_rollup_m")
+    val store = s"$out/rollup_store"
+    Seq((1L, "t1", "en", "src", 10L), (2L, "t2", "en", "src", 20L),
+        (3L, "t3", "de", "src", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "rollup", "rollup_store.path" -> store,
+      "rollup.keys" -> "lang",
+      "rollup.measures" -> "chars:n_chars, half:n_chars * 0.5")).toOption.get
+    assert(cfg.rollupMeasures ==
+      Seq("chars" -> "n_chars", "half" -> "n_chars * 0.5"))
+    GraftPipeline.run(spark, cfg)
+    val m = graft.agg.AggStore.merged(spark, store)
+      .select("lang", "n", "chars_sum_u", "half_sum_u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(m == Set(("en", 2L, 30000000L, 15000000L), ("de", 1L, 6000000L, 3000000L)))
+    // malformed entries fail the CONFIG, not the post-write fold
+    def bad(ms: String) = GraftPipeline.fromKv(Map("input.path" -> "a",
+      "output.path" -> "b", "steps" -> "rollup",
+      "rollup_store.path" -> "c", "rollup.measures" -> ms)).swap.toOption.get
+    assert(bad("chars").contains("name:expression"))
+    assert(bad("bad:)(").contains("unparseable"))
+  }
 }
