@@ -1185,7 +1185,27 @@ object PipelineQueries {
         val probe = timed(graft.text.Retrieval
           .queryBm25IndexBatched(s, idxDir.toString, batchQueryDf(s), k = 5)
           .write.format("noop").mode("overwrite").save())
-        Map("build" -> build, "probe_1k_batch" -> probe)
+        // the 10⁴-query point of the batch-scaling claim: same index, 10×
+        // the queries — the join volume is provably linear (7.0M → 70.0M
+        // hit postings measured), and the scored-row aggregation is the
+        // pre-partitioned single-stage form (see queryBm25IndexBatched).
+        // The probe's exchange carries ~70M rows; at the local floor of
+        // 32 partitions each task aggregates ~2.2M groups, which needs
+        // the execution memory other gate queries' leftovers would
+        // otherwise pin — clear cache and widen partitions for this
+        // phase the way a real deployment sizes a 10⁴-batch stage
+        val probe10k = {
+          s.sharedState.cacheManager.clearCache()
+          val before = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "128")
+          try timed(graft.text.Retrieval
+            .queryBm25IndexBatched(s, idxDir.toString,
+              batchQueryDf(s, n = 10000), k = 5)
+            .write.format("noop").mode("overwrite").save())
+          finally s.conf.set("spark.sql.shuffle.partitions", before)
+        }
+        Map("build" -> build, "probe_1k_batch" -> probe,
+          "probe_10k_batch" -> probe10k)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
     "q95_bm25_index" -> ((s, dir) => {
@@ -1356,10 +1376,10 @@ object PipelineQueries {
     * DuckDB oracle regenerates the identical batch with no hash function
     * in the loop. Within-query collisions are intentional (both engines
     * dedup at the contract boundary). */
-  private def batchQueryDf(s: SparkSession): DataFrame = {
+  private def batchQueryDf(s: SparkSession, n: Int = BatchQueryCount): DataFrame = {
     val v = BatchVocab.length
     val vocabArr = array(BatchVocab.map(lit): _*)
-    s.range(BatchQueryCount).select(
+    s.range(n.toLong).select(
       col("id").as("query_id"),
       explode(array(
         element_at(vocabArr, (pmod(col("id"), lit(v)) + 1).cast("int")),

@@ -527,23 +527,11 @@ object Retrieval {
       bucketPred: org.apache.spark.sql.Column, tfAll: DataFrame,
       dfq: DataFrame, stats: DataFrame, k: Int,
       k1: Double, b: Double, collectStats: Boolean): DataFrame = {
-    // soundness precondition: the ceilings must cover EVERY live shard's
-    // postings — an index whose older shards predate the impacts relation
-    // would under-bound and prune real hits. "Live" = shard dirs present
-    // in the postings tree AND meta-committed (after compaction only
-    // __compacted remains on disk, and its impacts cover everything).
-    def shardDirs(tree: String): Set[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) Set.empty
-      else fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=")).toSet
-    }
-    val live = shardDirs("postings").intersect(meta.shards)
-    val impactShards = shardDirs("impacts")
-    require(live.subsetOf(impactShards),
-      s"block-max needs impacts for every live shard at $path — " +
-        s"missing: ${(live -- impactShards).mkString(", ")} (rebuild the index)")
+    // soundness precondition — see requireImpactsCover. "Live" = shard
+    // dirs present in the postings tree AND meta-committed (after
+    // compaction only __compacted remains on disk, and its impacts cover
+    // everything).
+    requireImpactsCover(spark, path, meta)
     val ub = graft.core.AtomicStore.readRequired(spark, s"$path/impacts", ImpactsSchema)
       .filter(col("shard").isin(meta.shards.toSeq: _*) &&
         bucketPred && col("tok").isin(terms: _*))
@@ -628,13 +616,15 @@ object Retrieval {
     * any query set (same quantised algebra, same literal stats — spec'd,
     * and q152 gates a 1000-query batch against the q91-family oracle).
     * `maxDfFrac` drops over-ceiling terms AFTER the df join (the direct
-    * path's approximate-rank-safety caveat applies); block-max pruning is
-    * per-query-threshold machinery and stays on the low-latency path. */
+    * path's approximate-rank-safety caveat applies). `blockMax = true`
+    * adds the EXACT per-query block-max cut in batch shape (see the
+    * in-body comment): bit-identical results, scored-row shuffle cut to
+    * the over-ceiling survivors. */
   def queryBm25IndexBatched(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: DataFrame, k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, blockMax: Boolean = false): DataFrame = {
     val meta = readMeta(spark, path)
     // distinct at the contract boundary — the queryBm25Index rationale
     val q = queryTerms.select(col("query_id"), col("term")).distinct()
@@ -649,22 +639,124 @@ object Retrieval {
     // (bucket, term) equi-join: bucket is functional on term, but keeping
     // it in the key gives dynamic partition pruning a handle on the
     // postings tree's partition column when the batch's term set is small
-    val tf = postings.join(q,
+    val tfBase = Seq(col("query_id"), col("doc_id"), col("tok"),
+      col("dl"), col("tf"))
+    val tfAll = postings.join(q,
         postings("bucket") === q("__qbucket") && postings("tok") === q("term"))
-      .select(col("query_id"), col("doc_id"), col("tok"), col("dl"), col("tf"))
+      // `block` only when pruning needs it — a legacy (pre-impacts) index
+      // has no block column and must keep working on the exhaustive path
+      .select(tfBase ++ (if (blockMax) Seq(col("block")) else Nil): _*)
+    // BATCHED block-max pruning (the q112 soundness argument, batch
+    // shape): the exhaustive batch's wall-clock is dominated NOT by the
+    // postings join (linear, measured 7.0M → 70.0M rows at 1k → 10k
+    // queries) but by shuffling all Σ_q Σ_t df(t) scored rows into the
+    // per-(query, doc) sum — the classic exhaustive-scoring cost that
+    // WAND/block-max exists to cut (Broder 2003; Ding & Suel 2011).
+    // Everything stays an equi-join on distributed relations: ceilings
+    // semi-join the batch's (bucket, term) set, pass-1 probes one block
+    // per (query, term), thresholds are per-query k-bounded partials, and
+    // the survivors relation (≤ |queries| × blocks rows) joins back on
+    // (query_id, block) — no driver term collect, no broadcast query set.
+    // Postings are scanned twice (pass 1 + final), which buys skipping
+    // the scored-row shuffle for every under-ceiling block.
+    val tf =
+      if (!blockMax) tfAll
+      else {
+        requireImpactsCover(spark, path, meta)
+        val termRel = q.select(col("__qbucket").as("bucket"),
+          col("term").as("tok")).distinct()
+        val ubBase = graft.core.AtomicStore
+          .readRequired(spark, s"$path/impacts", ImpactsSchema)
+          .filter(col("shard").isin(meta.shards.toSeq: _*))
+          .join(termRel, Seq("bucket", "tok"), "left_semi")
+          .groupBy("tok", "block") // shard ceilings merge under max/min
+          .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+          .join(meta.df, "tok")
+          .filter(if (maxDfFrac >= 1.0) lit(true)
+            else col("df") <= lit(maxDfFrac * meta.stats.nDocs))
+          .select(col("tok"), col("block"),
+            scoreU(col("max_tf"), col("df"), col("min_dl"),
+              lit(meta.stats.nDocs), lit(meta.stats.avgdl), k1, b).as("ub"))
+        // per-(query, term, block) ceilings: bounded by |batch term pairs|
+        // × blocks; eagerly materialised (read twice below) — bounded, so
+        // the localCheckpoint fault-tolerance caveat is acceptable here
+        val ubQ = ubBase.join(q, col("tok") === col("term"))
+          .select(col("query_id"), col("tok"), col("block"), col("ub"))
+          .localCheckpoint(true)
+        // pass 1: each (query, term)'s single highest-ceiling block,
+        // scored exactly → the k-th best partial total lower-bounds the
+        // true k-th best score
+        val probe = ubQ.groupBy("query_id", "tok")
+          .agg(max(struct(col("ub"), col("block"))).as("m"))
+          .select(col("query_id"), col("tok"), col("m.block").as("block"))
+        val partial = tfAll.join(probe, Seq("query_id", "tok", "block"))
+          .join(meta.df, "tok")
+          .select(col("query_id"), col("doc_id"),
+            scoreU(col("tf"), col("df"), col("dl"),
+              lit(meta.stats.nDocs), lit(meta.stats.avgdl), k1, b).as("s"))
+          .groupBy("query_id", "doc_id").agg(sum("s").as("ps"))
+        val thresh = partial.groupBy("query_id")
+          .agg(TopKAggregate.topK(struct(col("ps"), col("doc_id")), k).as("tk"))
+          .select(col("query_id"),
+            when(size(col("tk")) >= k, element_at(col("tk"), k).getField("ps"))
+              .otherwise(lit(Long.MinValue)).as("__t"))
+        // pass 2: a (query, block) cell survives iff its ceiling sum can
+        // reach the query's threshold — block = hash(doc_id) is
+        // term-independent, so a skipped cell's docs provably cannot
+        // place (the q112 argument, verbatim)
+        val surviving = ubQ.groupBy("query_id", "block")
+          .agg(sum("ub").as("__ub_total"))
+          .join(thresh, Seq("query_id"), "left")
+          .filter(col("__ub_total") >= coalesce(col("__t"), lit(Long.MinValue)))
+          .select(col("query_id"), col("block"))
+          .localCheckpoint(true) // ≤ |queries| × blocks rows, read once but
+          // recomputing it would re-run pass 1's postings scan
+        tfAll.join(surviving, Seq("query_id", "block"))
+      }
     // df from the persisted vocabulary relation — tok equi-join (the tf
     // side is already term-restricted, so this is |hit postings| rows
     // against |vocabulary|; Spark picks broadcast only if df is small)
-    val withDf = tf.join(meta.df, "tok")
+    val withDf = tf.drop("block").join(meta.df, "tok")
     val limited =
       if (maxDfFrac >= 1.0) withDf
       else withDf.filter(col("df") <= lit(maxDfFrac * meta.stats.nDocs))
     val scored = limited.select(col("query_id"), col("doc_id"),
       scoreU(col("tf"), col("df"), col("dl"),
         lit(meta.stats.nDocs), lit(meta.stats.avgdl), k1, b).as("s"))
-    val agg = scored.groupBy("query_id", "doc_id")
+    // pre-partition by the grouping keys: the default partial+final
+    // aggregate is the WRONG plan for this shape — each (query, doc)
+    // group holds ≤ |query terms| rows scattered across input partitions,
+    // so the map-side combine reduces ~nothing while its per-task hash
+    // map grows with |batch| × df and degenerates to the sort-based
+    // fallback (measured at a 10k-query × 70M-posting probe: 53 s
+    // default vs 18 s pre-partitioned; the 1k gate also improves,
+    // 2.6 → 1.7 s). The explicit exchange replaces the aggregate's own,
+    // so no extra shuffle is paid at any batch size.
+    val agg = scored.repartition(col("query_id"), col("doc_id"))
+      .groupBy("query_id", "doc_id")
       .agg(sum("s").as("score_u"), count(lit(1)).as("n_hit_terms"))
     rankTopK(agg, k)
+  }
+
+  /** Soundness precondition shared by the per-query and batched block-max
+    * paths: ceilings must cover every LIVE shard's postings (an index
+    * whose older shards predate the impacts relation would under-bound
+    * and prune real hits). */
+  private def requireImpactsCover(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: IndexMeta): Unit = {
+    def shardDirs(tree: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$tree")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=")).toSet
+    }
+    val live = shardDirs("postings").intersect(meta.shards)
+    val impactShards = shardDirs("impacts")
+    require(live.subsetOf(impactShards),
+      s"block-max needs impacts for every live shard at $path — " +
+        s"missing: ${(live -- impactShards).mkString(", ")} (rebuild the index)")
   }
 
   /** Top-`k` documents per query by quantised-BM25 score.

@@ -112,6 +112,11 @@ class RetrievalSpec extends SparkSpec {
       )).as("term"))
     val probe = Retrieval.queryBm25IndexBatched(spark, idx, batch, k = 3)
     assert(set(probe) == set(Retrieval.bm25TopK(docs, batch, "text", "doc_id", k = 3)))
+    // the batched BLOCK-MAX cut must be invisible in the results (the
+    // q112 exactness argument, batch shape): same 2k batch, same set
+    assert(set(Retrieval.queryBm25IndexBatched(spark, idx, batch, k = 3,
+      blockMax = true)) == set(probe),
+      "batched block-max pruning changed results — the cut is not exact")
     // plan guard (round-8 verdict task #1): the batched path must be pure
     // equi-join — no BroadcastNestedLoopJoin, no CartesianProduct — and
     // must keep the k-bounded partial aggregate (never a window sort)
