@@ -97,14 +97,26 @@ object AggStore {
       stateSchema.get.fieldNames.toSeq.filterNot(keyNames.contains)
   }
 
+  /** State names a LEGACY (pre-key_names meta) store could carry — used
+    * only to recover such a store's key columns by exclusion. */
+  private val LegacyStateNames = Set("n", "sum_micros", "min_v", "max_v",
+    SketchField.name)
+
   private def readMeta(spark: SparkSession, path: String): Meta =
     graft.core.AtomicStore.read(spark, metaPath(path), MetaSchema) match {
       case Some(df) =>
         val rows = df.collect() // one row per ingested shard — tiny by design
         val schema = rows.headOption.map(r =>
           DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
-        val keys = rows.headOption.toSeq
-          .flatMap(_.getString(2).split(KeySep).toSeq.filter(_.nonEmpty))
+        val keys = rows.headOption.toSeq.flatMap { r =>
+          // a store written before meta carried key_names reads null here
+          // — those stores were single-measure by construction, so their
+          // keys recover exactly by excluding the fixed legacy state set
+          // (bricking existing durable rollup stores is not acceptable)
+          if (r.isNullAt(2))
+            schema.get.fieldNames.toSeq.filterNot(LegacyStateNames)
+          else r.getString(2).split(KeySep).toSeq.filter(_.nonEmpty)
+        }
         Meta(rows.map(_.getString(0)).toSet, schema, keys)
       case None => Meta(Set.empty, None, Seq.empty)
     }

@@ -247,6 +247,37 @@ object GraftPipeline {
       else steps.drop(steps.indexOf(step) + 1).filter(TextMutatingSteps)
     val mutatorsAfterSeen = mutatorsAfter("dedup_seen")
     val mutatorsAfterNear = mutatorsAfter("dedup_neardup")
+    // rollup config parsed ONCE; every malformed shape — unparseable
+    // entries/SQL, duplicate measure names, keys colliding with the state
+    // names the measures will generate — must fail HERE, before the shard
+    // output commits, not in the post-write fold where each replay
+    // re-fails and wedges the run mid-protocol. (Expressions are parsed
+    // with CatalystSqlParser explicitly: Spark 4's functions.expr defers
+    // parsing to analysis, so Try(expr(...)) alone accepts any garbage.)
+    val rollupKeysV = kv.getOrElse("rollup.keys", "source")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val rollupMeasureError: Option[String] =
+      parseMeasures(kv.getOrElse("rollup.measures", "")) match {
+        case Left(err) => Some(err)
+        case Right(ms) =>
+          val dups = ms.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+          val unparseable = ms.filter(m => !measureSqlParses(m._2))
+          val stateNames =
+            (if (ms.isEmpty) Seq("sum_micros", "min_v", "max_v")
+             else ms.flatMap(m =>
+               Seq(s"${m._1}_sum_u", s"${m._1}_min", s"${m._1}_max"))) ++
+              Seq("n", "n_distinct_sk")
+          val collide = rollupKeysV.intersect(stateNames)
+          if (dups.nonEmpty)
+            Some(s"rollup.measures: duplicate measure name(s): ${dups.mkString(", ")}")
+          else if (unparseable.nonEmpty)
+            Some("rollup.measures: unparseable expression in " +
+              unparseable.map(m => s"'${m._1}:${m._2}'").mkString(", "))
+          else if (collide.nonEmpty)
+            Some("rollup.keys collide with rollup state names: " +
+              collide.mkString(", "))
+          else None
+      }
     if (kv.getOrElse("input.path", "").isEmpty) Left("input.path is required")
     else if (kv.getOrElse("output.path", "").isEmpty) Left("output.path is required")
     else if (steps.isEmpty) Left("steps is required (comma-separated)")
@@ -305,25 +336,9 @@ object GraftPipeline {
         "ann_index.path / bm25_index.path / pq_index.path / rollup_store.path)")
     else if (steps.contains("rollup") && kv.getOrElse("rollup_store.path", "").isEmpty)
       Left("rollup requires rollup_store.path")
-    else if (steps.contains("rollup") && parseMeasures(
-        kv.getOrElse("rollup.measures", "")).isLeft)
-      parseMeasures(kv.getOrElse("rollup.measures", "")).swap.toOption.map(Left(_)).get
-    else if (steps.contains("rollup") && parseMeasures(
-        kv.getOrElse("rollup.measures", "")).exists(_.exists(m =>
-          !measureSqlParses(m._2))))
-      // malformed measure SQL must fail BEFORE the shard output commits,
-      // not in the post-write fold (the rollup.keys rationale). Parsed
-      // explicitly: Spark 4's functions.expr defers parsing to analysis,
-      // so Try(expr(...)) alone would accept any garbage here
-      Left(s"rollup.measures: unparseable expression in " +
-        parseMeasures(kv.getOrElse("rollup.measures", "")).toOption.get
-          .filter(m => !measureSqlParses(m._2))
-          .map(m => s"'${m._1}:${m._2}'").mkString(", "))
-    else if (steps.contains("rollup") && kv.get("rollup.keys").exists(
-        _.split(",").map(_.trim).forall(_.isEmpty)))
-      // malformed config must fail BEFORE the shard output commits — an
-      // empty key list would otherwise throw in the post-write fold on
-      // every attempt, wedging the run mid-protocol
+    else if (steps.contains("rollup") && rollupMeasureError.nonEmpty)
+      Left(rollupMeasureError.get)
+    else if (steps.contains("rollup") && rollupKeysV.isEmpty)
       Left("rollup.keys must name at least one grouping column")
     else if (steps.contains("sample") && !kv.get("sample.fraction")
         .flatMap(_.toDoubleOption).exists(f => f > 0.0 && f <= 1.0))

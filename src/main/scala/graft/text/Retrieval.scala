@@ -639,6 +639,11 @@ object Retrieval {
     // (bucket, term) equi-join: bucket is functional on term, but keeping
     // it in the key gives dynamic partition pruning a handle on the
     // postings tree's partition column when the batch's term set is small
+    if (blockMax) // before tfAll's eager select would throw a raw
+      // UNRESOLVED_COLUMN on `block` (the per-query path's guard)
+      require(postings.columns.contains("block"),
+        s"index at $path predates block-max postings — rebuild it " +
+          "(or probe with blockMax = false)")
     val tfBase = Seq(col("query_id"), col("doc_id"), col("tok"),
       col("dl"), col("tf"))
     val tfAll = postings.join(q,

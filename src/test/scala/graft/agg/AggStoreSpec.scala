@@ -141,6 +141,19 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("legacy meta (no key_names column) still reads: keys recover by exclusion") {
+    val store = tmpDir("agg_legacy")
+    appendSplit(store, 2)
+    val expect = asSet(AggStore.merged(spark, store))
+    // simulate a store written before meta carried key_names: null it out
+    val legacyMeta = spark.read.parquet(s"$store/meta")
+      .withColumn("key_names", lit(null).cast("string"))
+    graft.core.AtomicStore.replace(spark, s"$store/meta", legacyMeta)
+    assert(asSet(AggStore.merged(spark, store)) == expect,
+      "legacy single-measure store bricked by the key_names meta column")
+    assert(AggStore.processedShards(spark, store) == Set("batch_0", "batch_1"))
+  }
+
   test("argMax state: merged latest-per-key ≡ windowed from-raw, compact-invariant") {
     val ev = Tables.load(spark, sf001, "events")
     val store = tmpDir("agg_argmax")

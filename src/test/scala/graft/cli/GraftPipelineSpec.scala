@@ -1287,5 +1287,13 @@ class GraftPipelineSpec extends SparkSpec {
       "rollup_store.path" -> "c", "rollup.measures" -> ms)).swap.toOption.get
     assert(bad("chars").contains("name:expression"))
     assert(bad("bad:)(").contains("unparseable"))
+    // duplicate measure names and key/state-name collisions must ALSO
+    // fail at config time (post-write they'd throw after the shard
+    // output committed, re-failing on every replay)
+    assert(bad("a:n_chars,a:n_tokens").contains("duplicate"))
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a",
+      "output.path" -> "b", "steps" -> "rollup", "rollup_store.path" -> "c",
+      "rollup.keys" -> "chars_min", "rollup.measures" -> "chars:n_chars"))
+      .swap.exists(_.contains("collide")))
   }
 }

@@ -117,6 +117,16 @@ class RetrievalSpec extends SparkSpec {
     assert(set(Retrieval.queryBm25IndexBatched(spark, idx, batch, k = 3,
       blockMax = true)) == set(probe),
       "batched block-max pruning changed results — the cut is not exact")
+    // a legacy (pre-block-max) index must refuse the pruned probe with
+    // the actionable message, not a raw unresolved-column analysis error
+    val legacy = tmpDir("bm25idx_legacy")
+    spark.read.parquet(s"$idx/meta").write.parquet(s"$legacy/meta")
+    spark.read.parquet(s"$idx/postings").drop("block")
+      .write.partitionBy("shard", "bucket").parquet(s"$legacy/postings")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.queryBm25IndexBatched(spark, legacy, terms, k = 3, blockMax = true)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
     // plan guard (round-8 verdict task #1): the batched path must be pure
     // equi-join — no BroadcastNestedLoopJoin, no CartesianProduct — and
     // must keep the k-bounded partial aggregate (never a window sort)
