@@ -1185,27 +1185,18 @@ object PipelineQueries {
         val probe = timed(graft.text.Retrieval
           .queryBm25IndexBatched(s, idxDir.toString, batchQueryDf(s), k = 5)
           .write.format("noop").mode("overwrite").save())
-        // the 10⁴-query point of the batch-scaling claim: same index, 10×
-        // the queries — the join volume is provably linear (7.0M → 70.0M
-        // hit postings measured), and the scored-row aggregation is the
-        // pre-partitioned single-stage form (see queryBm25IndexBatched).
-        // The probe's exchange carries ~70M rows; at the local floor of
-        // 32 partitions each task aggregates ~2.2M groups, which needs
-        // the execution memory other gate queries' leftovers would
-        // otherwise pin — clear cache and widen partitions for this
-        // phase the way a real deployment sizes a 10⁴-batch stage
-        val probe10k = {
-          s.sharedState.cacheManager.clearCache()
-          val before = s.conf.get("spark.sql.shuffle.partitions")
-          s.conf.set("spark.sql.shuffle.partitions", "128")
-          try timed(graft.text.Retrieval
-            .queryBm25IndexBatched(s, idxDir.toString,
-              batchQueryDf(s, n = 10000), k = 5)
-            .write.format("noop").mode("overwrite").save())
-          finally s.conf.set("spark.sql.shuffle.partitions", before)
-        }
-        Map("build" -> build, "probe_1k_batch" -> probe,
-          "probe_10k_batch" -> probe10k)
+        // The 10⁴-query point of the batch-scaling claim is recorded by a
+        // DEDICATED bench run (`runMain graft.Bench q152` — 24.8 s at
+        // sf0.1/local[32], tracked in bench/; SCALING.md "round-9
+        // continued-2" has the profile). It deliberately does NOT run
+        // inside the full-catalog bench JVM: after 160 queries × 4
+        // passes the 4 GiB heap cannot also host 32 concurrent
+        // ~2M-group aggregation tasks (UNABLE_TO_ACQUIRE_MEMORY even
+        // with the SQL cache cleared and persistent RDDs dropped) — and
+        // the host's >8 GiB-heap freeze pathology rules out just sizing
+        // the heap up. A deployment sizes the batch stage's executors;
+        // this JVM is sized for the gate.
+        Map("build" -> build, "probe_1k_batch" -> probe)
       } finally graft.core.Fs.deleteRecursively(idxDir)
     }),
     "q95_bm25_index" -> ((s, dir) => {
