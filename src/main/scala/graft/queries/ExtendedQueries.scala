@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.functions.expressions.TopKAggregate
+import graft.operators.{AsOfJoin, GapFill, RangeJoin, SkewJoin}
 
 /** SQL-surface breadth beyond the reference: distinct/percentile/sketch
   * aggregates, set ops, rollup + grouping sets, pivot, window frames,
@@ -301,7 +302,40 @@ object ExtendedQueries {
           regexp_extract(expr("parse_url(url, 'HOST')"),
             "\\.([a-z]+)$", 1).as("tld"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // ClickHouse `ORDER BY … WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE`
+    // analogue (q81 gates the zero-fill half; this is the carry/
+    // interpolate half): hourly per-type micro-unit value series, with
+    // generated slots carrying LOCF (`fill_v`) and linear interpolation
+    // between the neighbouring observations (`interp_r`). GapFill is
+    // join- and window-free — sorted per-key observation arrays + the
+    // native O(log n) binary-search picks; see the operator's scaladoc.
+    "q165_fill_interpolate" -> ((s, dir) => {
+      val series = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("v_u"))
+      GapFill.fillInterpolate(series, Seq("event_type"), "h", "v_u",
+          expr("INTERVAL 1 HOUR"))
+        .select(col("event_type"), col("h"), col("fill_v"),
+          round(col("interp_v"), 6).as("interp_r"), col("is_gap"))
+        .orderBy("event_type", "h")
+    }),
+
+    // ClickHouse `LIMIT 3 BY event_type` — top-n rows per group. The
+    // scale-correct plan is the k-bounded TopK PARTIAL aggregate
+    // (shuffle carries ≤ k rows per task × group), not a row_number
+    // window that funnels the whole fact table into #groups partitions
+    // (the TopKAggregate scaladoc trap); posexplode of the k-array
+    // reproduces row_number's (value DESC, event_id ASC) order exactly.
+    "q166_limit_by" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(TopKAggregate.topK(struct(col("value"), col("event_id")), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+          col("r.event_id").as("event_id"), col("r.value").as("value"))
+        .orderBy("event_type", "rk"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +423,32 @@ object ExtendedQueries {
       ("SELECT l.event_id, l.user_id, r.s_value, r.ts AS match_ts " +
         "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l " +
         "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS s_value FROM events WHERE event_type = 'signup' GROUP BY 1, 2) r " +
-        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY event_id")
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY event_id"),
+    // prev/next via IGNORE-NULLS window fills over the zero-filled grid;
+    // the interpolation formula mirrors GapFill's double-op order exactly
+    // (epoch_us fits a double exactly until year ~2255, so the casts are
+    // lossless on both engines)
+    "q165_fill_interpolate" ->
+      ("WITH series AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v_u FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM series GROUP BY 1), " +
+        "grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "j AS (SELECT g.event_type, g.h, s.v_u FROM grid g LEFT JOIN series s ON s.event_type = g.event_type AND s.h = g.h), " +
+        "f AS (SELECT event_type, h, v_u, " +
+        "last_value(v_u IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS vp, " +
+        "last_value(CASE WHEN v_u IS NOT NULL THEN h END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pt, " +
+        "first_value(v_u IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn, " +
+        "first_value(CASE WHEN v_u IS NOT NULL THEN h END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt " +
+        "FROM j) " +
+        "SELECT event_type, h, vp AS fill_v, " +
+        "round(CASE WHEN h = pt THEN CAST(vp AS DOUBLE) " +
+        "ELSE CAST(vp AS DOUBLE) + CAST(vn - vp AS DOUBLE) * " +
+        "(CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END, 6) AS interp_r, " +
+        "(h <> pt) AS is_gap FROM f ORDER BY event_type, h"),
+    "q166_limit_by" ->
+      ("WITH r AS (SELECT event_type, event_id, value, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rk FROM events) " +
+        "SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM r " +
+        "WHERE rk <= 3 ORDER BY event_type, rk")
   )
 }
