@@ -67,6 +67,18 @@ object AggStore {
     * from these names — see [[mergeExpr]]. */
   private val SketchField = StructField("n_distinct_sk", BinaryType)
 
+  /** Optional quantile-sketch state (the ClickHouse quantileState /
+    * quantileMerge pair): a serialized Greenwald-Khanna summary of the
+    * `quantileCol` values per group — Spark's own `percentile_approx`
+    * engine, exposed as a mergeable state by
+    * [[graft.functions.expressions.QuantileSketchAggregate]]. Present
+    * only when the store was built with a `quantileCol`; merged reads
+    * finish it to `q_p50`/`q_p90`/`q_p99` estimates, each honouring the
+    * eps rank-error bound whatever the shard/merge order was. */
+  private val QSketchField = StructField("q_sketch", BinaryType)
+  private val QProbes = Seq(0.5, 0.9, 0.99)
+  private val QProbeNames = Seq("q_p50", "q_p90", "q_p99")
+
   /** The associative merge for one state column, by naming convention.
     * `_argmax` states are struct<ord, arg> maxima (the ClickHouse
     * argMaxState: "value at the greatest ordinal"); struct comparison is
@@ -75,6 +87,9 @@ object AggStore {
   private def mergeExpr(name: String): Column = name match {
     case "n" => sum(col("n")).as("n")
     case SketchField.name => hll_union_agg(col(name)).as(name)
+    case QSketchField.name =>
+      graft.functions.expressions.QuantileSketchAggregate
+        .mergeSketches(col(name)).as(name)
     case nm if nm == "sum_micros" || nm.endsWith("_sum_u") => sum(col(nm)).as(nm)
     case nm if nm == "min_v" || nm.endsWith("_min") => min(col(nm)).as(nm)
     case nm if nm == "max_v" || nm.endsWith("_max") => max(col(nm)).as(nm)
@@ -93,6 +108,9 @@ object AggStore {
     /** Whether this store carries the distinct-sketch state. */
     def hasSketch: Boolean =
       stateSchema.exists(_.fieldNames.contains(SketchField.name))
+    /** Whether this store carries the quantile-sketch state. */
+    def hasQuantile: Boolean =
+      stateSchema.exists(_.fieldNames.contains(QSketchField.name))
     def stateNames: Seq[String] =
       stateSchema.get.fieldNames.toSeq.filterNot(keyNames.contains)
   }
@@ -156,9 +174,10 @@ object AggStore {
     * single-measure form — states named `sum_micros`/`min_v`/`max_v`). */
   def append(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], valueCol: String, shardId: String,
-      distinctCol: String = null): Unit =
+      distinctCol: String = null, quantileCol: String = null): Unit =
     appendStates(spark, path, shard, keys, shardId, distinctCol,
-      Seq(("sum_micros", "min_v", "max_v", col(valueCol))))
+      Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
+      quantileCol = quantileCol)
 
   /** Multi-measure [[append]]: each `(name, expr)` measure contributes
     * `<name>_sum_u` / `<name>_min` / `<name>_max` states (one shared `n`).
@@ -169,11 +188,12 @@ object AggStore {
   def appendMeasures(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], measures: Seq[(String, Column)], shardId: String,
       distinctCol: String = null,
-      argMax: Seq[(String, Column, Column)] = Nil): Unit = {
+      argMax: Seq[(String, Column, Column)] = Nil,
+      quantileCol: String = null): Unit = {
     require(measures.nonEmpty, "rollup needs at least one measure")
     appendStates(spark, path, shard, keys, shardId, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax)
+      argMax, quantileCol)
   }
 
   /** One shard's (or live tail's) partial states — the fold both
@@ -181,11 +201,12 @@ object AggStore {
   private def partialStates(shard: DataFrame, keys: Seq[String],
       distinctCol: String,
       measures: Seq[(String, String, String, Column)],
-      argMax: Seq[(String, Column, Column)] = Nil): DataFrame = {
+      argMax: Seq[(String, Column, Column)] = Nil,
+      quantileCol: String = null): DataFrame = {
     require(keys.nonEmpty, "rollup needs at least one grouping column")
     val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
       argMax.map { case (nm, _, _) => s"${nm}_argmax" } ++
-      Seq("n", SketchField.name)
+      Seq("n", SketchField.name, QSketchField.name)
     require(keys.intersect(reserved).isEmpty,
       s"grouping columns collide with state names: ${keys.intersect(reserved)}")
     // partial states: Catalyst's partial/final HashAggregate already
@@ -206,22 +227,29 @@ object AggStore {
       max(struct(ord.as("ord"), arg.as("arg"))).as(s"${nm}_argmax")
     }
     val baseAggs = count(lit(1)).as("n") +: (measureAggs ++ argMaxAggs)
-    val aggs = if (distinctCol != null)
+    val withDistinct = if (distinctCol != null)
       // the uniqState analogue: a mergeable Datasketches HLL of the
       // distinct column, unioned (never re-counted) at read/compact time
       baseAggs :+ hll_sketch_agg(col(distinctCol)).as(SketchField.name)
     else baseAggs
+    val aggs = if (quantileCol != null)
+      // the quantileState analogue: a mergeable GK summary of the
+      // quantile column, merged (never re-folded) at read/compact time
+      withDistinct :+ graft.functions.expressions.QuantileSketchAggregate
+        .sketch(col(quantileCol).cast(DoubleType)).as(QSketchField.name)
+    else withDistinct
     shard.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def appendStates(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], shardId: String, distinctCol: String,
       measures: Seq[(String, String, String, Column)],
-      argMax: Seq[(String, Column, Column)] = Nil): Unit = {
+      argMax: Seq[(String, Column, Column)] = Nil,
+      quantileCol: String = null): Unit = {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
-    val partial = partialStates(shard, keys, distinctCol, measures, argMax)
+    val partial = partialStates(shard, keys, distinctCol, measures, argMax, quantileCol)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
       require(existing == stateSchema && meta.keyNames == keys,
@@ -279,11 +307,20 @@ object AggStore {
     val out = avgs.foldLeft(mergedStates) {
       case (df, (nm, c)) => df.withColumn(nm, c)
     }
-    if (meta.hasSketch)
+    val withDistinct = if (meta.hasSketch)
       out.withColumn("n_distinct_est",
           hll_sketch_estimate(col(SketchField.name)))
         .drop(SketchField.name)
     else out
+    if (meta.hasQuantile) {
+      // finish the merged GK sketch to the standard dashboard probes;
+      // other probabilities read via states() + QuantileSketchAggregate
+      val est = graft.functions.expressions.QuantileSketchAggregate
+        .estimate(col(QSketchField.name), QProbes)
+      QProbeNames.zipWithIndex.foldLeft(withDistinct) {
+        case (df, (nm, i)) => df.withColumn(nm, element_at(est, i + 1))
+      }.drop(QSketchField.name)
+    } else withDistinct
   }
 
   /** REALTIME (lambda) read: the persisted states merged together with
@@ -296,27 +333,31 @@ object AggStore {
     * over: states are associative, so merged(history) ⊎ partial(tail) ≡
     * from-raw over history ∪ tail, which is what the q162 oracle checks. */
   def mergedWithTail(spark: SparkSession, path: String, tail: DataFrame,
-      keys: Seq[String], valueCol: String, distinctCol: String = null): DataFrame =
+      keys: Seq[String], valueCol: String, distinctCol: String = null,
+      quantileCol: String = null): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
-      Seq(("sum_micros", "min_v", "max_v", col(valueCol))))
+      Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
+      quantileCol = quantileCol)
 
   /** Multi-measure [[mergedWithTail]] (the [[appendMeasures]] naming). */
   def mergedWithTailMeasures(spark: SparkSession, path: String, tail: DataFrame,
       keys: Seq[String], measures: Seq[(String, Column)],
       distinctCol: String = null,
-      argMax: Seq[(String, Column, Column)] = Nil): DataFrame =
+      argMax: Seq[(String, Column, Column)] = Nil,
+      quantileCol: String = null): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax)
+      argMax, quantileCol)
 
   private def mergedWithTailStates(spark: SparkSession, path: String,
       tail: DataFrame, keys: Seq[String], distinctCol: String,
       measures: Seq[(String, String, String, Column)],
-      argMax: Seq[(String, Column, Column)] = Nil): DataFrame = {
+      argMax: Seq[(String, Column, Column)] = Nil,
+      quantileCol: String = null): DataFrame = {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
-    val tailStates = partialStates(tail, keys, distinctCol, measures, argMax)
+    val tailStates = partialStates(tail, keys, distinctCol, measures, argMax, quantileCol)
     require(tailStates.schema == meta.stateSchema.get && keys == meta.keyNames,
       s"tail states ${tailStates.schema} (keys $keys) do not match the " +
         s"store's ${meta.stateSchema.get} (keys ${meta.keyNames})")

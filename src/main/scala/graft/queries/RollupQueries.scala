@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.AggStore
@@ -195,6 +195,55 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // Rollup with the QUANTILE-SKETCH state (the quantileState /
+    // quantileMerge half of the AggregatingMergeTree story, next to
+    // q160's uniqState): three shards each fold a Greenwald-Khanna
+    // summary of value per event_type; the merged read MERGES summaries —
+    // it never re-folds raw history — and finishes them to p50/p90/p99
+    // estimates. Gate discipline: the GK contract is a RANK bound (the
+    // estimate's true rank within eps·n of p·n, preserved by the merge
+    // lemma), so the emission computes each estimate's exact rank
+    // envelope against the raw table in integer arithmetic and emits the
+    // boolean; the oracle-computable exact median rides along for bite.
+    // The raw pass exists only for the gate; production reads stop at
+    // the estimates.
+    "q164_rollup_quantile" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      val store = Fs.scratchDir("graft_rollup_quantile")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.append(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type"), valueCol = "value",
+            shardId = s"batch_$i", quantileCol = "value")
+        }
+        val m = AggStore.merged(s, store.toString)
+          .select("event_type", "q_p50", "q_p90", "q_p99")
+        val eps = graft.functions.expressions.QuantileSketchAggregate.DefaultEps
+        // est's possible ranks are (count(< est), count(<= est)]; the GK
+        // window around ceil(p·n) is eps·n wide, +2 covers the ceil/floor
+        // convention edges at tiny n. est_ok ⇔ the intervals intersect.
+        def ok(p: Double, est: Column, n: Column): Column = {
+          val le = sum(when(col("value") <= est, 1L).otherwise(0L))
+          val lt = sum(when(col("value") < est, 1L).otherwise(0L))
+          val slack = lit(eps) * n + lit(2.0)
+          val target = ceil(lit(p) * n)
+          (lt + lit(1) <= target + slack) && (le >= target - slack)
+        }
+        val n = count(lit(1))
+        ev.join(m, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(n.as("n"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+            ok(0.5, col("q_p50"), n).as("est_ok_50"),
+            ok(0.9, col("q_p90"), n).as("est_ok_90"),
+            ok(0.99, col("q_p99"), n).as("est_ok_99"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // The q156 rollup as a LIVE STREAM (the AggregatingMergeTree
     // ingestion loop): an availableNow events stream folds per-batch
     // partial states into the persisted store; the emission is the
@@ -274,6 +323,11 @@ object RollupQueries {
     "q160_rollup_distinct" ->
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q164_rollup_quantile" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "round(quantile_cont(value, 0.5), 6) AS p50_exact, " +
+        "TRUE AS est_ok_50, TRUE AS est_ok_90, TRUE AS est_ok_99 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q159_streaming_rollup" ->
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +

@@ -218,4 +218,55 @@ class AggStoreSpec extends SparkSpec {
     assert(AggStore.compact(spark, store))
     assert(est == viaSketch)
   }
+
+  test("quantile-sketch state: merged estimates honour the GK rank bound; compact, tail, and drift contracts hold") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select("event_id", "event_type", "value")
+    val store = tmpDir("agg_quant")
+    (0L until 3L).foreach { i =>
+      AggStore.append(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        Seq("event_type"), "value", s"s$i", quantileCol = "value")
+    }
+    // exact per-group sorted values, driver-side (~200/group at sf0.001)
+    val raw = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    val eps = graft.functions.expressions.QuantileSketchAggregate.DefaultEps
+    def checkRanks(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select("event_type", "q_p50", "q_p90", "q_p99").collect().foreach { r =>
+        val xs = raw(r.getString(0))
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))
+          .foreach { case (p, e) =>
+            // the estimate's possible ranks (count(< e), count(<= e)] must
+            // intersect the eps window around ceil(p·n) — q164's gate
+            val target = math.ceil(p * xs.length)
+            val slack = eps * xs.length + 2
+            assert(xs.count(_ < e) + 1 <= target + slack &&
+              xs.count(_ <= e) >= target - slack,
+              s"p=$p est=$e outside rank window for ${r.getString(0)}")
+            // GK estimates are sampled input VALUES, not interpolations
+            assert(xs.contains(e), s"estimate $e is not a data value")
+          }
+      }
+    checkRanks(AggStore.merged(spark, store))
+    // compaction pre-merges the sketches; the bound must keep holding
+    assert(AggStore.compact(spark, store))
+    checkRanks(AggStore.merged(spark, store))
+    // realtime read: history states ⊎ un-ingested tail, same contract
+    val store2 = tmpDir("agg_quant_rt")
+    (0L until 2L).foreach { i =>
+      AggStore.append(spark, store2,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        Seq("event_type"), "value", s"s$i", quantileCol = "value")
+    }
+    checkRanks(AggStore.mergedWithTail(spark, store2,
+      ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+      Seq("event_type"), "value", quantileCol = "value"))
+    // the quantile setting is part of the state schema — drift fails loudly
+    val e = intercept[IllegalArgumentException] {
+      AggStore.append(spark, store, ev, Seq("event_type"), "value", "later")
+    }
+    assert(e.getMessage.contains("state schema mismatch"))
+  }
 }
