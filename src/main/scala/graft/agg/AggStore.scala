@@ -94,6 +94,10 @@ object AggStore {
     case nm if nm == "min_v" || nm.endsWith("_min") => min(col(nm)).as(nm)
     case nm if nm == "max_v" || nm.endsWith("_max") => max(col(nm)).as(nm)
     case nm if nm.endsWith("_argmax") => max(col(nm)).as(nm)
+    // sumMapState: key-wise map sum is associative on micro-unit longs,
+    // so the SAME aggregate folds raw entries and merges shard states
+    case nm if nm.endsWith("_summap") =>
+      graft.functions.expressions.MapSumAggregate.sumMap(col(nm)).as(nm)
     case nm => throw new IllegalStateException(
       s"state column $nm has no merge rule — store meta is corrupt")
   }
@@ -189,11 +193,12 @@ object AggStore {
       keys: Seq[String], measures: Seq[(String, Column)], shardId: String,
       distinctCol: String = null,
       argMax: Seq[(String, Column, Column)] = Nil,
-      quantileCol: String = null): Unit = {
+      quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): Unit = {
     require(measures.nonEmpty, "rollup needs at least one measure")
     appendStates(spark, path, shard, keys, shardId, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax, quantileCol)
+      argMax, quantileCol, sumMap)
   }
 
   /** One shard's (or live tail's) partial states — the fold both
@@ -202,10 +207,12 @@ object AggStore {
       distinctCol: String,
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
-      quantileCol: String = null): DataFrame = {
+      quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame = {
     require(keys.nonEmpty, "rollup needs at least one grouping column")
     val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
       argMax.map { case (nm, _, _) => s"${nm}_argmax" } ++
+      sumMap.map { case (nm, _, _) => s"${nm}_summap" } ++
       Seq("n", SketchField.name, QSketchField.name)
     require(keys.intersect(reserved).isEmpty,
       s"grouping columns collide with state names: ${keys.intersect(reserved)}")
@@ -226,7 +233,16 @@ object AggStore {
     val argMaxAggs = argMax.map { case (nm, ord, arg) =>
       max(struct(ord.as("ord"), arg.as("arg"))).as(s"${nm}_argmax")
     }
-    val baseAggs = count(lit(1)).as("n") +: (measureAggs ++ argMaxAggs)
+    // sumMapState: per-row single-entry maps key-wise-summed — the same
+    // aggregate later merges the shard states (see mergeExpr). Values in
+    // exact micro-units, per the store's sum discipline; a null map key
+    // would fail Spark's map contract, so nullable key columns must be
+    // filtered/coalesced by the caller.
+    val sumMapAggs = sumMap.map { case (nm, k, v) =>
+      graft.functions.expressions.MapSumAggregate.sumMap(
+        map(k.cast(StringType), micros(v.cast(DoubleType)))).as(s"${nm}_summap")
+    }
+    val baseAggs = count(lit(1)).as("n") +: (measureAggs ++ argMaxAggs ++ sumMapAggs)
     val withDistinct = if (distinctCol != null)
       // the uniqState analogue: a mergeable Datasketches HLL of the
       // distinct column, unioned (never re-counted) at read/compact time
@@ -245,11 +261,13 @@ object AggStore {
       keys: Seq[String], shardId: String, distinctCol: String,
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
-      quantileCol: String = null): Unit = {
+      quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): Unit = {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
-    val partial = partialStates(shard, keys, distinctCol, measures, argMax, quantileCol)
+    val partial = partialStates(shard, keys, distinctCol, measures, argMax,
+      quantileCol, sumMap)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
       require(existing == stateSchema && meta.keyNames == keys,
@@ -344,20 +362,23 @@ object AggStore {
       keys: Seq[String], measures: Seq[(String, Column)],
       distinctCol: String = null,
       argMax: Seq[(String, Column, Column)] = Nil,
-      quantileCol: String = null): DataFrame =
+      quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax, quantileCol)
+      argMax, quantileCol, sumMap)
 
   private def mergedWithTailStates(spark: SparkSession, path: String,
       tail: DataFrame, keys: Seq[String], distinctCol: String,
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
-      quantileCol: String = null): DataFrame = {
+      quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame = {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
-    val tailStates = partialStates(tail, keys, distinctCol, measures, argMax, quantileCol)
+    val tailStates = partialStates(tail, keys, distinctCol, measures, argMax,
+      quantileCol, sumMap)
     require(tailStates.schema == meta.stateSchema.get && keys == meta.keyNames,
       s"tail states ${tailStates.schema} (keys $keys) do not match the " +
         s"store's ${meta.stateSchema.get} (keys ${meta.keyNames})")

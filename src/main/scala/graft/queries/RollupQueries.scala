@@ -195,6 +195,35 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // Rollup with the MAP state (ClickHouse sumMap / sumMapState — the
+    // map-typed AggregatingMergeTree column): each shard folds value
+    // micro-units into a per-day map keyed by event_type; the merged
+    // read key-wise-sums the shard maps — associative long addition, so
+    // the incremental answer is bit-identical to the from-raw GROUP BY
+    // whatever order shards arrive. The emission EXPLODES the merged
+    // maps to rows, which is exactly how a DuckDB oracle can check a
+    // map state without map-ordering hazards (the aggregate key-sorts,
+    // but rows are the portable comparison surface).
+    "q167_rollup_summap" -> ((s, dir) => {
+      val ev = rollupInput(s, dir)
+      val store = Fs.scratchDir("graft_rollup_summap")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_day"),
+            measures = Seq("value" -> col("value")),
+            shardId = s"batch_$i",
+            sumMap = Seq(("by_type", col("event_type"), col("value"))))
+        }
+        AggStore.merged(s, store.toString)
+          .select(col("event_day"),
+            explode(col("by_type_summap")).as(Seq("event_type", "type_sum_u")))
+          .orderBy("event_day", "event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Rollup with the QUANTILE-SKETCH state (the quantileState /
     // quantileMerge half of the AggregatingMergeTree story, next to
     // q160's uniqState): three shards each fold a Greenwald-Khanna
@@ -324,6 +353,10 @@ object RollupQueries {
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q167_rollup_summap" ->
+      ("SELECT CAST(ts AS DATE) AS event_day, event_type, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS type_sum_u " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_day, event_type"),
     "q164_rollup_quantile" ->
       ("SELECT event_type, count(*) AS n, " +
         "round(quantile_cont(value, 0.5), 6) AS p50_exact, " +

@@ -219,6 +219,58 @@ class AggStoreSpec extends SparkSpec {
     assert(est == viaSketch)
   }
 
+  test("sumMap state: merged maps ≡ from-raw key-wise sums bit-for-bit, compact- and tail-invariant") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("event_day"), col("value"))
+    val store = tmpDir("agg_summap")
+    (0L until 3L).foreach { i =>
+      AggStore.appendMeasures(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys = Seq("event_day"), measures = Seq("value" -> col("value")),
+        shardId = s"s$i",
+        sumMap = Seq(("by_type", col("event_type"), col("value"))))
+    }
+    def viaStore = AggStore.merged(spark, store)
+      .select(col("event_day"),
+        explode(col("by_type_summap")).as(Seq("event_type", "v")))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    val fromRaw = ev.groupBy("event_day", "event_type")
+      .agg(sum(AggStore.micros(col("value"))).as("v"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    val before = viaStore
+    assert(before == fromRaw)
+    assert(AggStore.compact(spark, store))
+    assert(viaStore == before)
+    // realtime tail read carries the map state too
+    val store2 = tmpDir("agg_summap_rt")
+    (0L until 2L).foreach { i =>
+      AggStore.appendMeasures(spark, store2,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys = Seq("event_day"), measures = Seq("value" -> col("value")),
+        shardId = s"s$i",
+        sumMap = Seq(("by_type", col("event_type"), col("value"))))
+    }
+    val rt = AggStore.mergedWithTailMeasures(spark, store2,
+        ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+        keys = Seq("event_day"), measures = Seq("value" -> col("value")),
+        sumMap = Seq(("by_type", col("event_type"), col("value"))))
+      .select(col("event_day"),
+        explode(col("by_type_summap")).as(Seq("event_type", "v")))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rt == fromRaw)
+    // the map setting is part of the state schema — drift fails loudly
+    val e = intercept[IllegalArgumentException] {
+      AggStore.appendMeasures(spark, store, ev,
+        keys = Seq("event_day"), measures = Seq("value" -> col("value")),
+        shardId = "later")
+    }
+    assert(e.getMessage.contains("state schema mismatch"))
+  }
+
   test("quantile-sketch state: merged estimates honour the GK rank bound; compact, tail, and drift contracts hold") {
     val ev = Tables.load(spark, sf001, "events")
       .select("event_id", "event_type", "value")
