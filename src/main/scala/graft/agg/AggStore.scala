@@ -178,10 +178,11 @@ object AggStore {
     * single-measure form — states named `sum_micros`/`min_v`/`max_v`). */
   def append(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], valueCol: String, shardId: String,
-      distinctCol: String = null, quantileCol: String = null): Unit =
+      distinctCol: String = null, quantileCol: String = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): Unit =
     appendStates(spark, path, shard, keys, shardId, distinctCol,
       Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
-      quantileCol = quantileCol)
+      quantileCol = quantileCol, sumMap = sumMap)
 
   /** Multi-measure [[append]]: each `(name, expr)` measure contributes
     * `<name>_sum_u` / `<name>_min` / `<name>_max` states (one shared `n`).

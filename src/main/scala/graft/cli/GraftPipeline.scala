@@ -162,7 +162,10 @@ import graft.text.TextAnalysis
   *    `rollup.measures: name:sql-expr,…` switches to MULTI-MEASURE
   *    states (q161's form — derived expressions like
   *    `price:n_chars*0.5` are first-class measures), overriding
-  *    `rollup.value_column`
+  *    `rollup.value_column`. Optional sketch/map states ride along in
+  *    either form: `rollup.distinct_column` (q160's uniqState HLL),
+  *    `rollup.quantile_column` (q164's quantileState GK summary),
+  *    `rollup.sum_map: name:key_col:value_col,…` (q167's sumMapState)
   *  - `compact` — post-write small-file maintenance of every configured
   *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25 /
   *    rollup):
@@ -214,7 +217,10 @@ object GraftPipeline {
       rollupStorePath: String = "",
       rollupKeys: Seq[String] = Seq("source"),
       rollupValueCol: String = "n_chars",
-      rollupMeasures: Seq[(String, String)] = Nil) {
+      rollupMeasures: Seq[(String, String)] = Nil,
+      rollupDistinctCol: String = "",
+      rollupQuantileCol: String = "",
+      rollupSumMap: Seq[(String, String, String)] = Nil) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -256,9 +262,11 @@ object GraftPipeline {
     // parsing to analysis, so Try(expr(...)) alone accepts any garbage.)
     val rollupKeysV = kv.getOrElse("rollup.keys", "source")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val rollupSumMapV = parseSumMap(kv.getOrElse("rollup.sum_map", ""))
     val rollupMeasureError: Option[String] =
       parseMeasures(kv.getOrElse("rollup.measures", "")) match {
         case Left(err) => Some(err)
+        case _ if rollupSumMapV.isLeft => rollupSumMapV.swap.toOption
         case Right(ms) =>
           val dups = ms.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
           val unparseable = ms.filter(m => !measureSqlParses(m._2))
@@ -266,7 +274,8 @@ object GraftPipeline {
             (if (ms.isEmpty) Seq("sum_micros", "min_v", "max_v")
              else ms.flatMap(m =>
                Seq(s"${m._1}_sum_u", s"${m._1}_min", s"${m._1}_max"))) ++
-              Seq("n", "n_distinct_sk")
+              rollupSumMapV.getOrElse(Nil).map(sm => s"${sm._1}_summap") ++
+              Seq("n", "n_distinct_sk", "q_sketch")
           val collide = rollupKeysV.intersect(stateNames)
           if (dups.nonEmpty)
             Some(s"rollup.measures: duplicate measure name(s): ${dups.mkString(", ")}")
@@ -468,7 +477,32 @@ object GraftPipeline {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
       rollupValueCol = kv.getOrElse("rollup.value_column", "n_chars"),
       rollupMeasures = parseMeasures(kv.getOrElse("rollup.measures", ""))
+        .getOrElse(Nil),
+      rollupDistinctCol = kv.getOrElse("rollup.distinct_column", ""),
+      rollupQuantileCol = kv.getOrElse("rollup.quantile_column", ""),
+      rollupSumMap = parseSumMap(kv.getOrElse("rollup.sum_map", ""))
         .getOrElse(Nil))
+
+  /** `by_lang:lang:n_chars,…` → Right(Seq((by_lang, lang, n_chars), …)):
+    * the `rollup.sum_map` entries — map-state name, map key column, and
+    * summed value column. Strict: a malformed entry fails the config. */
+  private[cli] def parseSumMap(s: String): Either[String, Seq[(String, String, String)]] = {
+    if (s.trim.isEmpty) return Right(Nil)
+    val entries = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = entries.map { e => (e, e.split(":").map(_.trim).toSeq) }
+    parsed.collectFirst {
+      case (e, parts) if parts.length != 3 || parts.exists(_.isEmpty) =>
+        s"rollup.sum_map: entry '$e' must be name:key_column:value_column"
+    } match {
+      case Some(err) => Left(err)
+      case None =>
+        val names = parsed.map(_._2.head)
+        val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+        if (dups.nonEmpty)
+          Left(s"rollup.sum_map: duplicate map name(s): ${dups.mkString(", ")}")
+        else Right(parsed.map(p => (p._2(0), p._2(1), p._2(2))))
+    }
+  }
 
   private def measureSqlParses(e: String): Boolean =
     scala.util.Try(
@@ -995,14 +1029,18 @@ object GraftPipeline {
       // partial states of the COMMITTED output (pure function of it, like
       // the card) — shard-id-guarded in-store, so the replay
       // short-circuit heals a crash between the write and this fold
+      val dc = if (cfg.rollupDistinctCol.nonEmpty) cfg.rollupDistinctCol else null
+      val qc = if (cfg.rollupQuantileCol.nonEmpty) cfg.rollupQuantileCol else null
+      val sm = cfg.rollupSumMap.map { case (nm, k, v) => (nm, col(k), col(v)) }
       if (cfg.rollupMeasures.nonEmpty)
         graft.agg.AggStore.appendMeasures(spark, cfg.rollupStorePath, written,
           cfg.rollupKeys,
           cfg.rollupMeasures.map { case (nm, e) => nm -> expr(e) },
-          cfg.shardId)
+          cfg.shardId, distinctCol = dc, quantileCol = qc, sumMap = sm)
       else
         graft.agg.AggStore.append(spark, cfg.rollupStorePath, written,
-          cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId)
+          cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId,
+          distinctCol = dc, quantileCol = qc, sumMap = sm)
     }
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)

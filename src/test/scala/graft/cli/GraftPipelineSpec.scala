@@ -1296,4 +1296,43 @@ class GraftPipelineSpec extends SparkSpec {
       "rollup.keys" -> "chars_min", "rollup.measures" -> "chars:n_chars"))
       .swap.exists(_.contains("collide")))
   }
+
+  test("rollup step: sketch/map states from config (distinct, quantile, sum_map)") {
+    import spark.implicits._
+    val out = tmpDir("pipe_rollup_st")
+    val store = s"$out/rollup_store"
+    Seq((1L, "a", "en", "s1", 10L), (2L, "b", "en", "s2", 20L),
+        (3L, "c", "de", "s1", 6L), (4L, "d", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "rollup", "rollup_store.path" -> store,
+      "rollup.keys" -> "lang",
+      "rollup.distinct_column" -> "source",
+      "rollup.quantile_column" -> "n_chars",
+      "rollup.sum_map" -> "by_source:source:n_chars")).toOption.get
+    assert(cfg.rollupSumMap == Seq(("by_source", "source", "n_chars")))
+    GraftPipeline.run(spark, cfg)
+    val en = graft.agg.AggStore.merged(spark, store)
+      .filter(col("lang") === "en").head
+    // uniqState: en has sources {s1, s2} — HLL exact at this cardinality
+    assert(en.getAs[Long]("n_distinct_est") == 2L)
+    // quantileState: the estimate is a group data value (rank-bounded)
+    assert(Seq(10.0, 20.0, 30.0).contains(en.getAs[Double]("q_p50")))
+    // sumMapState: key-wise micro-unit sums per source
+    assert(en.getAs[Map[String, Long]]("by_source_summap") ==
+      Map("s1" -> 40000000L, "s2" -> 20000000L))
+    // malformed sum_map entries fail the CONFIG, not the post-write fold
+    def bad(sm: String) = GraftPipeline.fromKv(Map("input.path" -> "a",
+      "output.path" -> "b", "steps" -> "rollup",
+      "rollup_store.path" -> "c", "rollup.sum_map" -> sm)).swap.toOption.get
+    assert(bad("onlyname").contains("name:key_column:value_column"))
+    assert(bad("a:k:v,a:k2:v2").contains("duplicate"))
+    // a grouping key colliding with a configured map-state name fails too
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "rollup", "rollup_store.path" -> "c",
+      "rollup.keys" -> "m_summap", "rollup.sum_map" -> "m:k:v"))
+      .swap.exists(_.contains("collide")))
+  }
 }
