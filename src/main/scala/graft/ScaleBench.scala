@@ -115,7 +115,18 @@ object ScaleBench {
     // count (the scaled corpus extends the timeline, so (type, day) keys
     // grow ~linearly while raw rows grow by the factor × density — the
     // merge read must stay a dimension-sized job, never a corpus rescan)
-    "q156_agg_rollup")
+    "q156_agg_rollup",
+    // round 9 (cont.): sumMap rollup state — the q156 shape plus a
+    // map-typed state per group; the trend certifies the map payload
+    // stays O(key domain) per group (event types are fixed, so state
+    // size must NOT grow with raw rows — only the fold pass does)
+    "q167_rollup_summap",
+    // round 9 (cont.): gap fill + interpolation — the series aggregate
+    // is the only corpus-sized pass; the grid and the binary-search
+    // picks are bounded by the TIME RANGE over the step, so the trend
+    // certifies the fill leg stays ~flat while the corpus densifies the
+    // same timeline by the factor
+    "q165_fill_interpolate")
 
   /** Operator-level stand-ins for gate queries whose CATALOG form embeds a
     * deliberately quadratic verification pass. q66's gate recomputes exact

@@ -161,9 +161,19 @@ object AggStore {
     * micro-sums add, min/max fold, sketches union — per state column via
     * [[mergeExpr]]. Shared by [[merged]] and [[compact]] so compaction is
     * reader-invisible by construction. */
-  private def mergeStates(st: DataFrame, meta: Meta): DataFrame = {
+  private def mergeStates(st: DataFrame, meta: Meta): DataFrame =
+    mergeStatesAt(st, meta, meta.keyNames)
+
+  /** [[mergeStates]] grouped by a key SUBSET — every state here is an
+    * associative, commutative merge, so states built at (a, b) re-merge
+    * losslessly to (a): counts/sums add, min/max/argmax fold, HLL and GK
+    * sketches union, maps key-wise-sum. That closure is what makes the
+    * store a CASCADE of materialized views for free (ClickHouse stacks a
+    * second MV per granularity; here a coarser read is one states-sized
+    * groupBy over the same store). */
+  private def mergeStatesAt(st: DataFrame, meta: Meta, keys: Seq[String]): DataFrame = {
     val aggs = meta.stateNames.map(mergeExpr)
-    st.groupBy(meta.keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    st.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Shard ids whose states are committed (the caller's replay guard —
@@ -312,6 +322,22 @@ object AggStore {
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
     finishMerged(mergeStates(states(spark, path, meta).get, meta), meta)
+  }
+
+  /** COARSENED read: [[merged]] at a strict subset of the store's keys —
+    * a (type, day) store answers (type) questions from the same states,
+    * the cascaded-materialized-view read (see [[mergeStatesAt]]). Still
+    * O(states), and exact for every exact state; sketch states keep
+    * their usual bounds through the extra union level. */
+  def mergedAt(spark: SparkSession, path: String, coarseKeys: Seq[String]): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.stateSchema.nonEmpty,
+      s"no aggregate store at $path — append a shard first")
+    require(coarseKeys.nonEmpty && coarseKeys.forall(meta.keyNames.contains),
+      s"coarse keys $coarseKeys must be a non-empty subset of the " +
+        s"store's keys ${meta.keyNames}")
+    finishMerged(
+      mergeStatesAt(states(spark, path, meta).get, meta, coarseKeys), meta)
   }
 
   /** Derived read-time columns over merged states: per-measure avg

@@ -195,6 +195,53 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // COARSENED rollup read (the cascaded-materialized-view shape: where
+    // ClickHouse stacks a second MV per granularity, the state algebra
+    // answers the coarser question from the SAME store): a (type, day)
+    // store with uniq + quantile states, read at (type). Exact states
+    // re-merge losslessly — the oracle checks them bit-for-bit against a
+    // from-raw GROUP BY type — and the sketch states keep their usual
+    // contracts through the extra union level (HLL 5%, GK rank window),
+    // emitted as est_ok booleans beside the oracle-computable exacts.
+    "q168_rollup_coarsen" -> ((s, dir) => {
+      val evd = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          to_date(col("ts")).as("event_day"), col("value"))
+      val store = Fs.scratchDir("graft_rollup_coarsen")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.append(s, store.toString,
+            evd.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type", "event_day"), valueCol = "value",
+            shardId = s"batch_$i", distinctCol = "user_id",
+            quantileCol = "value")
+        }
+        val m = AggStore.mergedAt(s, store.toString, Seq("event_type"))
+          .select("event_type", "n", "sum_micros", "min_v", "max_v",
+            "n_distinct_est", "q_p50")
+        val eps = graft.functions.expressions.QuantileSketchAggregate.DefaultEps
+        val n = count(lit(1))
+        val qOk = {
+          val le = sum(when(col("value") <= col("q_p50"), 1L).otherwise(0L))
+          val lt = sum(when(col("value") < col("q_p50"), 1L).otherwise(0L))
+          val slack = lit(eps) * n + lit(2.0)
+          val target = ceil(lit(0.5) * n)
+          (lt + lit(1) <= target + slack) && (le >= target - slack)
+        }
+        evd.join(m, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(n.as("n"),
+            max(col("sum_micros")).as("sum_micros"),
+            max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+            countDistinct(col("user_id")).as("n_users"),
+            (abs(max(col("n_distinct_est")) - countDistinct(col("user_id"))) <=
+              countDistinct(col("user_id")) * 0.05).as("dist_ok"),
+            qOk.as("q50_ok"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Rollup with the MAP state (ClickHouse sumMap / sumMapState — the
     // map-typed AggregatingMergeTree column): each shard folds value
     // micro-units into a per-day map keyed by event_type; the merged
@@ -352,6 +399,13 @@ object RollupQueries {
     "q160_rollup_distinct" ->
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q168_rollup_coarsen" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "TRUE AS dist_ok, TRUE AS q50_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q167_rollup_summap" ->
       ("SELECT CAST(ts AS DATE) AS event_day, event_type, " +

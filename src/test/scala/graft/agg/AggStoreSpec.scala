@@ -271,6 +271,61 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("state schema mismatch"))
   }
 
+  test("coarsened read: (type, day) states answer (type) exactly, incl. map and argMax states") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        to_date(col("ts")).as("event_day"), col("ts"), col("value"))
+    val store = tmpDir("agg_coarsen")
+    val ord = struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"))
+    (0L until 3L).foreach { i =>
+      AggStore.appendMeasures(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys = Seq("event_type", "event_day"),
+        measures = Seq("value" -> col("value")),
+        shardId = s"s$i",
+        argMax = Seq(("latest", ord, col("value"))),
+        sumMap = Seq(("by_user", col("user_id").cast("string"), col("value"))))
+    }
+    val coarse = AggStore.mergedAt(spark, store, Seq("event_type"))
+    // exact states re-merge losslessly to the coarser key
+    val scalars = coarse
+      .select("event_type", "n", "value_sum_u", "value_min", "value_max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val fromRaw = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(AggStore.micros(col("value").cast("double"))).as("su"),
+      min(col("value").cast("double")).as("mn"),
+      max(col("value").cast("double")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(scalars == fromRaw)
+    // the map state coarsens by key-wise sum: per-type per-user totals
+    val mapRows = coarse
+      .select(col("event_type"), explode(col("by_user_summap")).as(Seq("u", "v")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val mapRaw = ev.groupBy(col("event_type"), col("user_id").cast("string").as("u"))
+      .agg(sum(AggStore.micros(col("value").cast("double"))).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(mapRows == mapRaw)
+    // the argMax state coarsens to latest-per-type (q163's semantics)
+    val latest = coarse
+      .select(col("event_type"), col("latest_argmax").getField("arg"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latestRaw = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(latest == latestRaw)
+    // keys outside the store's key set are rejected
+    val e = intercept[IllegalArgumentException] {
+      AggStore.mergedAt(spark, store, Seq("user_id"))
+    }
+    assert(e.getMessage.contains("subset"))
+  }
+
   test("quantile-sketch state: merged estimates honour the GK rank bound; compact, tail, and drift contracts hold") {
     val ev = Tables.load(spark, sf001, "events")
       .select("event_id", "event_type", "value")

@@ -480,4 +480,59 @@ class StreamingReconcileSpec extends SparkSpec {
     // rerun-stable: a second full stream run lands on the same answer
     assert(sig(StreamingReconcile.rollupStream(spark, sf001)) == sig(batch))
   }
+
+  test("streamed sketch/map rollup states match a batch-built store") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = graft.core.Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    val scratch = tmpDir("stream_rollup_states")
+    val sm = Seq(("by_user",
+      col("user_id").cast("string"), col("value")))
+    // batch store: one shard holding everything
+    val batchStore = s"$scratch/batch"
+    graft.agg.AggStore.append(spark, batchStore, ev, Seq("event_type"),
+      "value", "all", distinctCol = "user_id", quantileCol = "value",
+      sumMap = sm)
+    // streamed store: two micro-batches folding per-batch states
+    val inDir = s"$scratch/in"
+    ev.repartition(2).write.mode("overwrite").parquet(inDir)
+    val streamStore = s"$scratch/stream"
+    val q = spark.readStream.schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.option("checkpointLocation", s"$scratch/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.agg.AggStore.append(b.sparkSession, streamStore, b,
+          Seq("event_type"), "value", s"batch_$id",
+          distinctCol = "user_id", quantileCol = "value", sumMap = sm)
+      }
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def read(p: String) = graft.agg.AggStore.merged(spark, p)
+    val b = read(batchStore).collect().map(r => r.getString(0) -> r).toMap
+    val s = read(streamStore).collect().map(r => r.getString(0) -> r).toMap
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    val raw = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    b.keySet.foreach { k =>
+      // exact states and the key-wise map are partitioning-independent
+      assert(b(k).getAs[Long]("n") == s(k).getAs[Long]("n"))
+      assert(b(k).getAs[Long]("sum_micros") == s(k).getAs[Long]("sum_micros"))
+      assert(b(k).getAs[Map[String, Long]]("by_user_summap") ==
+        s(k).getAs[Map[String, Long]]("by_user_summap"))
+      // HLL registers fold by max — the union is order-insensitive, so
+      // the streamed estimate is bit-equal to the batch one
+      assert(b(k).getAs[Long]("n_distinct_est") == s(k).getAs[Long]("n_distinct_est"))
+      // GK summaries ARE order-sensitive; both paths honour the rank
+      // bound, which is the contract (q164's gate)
+      val xs = raw(k)
+      Seq(b(k), s(k)).foreach { row =>
+        val est = row.getAs[Double]("q_p50")
+        val target = math.ceil(0.5 * xs.length)
+        val slack = 1e-4 * xs.length + 2
+        assert(xs.count(_ < est) + 1 <= target + slack &&
+          xs.count(_ <= est) >= target - slack)
+      }
+    }
+  }
 }
