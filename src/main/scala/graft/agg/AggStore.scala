@@ -79,6 +79,16 @@ object AggStore {
   private val QProbes = Seq(0.5, 0.9, 0.99)
   private val QProbeNames = Seq("q_p50", "q_p90", "q_p99")
 
+  /** Optional capped exact-distinct state (ClickHouse `uniqUpTo(N)` —
+    * [[graft.functions.expressions.UniqUpToAggregate]]): exact distinct
+    * count while ≤ N, the sentinel N+1 beyond, state size O(N) per
+    * group. The cap is part of the state's identity (states of
+    * different caps do not merge), so it rides in the COLUMN NAME —
+    * `uniq_upto_<N>_sk` — keeping meta self-describing and the
+    * name-driven [[mergeExpr]] parameter-free. */
+  private val UniqUpToPattern = "uniq_upto_([0-9]+)_sk".r
+  private def uniqUpToName(n: Int) = s"uniq_upto_${n}_sk"
+
   /** The associative merge for one state column, by naming convention.
     * `_argmax` states are struct<ord, arg> maxima (the ClickHouse
     * argMaxState: "value at the greatest ordinal"); struct comparison is
@@ -98,6 +108,9 @@ object AggStore {
     // so the SAME aggregate folds raw entries and merges shard states
     case nm if nm.endsWith("_summap") =>
       graft.functions.expressions.MapSumAggregate.sumMap(col(nm)).as(nm)
+    case nm @ UniqUpToPattern(n) =>
+      graft.functions.expressions.UniqUpToAggregate
+        .mergeStates(col(nm), n.toInt).as(nm)
     case nm => throw new IllegalStateException(
       s"state column $nm has no merge rule — store meta is corrupt")
   }
@@ -189,10 +202,11 @@ object AggStore {
   def append(spark: SparkSession, path: String, shard: DataFrame,
       keys: Seq[String], valueCol: String, shardId: String,
       distinctCol: String = null, quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): Unit =
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): Unit =
     appendStates(spark, path, shard, keys, shardId, distinctCol,
       Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
-      quantileCol = quantileCol, sumMap = sumMap)
+      quantileCol = quantileCol, sumMap = sumMap, uniqUpTo = uniqUpTo)
 
   /** Multi-measure [[append]]: each `(name, expr)` measure contributes
     * `<name>_sum_u` / `<name>_min` / `<name>_max` states (one shared `n`).
@@ -205,11 +219,12 @@ object AggStore {
       distinctCol: String = null,
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): Unit = {
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): Unit = {
     require(measures.nonEmpty, "rollup needs at least one measure")
     appendStates(spark, path, shard, keys, shardId, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax, quantileCol, sumMap)
+      argMax, quantileCol, sumMap, uniqUpTo)
   }
 
   /** One shard's (or live tail's) partial states — the fold both
@@ -219,11 +234,13 @@ object AggStore {
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame = {
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): DataFrame = {
     require(keys.nonEmpty, "rollup needs at least one grouping column")
     val reserved = measures.flatMap { case (a, b, c, _) => Seq(a, b, c) } ++
       argMax.map { case (nm, _, _) => s"${nm}_argmax" } ++
       sumMap.map { case (nm, _, _) => s"${nm}_summap" } ++
+      Option(uniqUpTo).map(u => uniqUpToName(u._2)).toSeq ++
       Seq("n", SketchField.name, QSketchField.name)
     require(keys.intersect(reserved).isEmpty,
       s"grouping columns collide with state names: ${keys.intersect(reserved)}")
@@ -259,12 +276,18 @@ object AggStore {
       // distinct column, unioned (never re-counted) at read/compact time
       baseAggs :+ hll_sketch_agg(col(distinctCol)).as(SketchField.name)
     else baseAggs
-    val aggs = if (quantileCol != null)
+    val withQuantile = if (quantileCol != null)
       // the quantileState analogue: a mergeable GK summary of the
       // quantile column, merged (never re-folded) at read/compact time
       withDistinct :+ graft.functions.expressions.QuantileSketchAggregate
         .sketch(col(quantileCol).cast(DoubleType)).as(QSketchField.name)
     else withDistinct
+    val aggs = if (uniqUpTo != null)
+      // the uniqUpToState analogue: exact capped distinct set, unioned
+      // (cap preserved) at read/compact time
+      withQuantile :+ graft.functions.expressions.UniqUpToAggregate
+        .state(col(uniqUpTo._1), uniqUpTo._2).as(uniqUpToName(uniqUpTo._2))
+    else withQuantile
     shard.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -273,12 +296,13 @@ object AggStore {
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): Unit = {
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): Unit = {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
     val partial = partialStates(shard, keys, distinctCol, measures, argMax,
-      quantileCol, sumMap)
+      quantileCol, sumMap, uniqUpTo)
     val stateSchema = partial.schema
     meta.stateSchema.foreach { existing =>
       require(existing == stateSchema && meta.keyNames == keys,
@@ -357,7 +381,7 @@ object AggStore {
           hll_sketch_estimate(col(SketchField.name)))
         .drop(SketchField.name)
     else out
-    if (meta.hasQuantile) {
+    val withQuantile = if (meta.hasQuantile) {
       // finish the merged GK sketch to the standard dashboard probes;
       // other probabilities read via states() + QuantileSketchAggregate
       val est = graft.functions.expressions.QuantileSketchAggregate
@@ -366,6 +390,14 @@ object AggStore {
         case (df, (nm, i)) => df.withColumn(nm, element_at(est, i + 1))
       }.drop(QSketchField.name)
     } else withDistinct
+    // finish a capped exact-distinct state to its count (exact ≤ N,
+    // sentinel N+1 beyond — the uniqUpTo answer)
+    meta.stateNames.collectFirst { case nm @ UniqUpToPattern(_) => nm } match {
+      case Some(nm) => withQuantile.withColumn("n_distinct_upto",
+          graft.functions.expressions.UniqUpToAggregate.count(col(nm)))
+        .drop(nm)
+      case None => withQuantile
+    }
   }
 
   /** REALTIME (lambda) read: the persisted states merged together with
@@ -379,10 +411,11 @@ object AggStore {
     * from-raw over history ∪ tail, which is what the q162 oracle checks. */
   def mergedWithTail(spark: SparkSession, path: String, tail: DataFrame,
       keys: Seq[String], valueCol: String, distinctCol: String = null,
-      quantileCol: String = null): DataFrame =
+      quantileCol: String = null,
+      uniqUpTo: (String, Int) = null): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
       Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
-      quantileCol = quantileCol)
+      quantileCol = quantileCol, uniqUpTo = uniqUpTo)
 
   /** Multi-measure [[mergedWithTail]] (the [[appendMeasures]] naming). */
   def mergedWithTailMeasures(spark: SparkSession, path: String, tail: DataFrame,
@@ -390,22 +423,24 @@ object AggStore {
       distinctCol: String = null,
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame =
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
       measures.map { case (nm, c) => (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) },
-      argMax, quantileCol, sumMap)
+      argMax, quantileCol, sumMap, uniqUpTo)
 
   private def mergedWithTailStates(spark: SparkSession, path: String,
       tail: DataFrame, keys: Seq[String], distinctCol: String,
       measures: Seq[(String, String, String, Column)],
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
-      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame = {
+      sumMap: Seq[(String, Column, Column)] = Nil,
+      uniqUpTo: (String, Int) = null): DataFrame = {
     val meta = readMeta(spark, path)
     require(meta.stateSchema.nonEmpty,
       s"no aggregate store at $path — append a shard first")
     val tailStates = partialStates(tail, keys, distinctCol, measures, argMax,
-      quantileCol, sumMap)
+      quantileCol, sumMap, uniqUpTo)
     require(tailStates.schema == meta.stateSchema.get && keys == meta.keyNames,
       s"tail states ${tailStates.schema} (keys $keys) do not match the " +
         s"store's ${meta.stateSchema.get} (keys ${meta.keyNames})")

@@ -195,6 +195,41 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // Capped exact-distinct state (ClickHouse uniqUpTo(N) — the EXACT
+    // complement to q160's HLL state: dashboards asking "distinct
+    // buyers, exact while small, '>N' beyond" get a hard answer the
+    // 2%-error sketch cannot give, at an O(N)-per-group price the
+    // unbounded exact set cannot give). Two stores over the same three
+    // shards gate both branches EXACTLY — N=1000 exercises the exact
+    // branch (count ≤ N ⇒ bit-equal to countDistinct), N=3 the
+    // saturation branch (sentinel N+1 ⇒ LEAST(countDistinct, 4)); both
+    // are plain DuckDB arithmetic, so unlike the sketch gates there is
+    // no tolerance anywhere.
+    "q169_rollup_uniq_upto" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "user_id", "value")
+      val big = Fs.scratchDir("graft_uniq_upto_big")
+      val small = Fs.scratchDir("graft_uniq_upto_small")
+      try {
+        (0L to 2L).foreach { i =>
+          val shard = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+          AggStore.append(s, big.toString, shard, Seq("event_type"),
+            "value", s"b_$i", uniqUpTo = ("user_id", 1000))
+          AggStore.append(s, small.toString, shard, Seq("event_type"),
+            "value", s"s_$i", uniqUpTo = ("user_id", 3))
+        }
+        val exact = AggStore.merged(s, big.toString)
+          .select(col("event_type"), col("n"),
+            col("n_distinct_upto").as("n_users_upto_1000"))
+        val capped = AggStore.merged(s, small.toString)
+          .select(col("event_type"),
+            col("n_distinct_upto").as("n_users_upto_3"))
+        exact.join(capped, Seq("event_type"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally { Fs.deleteRecursively(big); Fs.deleteRecursively(small) }
+    }),
+
     // COARSENED rollup read (the cascaded-materialized-view shape: where
     // ClickHouse stacks a second MV per granularity, the state algebra
     // answers the coarser question from the SAME store): a (type, day)
@@ -399,6 +434,11 @@ object RollupQueries {
     "q160_rollup_distinct" ->
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q169_rollup_uniq_upto" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "LEAST(count(DISTINCT user_id), 1001) AS n_users_upto_1000, " +
+        "LEAST(count(DISTINCT user_id), 4) AS n_users_upto_3 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "q168_rollup_coarsen" ->
       ("SELECT event_type, count(*) AS n, " +

@@ -271,6 +271,64 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("state schema mismatch"))
   }
 
+  test("uniqUpTo state: exact below the cap, sentinel N+1 beyond; compact/tail/coarsen/drift contracts") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("event_day"), col("user_id"), col("value"))
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactByType.values.exists(_ > 4), "fixture must exceed the small cap")
+    val store = tmpDir("agg_upto")
+    (0L until 3L).foreach { i =>
+      AggStore.append(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        Seq("event_type", "event_day"), "value", s"s$i",
+        uniqUpTo = ("user_id", 3))
+    }
+    // coarsened: per-type distinct users all exceed 3 → sentinel 4
+    def coarse = AggStore.mergedAt(spark, store, Seq("event_type"))
+      .select("event_type", "n_distinct_upto")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(coarse == exactByType.map { case (k, d) => k -> math.min(d, 4L) })
+    // at (type, day) grain most groups sit BELOW the cap — those counts
+    // must be bit-equal to exact countDistinct, sentinel only above
+    val fine = AggStore.merged(spark, store)
+      .select("event_type", "event_day", "n_distinct_upto")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val fineExact = ev.groupBy("event_type", "event_day")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(fine == fineExact.map { case (k, d) => k -> math.min(d, 4L) })
+    assert(fineExact.values.exists(_ <= 3), "need below-cap groups for the exact branch")
+    // compact unions the capped sets — reader-invisible
+    val before = fine
+    assert(AggStore.compact(spark, store))
+    assert(AggStore.merged(spark, store)
+      .select("event_type", "event_day", "n_distinct_upto")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap == before)
+    // realtime tail read carries the state
+    val store2 = tmpDir("agg_upto_rt")
+    (0L until 2L).foreach { i =>
+      AggStore.append(spark, store2,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        Seq("event_type", "event_day"), "value", s"s$i",
+        uniqUpTo = ("user_id", 3))
+    }
+    val rt = AggStore.mergedWithTail(spark, store2,
+        ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+        Seq("event_type", "event_day"), "value", uniqUpTo = ("user_id", 3))
+      .select("event_type", "event_day", "n_distinct_upto")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(rt == before)
+    // a different cap is a different state schema — drift fails loudly
+    val e = intercept[IllegalArgumentException] {
+      AggStore.append(spark, store, ev, Seq("event_type", "event_day"),
+        "value", "later", uniqUpTo = ("user_id", 5))
+    }
+    assert(e.getMessage.contains("state schema mismatch"))
+  }
+
   test("coarsened read: (type, day) states answer (type) exactly, incl. map and argMax states") {
     val ev = Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("event_type"), col("user_id"),
