@@ -165,7 +165,8 @@ import graft.text.TextAnalysis
   *    `rollup.value_column`. Optional sketch/map states ride along in
   *    either form: `rollup.distinct_column` (q160's uniqState HLL),
   *    `rollup.quantile_column` (q164's quantileState GK summary),
-  *    `rollup.sum_map: name:key_col:value_col,…` (q167's sumMapState)
+  *    `rollup.sum_map: name:key_col:value_col,…` (q167's sumMapState),
+  *    `rollup.uniq_upto: col:N` (q169's capped exact-distinct state)
   *  - `compact` — post-write small-file maintenance of every configured
   *    persisted store (seen / neardup / fingerprint / IVF / PQ / BM25 /
   *    rollup):
@@ -220,7 +221,8 @@ object GraftPipeline {
       rollupMeasures: Seq[(String, String)] = Nil,
       rollupDistinctCol: String = "",
       rollupQuantileCol: String = "",
-      rollupSumMap: Seq[(String, String, String)] = Nil) {
+      rollupSumMap: Seq[(String, String, String)] = Nil,
+      rollupUniqUpTo: (String, Int) = null) {
     /** Where the `data_card` step writes; sibling of the shard root by
       * default so `spark.read.parquet(output)` never picks the card up. */
     def cardPath: String =
@@ -263,10 +265,12 @@ object GraftPipeline {
     val rollupKeysV = kv.getOrElse("rollup.keys", "source")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val rollupSumMapV = parseSumMap(kv.getOrElse("rollup.sum_map", ""))
+    val rollupUniqUpToV = parseUniqUpTo(kv.getOrElse("rollup.uniq_upto", ""))
     val rollupMeasureError: Option[String] =
       parseMeasures(kv.getOrElse("rollup.measures", "")) match {
         case Left(err) => Some(err)
         case _ if rollupSumMapV.isLeft => rollupSumMapV.swap.toOption
+        case _ if rollupUniqUpToV.isLeft => rollupUniqUpToV.swap.toOption
         case Right(ms) =>
           val dups = ms.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
           val unparseable = ms.filter(m => !measureSqlParses(m._2))
@@ -275,6 +279,7 @@ object GraftPipeline {
              else ms.flatMap(m =>
                Seq(s"${m._1}_sum_u", s"${m._1}_min", s"${m._1}_max"))) ++
               rollupSumMapV.getOrElse(Nil).map(sm => s"${sm._1}_summap") ++
+              rollupUniqUpToV.toOption.flatten.map(u => s"uniq_upto_${u._2}_sk").toSeq ++
               Seq("n", "n_distinct_sk", "q_sketch")
           val collide = rollupKeysV.intersect(stateNames)
           if (dups.nonEmpty)
@@ -481,7 +486,20 @@ object GraftPipeline {
       rollupDistinctCol = kv.getOrElse("rollup.distinct_column", ""),
       rollupQuantileCol = kv.getOrElse("rollup.quantile_column", ""),
       rollupSumMap = parseSumMap(kv.getOrElse("rollup.sum_map", ""))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      rollupUniqUpTo = parseUniqUpTo(kv.getOrElse("rollup.uniq_upto", ""))
+        .toOption.flatten.orNull)
+
+  /** `user_id:1000` → Right(Some((user_id, 1000))): the
+    * `rollup.uniq_upto` entry — distinct column and cap. Strict. */
+  private[cli] def parseUniqUpTo(s: String): Either[String, Option[(String, Int)]] = {
+    if (s.trim.isEmpty) return Right(None)
+    s.split(":").map(_.trim).toSeq match {
+      case Seq(c, n) if c.nonEmpty && n.toIntOption.exists(_ >= 1) =>
+        Right(Some((c, n.toInt)))
+      case _ => Left(s"rollup.uniq_upto: entry '$s' must be column:N (N >= 1)")
+    }
+  }
 
   /** `by_lang:lang:n_chars,…` → Right(Seq((by_lang, lang, n_chars), …)):
     * the `rollup.sum_map` entries — map-state name, map key column, and
@@ -1036,11 +1054,13 @@ object GraftPipeline {
         graft.agg.AggStore.appendMeasures(spark, cfg.rollupStorePath, written,
           cfg.rollupKeys,
           cfg.rollupMeasures.map { case (nm, e) => nm -> expr(e) },
-          cfg.shardId, distinctCol = dc, quantileCol = qc, sumMap = sm)
+          cfg.shardId, distinctCol = dc, quantileCol = qc, sumMap = sm,
+          uniqUpTo = cfg.rollupUniqUpTo)
       else
         graft.agg.AggStore.append(spark, cfg.rollupStorePath, written,
           cfg.rollupKeys, cfg.rollupValueCol, cfg.shardId,
-          distinctCol = dc, quantileCol = qc, sumMap = sm)
+          distinctCol = dc, quantileCol = qc, sumMap = sm,
+          uniqUpTo = cfg.rollupUniqUpTo)
     }
     if (cfg.steps.contains("dedup_seen"))
       graft.dedup.SeenStore.update(spark, cfg.seenStorePath, written, "text", cfg.shardId)

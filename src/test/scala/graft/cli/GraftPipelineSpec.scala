@@ -1335,4 +1335,38 @@ class GraftPipelineSpec extends SparkSpec {
       "rollup.keys" -> "m_summap", "rollup.sum_map" -> "m:k:v"))
       .swap.exists(_.contains("collide")))
   }
+
+  test("rollup step: uniq_upto state from config — exact below the cap, sentinel above") {
+    import spark.implicits._
+    val out = tmpDir("pipe_rollup_upto")
+    val store = s"$out/rollup_store"
+    // en: 4 distinct sources (> cap 3 → sentinel 4); de: 2 (exact)
+    Seq((1L, "a", "en", "s1", 10L), (2L, "b", "en", "s2", 20L),
+        (3L, "c", "en", "s3", 5L), (4L, "d", "en", "s4", 7L),
+        (5L, "e", "de", "s1", 6L), (6L, "f", "de", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    val cfg = GraftPipeline.fromKv(Map(
+      "input.path" -> s"$out/in", "output.path" -> s"$out/shards",
+      "steps" -> "rollup", "rollup_store.path" -> store,
+      "rollup.keys" -> "lang",
+      "rollup.uniq_upto" -> "source:3")).toOption.get
+    assert(cfg.rollupUniqUpTo == ("source", 3))
+    GraftPipeline.run(spark, cfg)
+    val got = graft.agg.AggStore.merged(spark, store)
+      .select("lang", "n_distinct_upto")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 4L, "de" -> 2L))
+    // malformed entries fail the CONFIG
+    def bad(v: String) = GraftPipeline.fromKv(Map("input.path" -> "a",
+      "output.path" -> "b", "steps" -> "rollup",
+      "rollup_store.path" -> "c", "rollup.uniq_upto" -> v)).swap.toOption.get
+    assert(bad("source").contains("column:N"))
+    assert(bad("source:0").contains("column:N"))
+    // a key colliding with the configured state name fails too
+    assert(GraftPipeline.fromKv(Map("input.path" -> "a", "output.path" -> "b",
+      "steps" -> "rollup", "rollup_store.path" -> "c",
+      "rollup.keys" -> "uniq_upto_3_sk", "rollup.uniq_upto" -> "source:3"))
+      .swap.exists(_.contains("collide")))
+  }
 }
