@@ -467,4 +467,56 @@ object AggStore {
     }
     true
   }
+
+  /** State-granularity retirement — the ClickHouse `TTL expr GROUP BY
+    * keys SET …` merge behaviour: states matching `expired` have key
+    * columns REWRITTEN onto coarser values of the same column (e.g.
+    * `event_day → trunc(event_day, "month")`) and re-merge under the
+    * rewritten keys; live states pass through untouched. A [[compact]]
+    * variant: one associative merge over live ∪ rewritten, atomically
+    * swapped into the compacted subtree, so it is crash-safe the same
+    * way and READER-INVISIBLE in shape — the key SCHEMA is unchanged
+    * (the rewrite must keep each key's data type; use `trunc`, not
+    * `date_trunc`, on dates), [[merged]] simply serves mixed
+    * granularity, exactly like a CH part whose expired rows were
+    * re-aggregated during a TTL merge. Every state type coarsens
+    * losslessly by the [[mergeStatesAt]] closure; sketches keep their
+    * usual bounds through the extra union. Old-enough history thereby
+    * ages from O(days × keys) state rows to O(months × keys) without a
+    * raw-data rescan, which is how the store's footprint stays bounded
+    * over years of ingest. Idempotent: retired states no longer match a
+    * sane time-based `expired` predicate (their key IS the coarse
+    * value), and re-rewriting a coarse value is a fixpoint anyway.
+    *
+    * @param expired    predicate over the store's KEY columns
+    * @param keyRewrite coarsening expression per key column (a key not
+    *                   in the map passes through)
+    */
+  def retire(spark: SparkSession, path: String, expired: Column,
+      keyRewrite: Map[String, Column], nFiles: Int = 1): Boolean = {
+    val meta = readMeta(spark, path)
+    if (meta.shardIds.isEmpty) return false
+    require(keyRewrite.nonEmpty && keyRewrite.keys.forall(meta.keyNames.contains),
+      s"keyRewrite columns ${keyRewrite.keys} must be store keys ${meta.keyNames}")
+    val st = states(spark, path, meta).get
+    val rewritten = meta.keyNames.foldLeft(st.filter(expired)) {
+      case (df, k) => keyRewrite.get(k)
+        .map(c => df.withColumn(k, c)).getOrElse(df)
+    }
+    val merged = mergeStates(st.filter(!expired).unionByName(rewritten), meta)
+    // names + types only: aggregate output nullability legitimately
+    // differs from the recorded schema (parquet reads coerce it back)
+    require(merged.schema.map(f => (f.name, f.dataType)) ==
+        meta.stateSchema.get.map(f => (f.name, f.dataType)),
+      s"keyRewrite changed the state schema to ${merged.schema} — rewrites " +
+        s"must preserve each key's data type (store has ${meta.stateSchema.get})")
+    val ss = meta.stateSchema.get
+    if (!meta.shardIds.contains(CompactedShard))
+      writeMeta(spark, path, meta.shardIds + CompactedShard, ss, meta.keyNames)
+    graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
+      merged.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
+    true
+  }
 }

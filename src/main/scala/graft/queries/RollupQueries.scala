@@ -195,6 +195,38 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // TTL GROUP BY analogue (ClickHouse `TTL date GROUP BY keys SET …`,
+    // the merge behaviour that re-AGGREGATES expired rows instead of
+    // deleting them): a (type, day) store retires days before the
+    // cutoff onto their month start — expired daily states re-merge
+    // under the coarser key, recent days stay daily, and the read
+    // serves the mixed granularity with no API change. The oracle
+    // recomputes the same CASE-rewritten GROUP BY from raw, so the
+    // retire must be a lossless re-merge bit-for-bit (the exact-state
+    // algebra; sketch variants are spec'd). This is how the store's
+    // footprint stays bounded over years of ingest: old history ages
+    // from day-grain to month-grain state rows without a raw rescan.
+    "q170_rollup_ttl" -> ((s, dir) => {
+      val ev = rollupInput(s, dir)
+      val store = Fs.scratchDir("graft_rollup_ttl")
+      val cutoff = lit("2024-01-15").cast("date")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.append(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i),
+            keys = Seq("event_type", "event_day"), valueCol = "value",
+            shardId = s"batch_$i")
+        }
+        AggStore.retire(s, store.toString,
+          expired = col("event_day") < cutoff,
+          keyRewrite = Map("event_day" -> trunc(col("event_day"), "month")))
+        AggStore.merged(s, store.toString)
+          .select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+          .orderBy("event_type", "event_day")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Capped exact-distinct state (ClickHouse uniqUpTo(N) — the EXACT
     // complement to q160's HLL state: dashboards asking "distinct
     // buyers, exact while small, '>N' beyond" get a hard answer the
@@ -435,6 +467,15 @@ object RollupQueries {
       ("SELECT event_type, count(*) AS n, " +
         "count(DISTINCT user_id) AS n_users, TRUE AS est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q170_rollup_ttl" ->
+      ("WITH r AS (SELECT event_type, " +
+        "CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' " +
+        "THEN date_trunc('month', CAST(ts AS DATE)) " +
+        "ELSE CAST(ts AS DATE) END AS event_day, value FROM events) " +
+        "SELECT event_type, event_day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v " +
+        "FROM r GROUP BY 1, 2 ORDER BY event_type, event_day"),
     "q169_rollup_uniq_upto" ->
       ("SELECT event_type, count(*) AS n, " +
         "LEAST(count(DISTINCT user_id), 1001) AS n_users_upto_1000, " +

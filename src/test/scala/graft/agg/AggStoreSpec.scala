@@ -271,6 +271,66 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("state schema mismatch"))
   }
 
+  test("retire (TTL GROUP BY): expired states re-merge under rewritten keys; sketches ride through; appends continue") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        to_date(col("ts")).as("event_day"), col("value"))
+    val cutoff = lit("2024-01-15").cast("date")
+    val store = tmpDir("agg_retire")
+    (0L until 2L).foreach { i =>
+      AggStore.append(spark, store,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        keys, "value", s"s$i", distinctCol = "user_id")
+    }
+    assert(AggStore.retire(spark, store,
+      expired = col("event_day") < cutoff,
+      keyRewrite = Map("event_day" -> trunc(col("event_day"), "month"))))
+    // an append AFTER retirement folds in like any other shard — the
+    // retired subtree is just the compacted shard
+    AggStore.append(spark, store,
+      ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+      keys, "value", "s2", distinctCol = "user_id")
+    val evRewr = ev.withColumn("event_day",
+      when(col("event_day") < cutoff, trunc(col("event_day"), "month"))
+        .otherwise(col("event_day")))
+    def sigOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "event_day", "n", "sum_micros", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    // NOTE: the s2 shard appended post-retire keeps day grain for its
+    // expired days; retire again to fold it, then compare from-raw
+    assert(AggStore.retire(spark, store,
+      expired = col("event_day") < cutoff,
+      keyRewrite = Map("event_day" -> trunc(col("event_day"), "month"))))
+    val expected = sigOf(evRewr.groupBy("event_type", "event_day").agg(
+      count(lit(1)).as("n"),
+      sum(AggStore.micros(col("value"))).as("sum_micros"),
+      min(col("value")).as("min_v"), max(col("value")).as("max_v")))
+    assert(sigOf(AggStore.merged(spark, store)) == expected)
+    // the HLL state coarsened with the keys: per rewritten group the
+    // estimate matches exact distinct (sparse-exact at this cardinality)
+    val est = AggStore.merged(spark, store)
+      .select("event_type", "event_day", "n_distinct_est")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val exact = evRewr.groupBy("event_type", "event_day")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(est == exact)
+    // retire is a fixpoint: running it again changes nothing
+    assert(AggStore.retire(spark, store,
+      expired = col("event_day") < cutoff,
+      keyRewrite = Map("event_day" -> trunc(col("event_day"), "month"))))
+    assert(sigOf(AggStore.merged(spark, store)) == expected)
+    // a type-changing rewrite is rejected before anything is written
+    val e = intercept[IllegalArgumentException] {
+      AggStore.retire(spark, store, expired = col("event_day") < cutoff,
+        keyRewrite = Map("event_day" -> date_trunc("month", col("event_day"))))
+    }
+    assert(e.getMessage.contains("data type"))
+    // replay history survives retirement
+    assert(AggStore.processedShards(spark, store) == Set("s0", "s1", "s2"))
+  }
+
   test("uniqUpTo state: exact below the cap, sentinel N+1 beyond; compact/tail/coarsen/drift contracts") {
     val ev = Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("event_type"),
