@@ -492,6 +492,25 @@ object AggStore {
     * @param keyRewrite coarsening expression per key column (a key not
     *                   in the map passes through)
     */
+  /** Plain TTL delete (ClickHouse `TTL expr` without GROUP BY): DROP
+    * states matching `expired` outright — [[retire]]'s simpler sibling
+    * for history that should vanish rather than coarsen. Same compact
+    * mechanics (atomic swap, replay history kept). */
+  def expire(spark: SparkSession, path: String, expired: Column,
+      nFiles: Int = 1): Boolean = {
+    val meta = readMeta(spark, path)
+    if (meta.shardIds.isEmpty) return false
+    val live = mergeStates(states(spark, path, meta).get.filter(!expired), meta)
+    if (!meta.shardIds.contains(CompactedShard))
+      writeMeta(spark, path, meta.shardIds + CompactedShard,
+        meta.stateSchema.get, meta.keyNames)
+    graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
+      live.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
+    true
+  }
+
   def retire(spark: SparkSession, path: String, expired: Column,
       keyRewrite: Map[String, Column], nFiles: Int = 1): Boolean = {
     val meta = readMeta(spark, path)

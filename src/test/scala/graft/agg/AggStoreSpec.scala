@@ -331,6 +331,20 @@ class AggStoreSpec extends SparkSpec {
     assert(AggStore.processedShards(spark, store) == Set("s0", "s1", "s2"))
   }
 
+  test("expire (plain TTL): expired states drop; live states and replay history untouched") {
+    val cutoff = lit("2024-01-15").cast("date")
+    val store = tmpDir("agg_expire")
+    appendSplit(store, 3)
+    val liveExpected = asSet(fromRaw.filter(col("event_day") >= cutoff))
+    assert(AggStore.expire(spark, store, expired = col("event_day") < cutoff))
+    assert(asSet(AggStore.merged(spark, store)) == liveExpected)
+    // idempotent; replay guard survives
+    assert(AggStore.expire(spark, store, expired = col("event_day") < cutoff))
+    assert(asSet(AggStore.merged(spark, store)) == liveExpected)
+    assert(AggStore.processedShards(spark, store) ==
+      Set("batch_0", "batch_1", "batch_2"))
+  }
+
   test("uniqUpTo state: exact below the cap, sentinel N+1 beyond; compact/tail/coarsen/drift contracts") {
     val ev = Tables.load(spark, sf001, "events")
       .select(col("event_id"), col("event_type"),
