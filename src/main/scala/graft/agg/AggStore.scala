@@ -383,12 +383,16 @@ object AggStore {
     else out
     val withQuantile = if (meta.hasQuantile) {
       // finish the merged GK sketch to the standard dashboard probes;
-      // other probabilities read via states() + QuantileSketchAggregate
+      // other probabilities read via states() + QuantileSketchAggregate.
+      // The estimate array materialises ONCE per group row: the finisher
+      // is CodegenFallback, so embedding it per probe column would
+      // re-deserialize the sketch 3x (no subexpression elimination there)
       val est = graft.functions.expressions.QuantileSketchAggregate
         .estimate(col(QSketchField.name), QProbes)
-      QProbeNames.zipWithIndex.foldLeft(withDistinct) {
-        case (df, (nm, i)) => df.withColumn(nm, element_at(est, i + 1))
-      }.drop(QSketchField.name)
+      QProbeNames.zipWithIndex.foldLeft(
+          withDistinct.withColumn("__q_est", est)) {
+        case (df, (nm, i)) => df.withColumn(nm, element_at(col("__q_est"), i + 1))
+      }.drop(QSketchField.name, "__q_est")
     } else withDistinct
     // finish a capped exact-distinct state to its count (exact ≤ N,
     // sentinel N+1 beyond — the uniqUpTo answer)
@@ -412,10 +416,11 @@ object AggStore {
   def mergedWithTail(spark: SparkSession, path: String, tail: DataFrame,
       keys: Seq[String], valueCol: String, distinctCol: String = null,
       quantileCol: String = null,
-      uniqUpTo: (String, Int) = null): DataFrame =
+      uniqUpTo: (String, Int) = null,
+      sumMap: Seq[(String, Column, Column)] = Nil): DataFrame =
     mergedWithTailStates(spark, path, tail, keys, distinctCol,
       Seq(("sum_micros", "min_v", "max_v", col(valueCol))),
-      quantileCol = quantileCol, uniqUpTo = uniqUpTo)
+      quantileCol = quantileCol, uniqUpTo = uniqUpTo, sumMap = sumMap)
 
   /** Multi-measure [[mergedWithTail]] (the [[appendMeasures]] naming). */
   def mergedWithTailMeasures(spark: SparkSession, path: String, tail: DataFrame,
@@ -456,15 +461,39 @@ object AggStore {
   def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
     val meta = readMeta(spark, path)
     if (meta.shardIds.isEmpty) return false
-    val ss = meta.stateSchema.get
+    swapCompacted(spark, path, meta,
+      mergeStates(states(spark, path, meta).get, meta), nFiles)
+    true
+  }
+
+  /** Shared tail of compact/expire/retire: record the compacted shard id
+    * in meta (reads must accept the new subtree the moment it lands),
+    * then atomically swap the merged states in as `shard=__compacted`. */
+  private def swapCompacted(spark: SparkSession, path: String, meta: Meta,
+      mergedStates: DataFrame, nFiles: Int): Unit = {
     if (!meta.shardIds.contains(CompactedShard))
-      writeMeta(spark, path, meta.shardIds + CompactedShard, ss, meta.keyNames)
-    val live = mergeStates(states(spark, path, meta).get, meta)
-      .withColumn("shard", lit(CompactedShard))
+      writeMeta(spark, path, meta.shardIds + CompactedShard,
+        meta.stateSchema.get, meta.keyNames)
     graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
-      live.coalesce(nFiles)
+      mergedStates.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
         .write.mode("overwrite").partitionBy("shard").parquet(tmp)
     }
+  }
+
+  /** Plain TTL delete (ClickHouse `TTL expr` without GROUP BY): DROP
+    * states whose `expired` predicate holds — [[retire]]'s simpler
+    * sibling for history that should vanish rather than coarsen. Same
+    * compact mechanics (atomic swap, replay history kept). Three-valued
+    * logic hazard handled: a NULL predicate (e.g. a null key under `<`)
+    * counts as NOT expired — only rows the condition actually matches
+    * are removed, the CH TTL semantics. */
+  def expire(spark: SparkSession, path: String, expired: Column,
+      nFiles: Int = 1): Boolean = {
+    val meta = readMeta(spark, path)
+    if (meta.shardIds.isEmpty) return false
+    val live = states(spark, path, meta).get
+      .filter(!coalesce(expired, lit(false)))
+    swapCompacted(spark, path, meta, mergeStates(live, meta), nFiles)
     true
   }
 
@@ -472,12 +501,14 @@ object AggStore {
     * keys SET …` merge behaviour: states matching `expired` have key
     * columns REWRITTEN onto coarser values of the same column (e.g.
     * `event_day → trunc(event_day, "month")`) and re-merge under the
-    * rewritten keys; live states pass through untouched. A [[compact]]
-    * variant: one associative merge over live ∪ rewritten, atomically
-    * swapped into the compacted subtree, so it is crash-safe the same
-    * way and READER-INVISIBLE in shape — the key SCHEMA is unchanged
-    * (the rewrite must keep each key's data type; use `trunc`, not
-    * `date_trunc`, on dates), [[merged]] simply serves mixed
+    * rewritten keys; live states — including rows where `expired`
+    * evaluates to NULL (a null key never "matches" the TTL condition) —
+    * pass through untouched. A [[compact]] variant: ONE pass rewrites
+    * keys conditionally and one associative merge folds everything,
+    * atomically swapped into the compacted subtree, so it is crash-safe
+    * the same way and READER-INVISIBLE in shape — the key SCHEMA is
+    * unchanged (the rewrite must keep each key's data type; use `trunc`,
+    * not `date_trunc`, on dates), [[merged]] simply serves mixed
     * granularity, exactly like a CH part whose expired rows were
     * re-aggregated during a TTL merge. Every state type coarsens
     * losslessly by the [[mergeStatesAt]] closure; sketches keep their
@@ -492,50 +523,28 @@ object AggStore {
     * @param keyRewrite coarsening expression per key column (a key not
     *                   in the map passes through)
     */
-  /** Plain TTL delete (ClickHouse `TTL expr` without GROUP BY): DROP
-    * states matching `expired` outright — [[retire]]'s simpler sibling
-    * for history that should vanish rather than coarsen. Same compact
-    * mechanics (atomic swap, replay history kept). */
-  def expire(spark: SparkSession, path: String, expired: Column,
-      nFiles: Int = 1): Boolean = {
-    val meta = readMeta(spark, path)
-    if (meta.shardIds.isEmpty) return false
-    val live = mergeStates(states(spark, path, meta).get.filter(!expired), meta)
-    if (!meta.shardIds.contains(CompactedShard))
-      writeMeta(spark, path, meta.shardIds + CompactedShard,
-        meta.stateSchema.get, meta.keyNames)
-    graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
-      live.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    }
-    true
-  }
-
   def retire(spark: SparkSession, path: String, expired: Column,
       keyRewrite: Map[String, Column], nFiles: Int = 1): Boolean = {
     val meta = readMeta(spark, path)
     if (meta.shardIds.isEmpty) return false
     require(keyRewrite.nonEmpty && keyRewrite.keys.forall(meta.keyNames.contains),
       s"keyRewrite columns ${keyRewrite.keys} must be store keys ${meta.keyNames}")
-    val st = states(spark, path, meta).get
-    val rewritten = meta.keyNames.foldLeft(st.filter(expired)) {
+    // single pass: rewrite keys where the predicate HOLDS (NULL = live,
+    // so a null key group is never silently dropped by 3-valued filters)
+    val hit = coalesce(expired, lit(false))
+    val rewritten = meta.keyNames.foldLeft(states(spark, path, meta).get) {
       case (df, k) => keyRewrite.get(k)
-        .map(c => df.withColumn(k, c)).getOrElse(df)
+        .map(c => df.withColumn(k, when(hit, c).otherwise(col(k))))
+        .getOrElse(df)
     }
-    val merged = mergeStates(st.filter(!expired).unionByName(rewritten), meta)
+    val merged = mergeStates(rewritten, meta)
     // names + types only: aggregate output nullability legitimately
     // differs from the recorded schema (parquet reads coerce it back)
     require(merged.schema.map(f => (f.name, f.dataType)) ==
         meta.stateSchema.get.map(f => (f.name, f.dataType)),
       s"keyRewrite changed the state schema to ${merged.schema} — rewrites " +
         s"must preserve each key's data type (store has ${meta.stateSchema.get})")
-    val ss = meta.stateSchema.get
-    if (!meta.shardIds.contains(CompactedShard))
-      writeMeta(spark, path, meta.shardIds + CompactedShard, ss, meta.keyNames)
-    graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
-      merged.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    }
+    swapCompacted(spark, path, meta, merged, nFiles)
     true
   }
 }

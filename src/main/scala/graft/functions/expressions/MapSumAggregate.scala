@@ -83,11 +83,17 @@ case class MapSumAgg(
       new GenericArrayData(sorted.map(e => e._2: Any)))
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: map keys come from arbitrary
+  // user columns and writeUTF throws past 64 KB of modified-UTF-8 — a
+  // crash that would land mid-ingest, after the shard output committed
   override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
-    buffer.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buffer.foreach { case (k, v) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -96,7 +102,13 @@ case class MapSumAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buffer = createAggregationBuffer()
     var n = in.readInt()
-    while (n > 0) { buffer.update(in.readUTF(), in.readLong()); n -= 1 }
+    while (n > 0) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buffer.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      n -= 1
+    }
     buffer
   }
 

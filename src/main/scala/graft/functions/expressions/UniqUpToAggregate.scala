@@ -108,7 +108,11 @@ object UniqUpToAggregate {
     set.foreach {
       case l: java.lang.Long => out.writeByte(0); out.writeLong(l)
       case l: Long => out.writeByte(0); out.writeLong(l)
-      case s: String => out.writeByte(1); out.writeUTF(s)
+      case s: String =>
+        // length-prefixed raw UTF-8, not writeUTF: distinct values come
+        // from arbitrary user columns and writeUTF throws past 64 KB
+        val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeByte(1); out.writeInt(sb.length); out.write(sb)
       case other => throw new IllegalStateException(
         s"uniqUpTo state holds unexpected ${other.getClass}")
     }
@@ -127,7 +131,10 @@ object UniqUpToAggregate {
     while (k > 0) {
       in.readByte() match {
         case 0 => buffer.add(in.readLong())
-        case 1 => buffer.add(in.readUTF())
+        case 1 =>
+          val sb = new Array[Byte](in.readInt())
+          in.readFully(sb)
+          buffer.add(new String(sb, java.nio.charset.StandardCharsets.UTF_8))
       }
       k -= 1
     }

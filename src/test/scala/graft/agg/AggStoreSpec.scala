@@ -262,6 +262,25 @@ class AggStoreSpec extends SparkSpec {
       .collect()
       .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
     assert(rt == fromRaw)
+    // the SINGLE-measure tail form restates the map state too (the
+    // append/pipeline path builds such stores, so the lambda read must
+    // be reachable for them)
+    val store3 = tmpDir("agg_summap_rt1")
+    (0L until 2L).foreach { i =>
+      AggStore.append(spark, store3,
+        ev.filter(pmod(col("event_id"), lit(3L)) === i),
+        Seq("event_day"), "value", s"s$i",
+        sumMap = Seq(("by_type", col("event_type"), col("value"))))
+    }
+    val rt1 = AggStore.mergedWithTail(spark, store3,
+        ev.filter(pmod(col("event_id"), lit(3L)) === 2L),
+        Seq("event_day"), "value",
+        sumMap = Seq(("by_type", col("event_type"), col("value"))))
+      .select(col("event_day"),
+        explode(col("by_type_summap")).as(Seq("event_type", "v")))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rt1 == fromRaw)
     // the map setting is part of the state schema — drift fails loudly
     val e = intercept[IllegalArgumentException] {
       AggStore.appendMeasures(spark, store, ev,
@@ -343,6 +362,29 @@ class AggStoreSpec extends SparkSpec {
     assert(asSet(AggStore.merged(spark, store)) == liveExpected)
     assert(AggStore.processedShards(spark, store) ==
       Set("batch_0", "batch_1", "batch_2"))
+  }
+
+  test("expire/retire treat a NULL predicate as live — null-key groups survive the TTL") {
+    import spark.implicits._
+    val df = Seq((1L, Some("2024-01-01"), 1.0), (2L, None, 2.0),
+        (3L, Some("2024-02-01"), 3.0))
+      .toDF("id", "day_s", "v")
+      .select(lit("t").as("event_type"),
+        col("day_s").cast("date").as("event_day"), col("v").as("value"))
+    val cutoff = lit("2024-02-01").cast("date")
+    val store = tmpDir("agg_null_ttl")
+    AggStore.append(spark, store, df, keys, "value", "s0")
+    def days = AggStore.merged(spark, store).select("event_day", "n")
+      .collect().map(r => Option(r.getDate(0)).map(_.toString) -> r.getLong(1)).toMap
+    // retire: NULL < cutoff is NULL, not true — the null-day group must
+    // pass through untouched, not vanish from the compacted tree
+    assert(AggStore.retire(spark, store, col("event_day") < cutoff,
+      Map("event_day" -> trunc(col("event_day"), "month"))))
+    assert(days == Map(Some("2024-01-01") -> 1L, None -> 1L,
+      Some("2024-02-01") -> 1L))
+    // expire: only rows the condition actually MATCHES are removed
+    assert(AggStore.expire(spark, store, col("event_day") < cutoff))
+    assert(days == Map(None -> 1L, Some("2024-02-01") -> 1L))
   }
 
   test("uniqUpTo state: exact below the cap, sentinel N+1 beyond; compact/tail/coarsen/drift contracts") {
