@@ -243,9 +243,58 @@ object ScaleBench {
         Some(f""""q153_media_codec_leg":{"base":$bCodec%.3f,"scaled":$sCodec%.3f,"ratio":${sCodec / math.max(bCodec, 1e-9)}%.2f},""" +
           f""""q153_media_mining_leg":{"base":$bMine%.3f,"scaled":$sMine%.3f,"ratio":${sMine / math.max(bMine, 1e-9)}%.2f}""")
       }
+    // BUCKETED JOIN-FAMILY legs cell (round-10 verdict #2's "Done"
+    // criterion): q16's x30 ratio ~23 is the plain-layout fact⋈fact
+    // shuffle — BOTH fact tables re-partitioned on every join. With the
+    // bucketed layout that shuffle is paid ONCE (the layout leg, amortised
+    // across every subsequent join); the JOIN leg reads pre-placed buckets
+    // with zero Exchange on either fact side. This cell times the two legs
+    // apart at base vs scaled so the record shows the per-query join cost
+    // dropping to ~at-factor once layout is off the query path.
+    val bucketResult =
+      if (wanted.nonEmpty && !wanted.exists("q172_join_agg_bucketed".contains)) None
+      else {
+        def legs(dir: String, tag: String): (Double, Double) = {
+          val scratch = graft.core.Fs.scratchDir("graft_scale_bucket")
+          val t = java.lang.Long.toHexString(System.nanoTime())
+          val (tLi, tOrd) = (s"graft_sb16_li_$t", s"graft_sb16_ord_$t")
+          try {
+            System.err.println(s"[scale] START $tag bucketed layout leg @ $dir")
+            val t0 = System.nanoTime()
+            graft.queries.ScaleQueries.bucketFacts(spark, dir, scratch.toString, tLi, tOrd)
+            val layout = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[scale] DONE  $tag bucketed layout leg: $layout%.2f s")
+            val t1 = System.nanoTime()
+            val (joined, free) = graft.queries.ScaleQueries.bucketedFactJoin(spark, tLi, tOrd)
+            require(free, "bucketed fact join planned an Exchange — layout not honoured")
+            joined
+              .join(broadcast(graft.core.Tables.load(spark, dir, "customer")),
+                col("o_custkey") === col("c_custkey"))
+              .join(broadcast(graft.core.Tables.load(spark, dir, "nation")),
+                col("c_nationkey") === col("n_nationkey"))
+              .groupBy("n_name")
+              .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+                "(1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)").as("revenue"),
+                count(lit(1)).as("n_rows"))
+              .write.format("noop").mode("overwrite").save()
+            val join = (System.nanoTime() - t1) / 1e9
+            System.err.println(f"[scale] DONE  $tag bucketed join leg: $join%.2f s")
+            (layout, join)
+          } finally {
+            spark.sql(s"DROP TABLE IF EXISTS $tLi")
+            spark.sql(s"DROP TABLE IF EXISTS $tOrd")
+            graft.core.Fs.deleteRecursively(scratch)
+          }
+        }
+        legs(baseDir, "warm") // codegen/JIT outside the timed cells
+        val (bLayout, bJoin) = legs(baseDir, "base")
+        val (sLayout, sJoin) = legs(scaledDir, "scaled")
+        Some(f""""q172_bucketed_layout_leg":{"base":$bLayout%.3f,"scaled":$sLayout%.3f,"ratio":${sLayout / math.max(bLayout, 1e-9)}%.2f},""" +
+          f""""q172_bucketed_join_leg":{"base":$bJoin%.3f,"scaled":$sJoin%.3f,"ratio":${sJoin / math.max(bJoin, 1e-9)}%.2f}""")
+      }
     val qs = (results.map { case (q, b, s, r) =>
       f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
-    } ++ mediaResult).mkString("{", ",", "}")
+    } ++ mediaResult ++ bucketResult).mkString("{", ",", "}")
     val sumBase = results.map(_._2).sum
     val sumScaled = results.map(_._3).sum
     val sumRatio = if (sumBase > 0) sumScaled / sumBase else 0.0 // NaN is not JSON

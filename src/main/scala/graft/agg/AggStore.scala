@@ -263,12 +263,17 @@ object AggStore {
     }
     // sumMapState: per-row single-entry maps key-wise-summed — the same
     // aggregate later merges the shard states (see mergeExpr). Values in
-    // exact micro-units, per the store's sum discipline; a null map key
-    // would fail Spark's map contract, so nullable key columns must be
-    // filtered/coalesced by the caller.
+    // exact micro-units, per the store's sum discipline. A null map key
+    // would throw Spark's map contract AT EXECUTION — in the pipeline
+    // path that is after the shard output committed, so every replay
+    // re-crashes (a permanent ingest wedge). Guarded here instead: a
+    // null-key row contributes NO map entry (MapSumAggregate.update
+    // already skips null input maps), matching how ClickHouse sumMap
+    // simply never sees a NULL key from a Nullable column's GROUP BY arm.
     val sumMapAggs = sumMap.map { case (nm, k, v) =>
       graft.functions.expressions.MapSumAggregate.sumMap(
-        map(k.cast(StringType), micros(v.cast(DoubleType)))).as(s"${nm}_summap")
+        when(k.isNotNull,
+          map(k.cast(StringType), micros(v.cast(DoubleType))))).as(s"${nm}_summap")
     }
     val baseAggs = count(lit(1)).as("n") +: (measureAggs ++ argMaxAggs ++ sumMapAggs)
     val withDistinct = if (distinctCol != null)
@@ -297,7 +302,8 @@ object AggStore {
       argMax: Seq[(String, Column, Column)] = Nil,
       quantileCol: String = null,
       sumMap: Seq[(String, Column, Column)] = Nil,
-      uniqUpTo: (String, Int) = null): Unit = {
+      uniqUpTo: (String, Int) = null): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val meta = readMeta(spark, path)
     if (meta.shardIds.contains(shardId)) return
@@ -458,13 +464,16 @@ object AggStore {
     * merges, [[merged]] reads identically before and after; historical
     * shard ids stay in meta so long-gone shards still short-circuit at
     * [[processedShards]]. No-op before the first append. */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
-    val meta = readMeta(spark, path)
-    if (meta.shardIds.isEmpty) return false
-    swapCompacted(spark, path, meta,
-      mergeStates(states(spark, path, meta).get, meta), nFiles)
-    true
-  }
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
+      val meta = readMeta(spark, path)
+      if (meta.shardIds.isEmpty) false
+      else {
+        swapCompacted(spark, path, meta,
+          mergeStates(states(spark, path, meta).get, meta), nFiles)
+        true
+      }
+    }
 
   /** Shared tail of compact/expire/retire: record the compacted shard id
     * in meta (reads must accept the new subtree the moment it lands),
@@ -480,6 +489,115 @@ object AggStore {
     }
   }
 
+  /** SCHEMA EVOLUTION (round-10 verdict #5): re-shape a store with
+    * history onto a new MEASURE LIST without a manual rebuild — the
+    * ClickHouse `ALTER TABLE … ADD COLUMN … MATERIALIZE` analogue for
+    * the AggregatingMergeTree states this store holds. Three cases per
+    * target measure (appendMeasures naming):
+    *
+    *  - SHARED (already in the store): its states carry over through one
+    *    associative merge — bit-identical to a fresh rebuild by the same
+    *    closure compact() relies on (spec'd in AggStoreMigrateSpec);
+    *  - NEW with `raw` provided: backfilled by one groupBy over `raw`
+    *    (which must be the store's full ingested corpus — enforced by an
+    *    exact per-key row-count parity check against the store's own `n`,
+    *    so a stale/partial raw fails loudly instead of writing wrong
+    *    states);
+    *  - NEW without `raw`: explicit NULL-state semantics — the measure's
+    *    states start NULL and accumulate from FUTURE appends only (sum /
+    *    min / max all skip nulls, so the merge algebra is unaffected);
+    *    the right choice when raw history is already retired.
+    *
+    * Measures absent from the target list are DROPPED. Non-measure states
+    * (the distinct/quantile/sumMap/uniqUpTo sketches and argmax) pass
+    * through untouched, in the positions a rebuild would give them.
+    *
+    * Crash-safe ordering: compacted-id into meta first (reads accept the
+    * new subtree), then the atomic states swap (still readable under the
+    * OLD schema — schema'd parquet reads select by name), then the meta
+    * schema flip as the commit point. A crash anywhere leaves a store
+    * that reads consistently and a migrate that re-runs to completion. */
+  def migrate(spark: SparkSession, path: String,
+      targetMeasures: Seq[(String, Column)], raw: DataFrame = null,
+      nFiles: Int = 1): Boolean = graft.core.WriterLease.withLease(spark, path) {
+    val meta = readMeta(spark, path)
+    if (meta.shardIds.isEmpty) return false
+    require(targetMeasures.nonEmpty, "migrate needs at least one target measure")
+    val oldNames = meta.stateNames
+    require(!oldNames.contains("sum_micros"),
+      "migrate supports appendMeasures-named stores (single-measure legacy " +
+        "stores carry unprefixed states — rebuild those)")
+    val existing = oldNames.collect {
+      case nm if nm.endsWith("_sum_u") => nm.stripSuffix("_sum_u")
+    }.toSet
+    val newMeasures = targetMeasures.filterNot { case (n, _) => existing(n) }
+    val merged0 = mergeStates(states(spark, path, meta).get, meta)
+
+    // backfill (or null-fill) the new measures' states per key. The
+    // null-state encoding is EXACTLY what partialStates produces for a
+    // group whose measure values are all null — sum_u 0, min/max NULL —
+    // so every downstream consumer (merge algebra, the RollupRewrite
+    // null-parity read) treats pre-migration history uniformly
+    val withNew: DataFrame =
+      if (newMeasures.isEmpty) merged0
+      else if (raw == null) {
+        newMeasures.foldLeft(merged0) { case (df, (nm, _)) =>
+          df.withColumn(s"${nm}_sum_u", lit(0L))
+            .withColumn(s"${nm}_min", lit(null).cast(DoubleType))
+            .withColumn(s"${nm}_max", lit(null).cast(DoubleType))
+        }
+      } else {
+        val backfill = partialStates(raw, meta.keyNames, null,
+          newMeasures.map { case (nm, c) =>
+            (s"${nm}_sum_u", s"${nm}_min", s"${nm}_max", c) })
+          .withColumnRenamed("n", "__raw_n")
+        val joined = merged0.join(backfill, meta.keyNames, "full_outer")
+        // parity gate: raw must be EXACTLY the ingested corpus — any key
+        // present on one side only, or any per-key count drift, aborts
+        val bad = joined.filter(col("n").isNull || col("__raw_n").isNull ||
+          col("n") =!= col("__raw_n")).count()
+        require(bad == 0L,
+          s"migrate backfill rejected: raw disagrees with the store's row " +
+            s"counts on $bad group key(s) — raw must be the store's full " +
+            "ingested corpus")
+        joined.drop("__raw_n")
+      }
+
+    // assemble in REBUILD order: keys, n, target measures (target order),
+    // then the non-measure states in their original relative order
+    val measureStates = targetMeasures.flatMap { case (nm, _) =>
+      Seq(s"${nm}_sum_u", s"${nm}_min", s"${nm}_max") }
+    val passThrough = oldNames.filterNot(nm => nm == "n" ||
+      existing.exists(m => nm == s"${m}_sum_u" || nm == s"${m}_min" || nm == s"${m}_max"))
+    val outCols = meta.keyNames ++ Seq("n") ++ measureStates ++ passThrough
+    val assembled = withNew.select(outCols.map(col): _*)
+    // the recorded schema must be BIT-IDENTICAL to what partialStates
+    // would produce for the target config (future appends require exact
+    // StructType equality, nullability included): reuse old fields where
+    // they exist, canonical measure-state fields for the new ones
+    val old = meta.stateSchema.get
+    val newSchema = StructType(outCols.map { nm =>
+      old.find(_.name == nm).getOrElse {
+        if (nm.endsWith("_sum_u")) StructField(nm, LongType, nullable = false)
+        else StructField(nm, DoubleType, nullable = true)
+      }
+    })
+
+    // 1. compacted id visible under the OLD schema
+    if (!meta.shardIds.contains(CompactedShard))
+      writeMeta(spark, path, meta.shardIds + CompactedShard,
+        meta.stateSchema.get, meta.keyNames)
+    // 2. atomic states swap (old-schema reads still resolve by name)
+    graft.core.AtomicStore.replaceVia(spark, statesPath(path)) { tmp =>
+      assembled.withColumn("shard", lit(CompactedShard)).coalesce(nFiles)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
+    // 3. COMMIT: the meta schema flip
+    writeMeta(spark, path, meta.shardIds + CompactedShard, newSchema,
+      meta.keyNames)
+    true
+  }
+
   /** Plain TTL delete (ClickHouse `TTL expr` without GROUP BY): DROP
     * states whose `expired` predicate holds — [[retire]]'s simpler
     * sibling for history that should vanish rather than coarsen. Same
@@ -488,14 +606,17 @@ object AggStore {
     * counts as NOT expired — only rows the condition actually matches
     * are removed, the CH TTL semantics. */
   def expire(spark: SparkSession, path: String, expired: Column,
-      nFiles: Int = 1): Boolean = {
-    val meta = readMeta(spark, path)
-    if (meta.shardIds.isEmpty) return false
-    val live = states(spark, path, meta).get
-      .filter(!coalesce(expired, lit(false)))
-    swapCompacted(spark, path, meta, mergeStates(live, meta), nFiles)
-    true
-  }
+      nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
+      val meta = readMeta(spark, path)
+      if (meta.shardIds.isEmpty) false
+      else {
+        val live = states(spark, path, meta).get
+          .filter(!coalesce(expired, lit(false)))
+        swapCompacted(spark, path, meta, mergeStates(live, meta), nFiles)
+        true
+      }
+    }
 
   /** State-granularity retirement — the ClickHouse `TTL expr GROUP BY
     * keys SET …` merge behaviour: states matching `expired` have key
@@ -524,7 +645,8 @@ object AggStore {
     *                   in the map passes through)
     */
   def retire(spark: SparkSession, path: String, expired: Column,
-      keyRewrite: Map[String, Column], nFiles: Int = 1): Boolean = {
+      keyRewrite: Map[String, Column], nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readMeta(spark, path)
     if (meta.shardIds.isEmpty) return false
     require(keyRewrite.nonEmpty && keyRewrite.keys.forall(meta.keyNames.contains),

@@ -274,13 +274,21 @@ object GraftPipeline {
         case Right(ms) =>
           val dups = ms.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
           val unparseable = ms.filter(m => !measureSqlParses(m._2))
+          // reserved names mirror partialStates' construction: only the
+          // states THIS config actually generates (a store keyed on a
+          // column literally named q_sketch is fine when no
+          // rollup.quantile_column is set — over-reserving rejected it)
           val stateNames =
             (if (ms.isEmpty) Seq("sum_micros", "min_v", "max_v")
              else ms.flatMap(m =>
                Seq(s"${m._1}_sum_u", s"${m._1}_min", s"${m._1}_max"))) ++
               rollupSumMapV.getOrElse(Nil).map(sm => s"${sm._1}_summap") ++
               rollupUniqUpToV.toOption.flatten.map(u => s"uniq_upto_${u._2}_sk").toSeq ++
-              Seq("n", "n_distinct_sk", "q_sketch")
+              (if (kv.getOrElse("rollup.distinct_column", "").nonEmpty)
+                Seq("n_distinct_sk") else Nil) ++
+              (if (kv.getOrElse("rollup.quantile_column", "").nonEmpty)
+                Seq("q_sketch") else Nil) ++
+              Seq("n")
           val collide = rollupKeysV.intersect(stateNames)
           if (dups.nonEmpty)
             Some(s"rollup.measures: duplicate measure name(s): ${dups.mkString(", ")}")

@@ -48,6 +48,12 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DemoteCorpusBroadcast))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DemoteCorpusBroadcast
+    // materialized-view auto-rewrite (round-10): aggregates over a raw
+    // table with a registered rollup store read merged states instead —
+    // a no-op while MaterializedRollups is empty
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
     spark
   }
 

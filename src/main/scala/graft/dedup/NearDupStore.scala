@@ -154,7 +154,8 @@ object NearDupStore {
     * Idempotent per shard id. */
   def update(spark: SparkSession, path: String, accepted: DataFrame,
       textCol: String, idCol: String, shardId: String,
-      k: Int = 32, shingleN: Int = 3): Unit = {
+      k: Int = 32, shingleN: Int = 3): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val ids = shardIds(spark, path)
     if (ids.contains(shardId)) return
@@ -173,7 +174,8 @@ object NearDupStore {
     * the compacted id first (crash-safe — reads stay on the old subtrees),
     * then every live subtree folds into one `shard=__compacted` tree via
     * atomic swap; historical ids stay in meta for the replay guard. */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     val ids = shardIds(spark, path)
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))

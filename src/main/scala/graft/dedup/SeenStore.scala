@@ -111,7 +111,8 @@ object SeenStore {
     * shard's own subtree, nothing else is rewritten. Idempotent per
     * shard id. */
   def update(spark: SparkSession, path: String, survivors: DataFrame,
-      contentCol: String, shardId: String): Unit = {
+      contentCol: String, shardId: String): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val ids = shardIds(spark, path)
     if (ids.contains(shardId)) return
@@ -131,7 +132,8 @@ object SeenStore {
     * before the swap leaves reads on the old tree — still correct), then
     * the crash-safe tree swap; historical ids stay in meta so the replay
     * guard survives compaction. No-op before the first update. */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     val ids = shardIds(spark, path)
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))

@@ -54,7 +54,8 @@ object FingerprintStore {
     * @param cols     content columns to fingerprint */
   def fold(spark: SparkSession, path: String, shardId: String,
       batch: DataFrame, partCols: Seq[(String, org.apache.spark.sql.Column)],
-      cols: Seq[org.apache.spark.sql.Column]): Boolean = {
+      cols: Seq[org.apache.spark.sql.Column]): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     // ONE store read serves the guard, the shard set, and the fp relation
     // (each AtomicStore.read is a recovery check + listing; and reading
     // the guard twice would be a TOCTOU seam if the single-writer
@@ -91,5 +92,5 @@ object FingerprintStore {
     }.select(fpRows.columns.map(col): _*)
     graft.core.AtomicStore.replace(spark, path, fpRows.unionByName(aligned))
     true
-  }
+    }
 }

@@ -68,7 +68,8 @@ object MediaFeatureStore {
     * store only persists its output, so a decoder change never silently
     * mixes feature versions (rebuild the store, or use a new `kind`). */
   def append(spark: SparkSession, path: String, features: DataFrame,
-      kind: String, shardId: String): Boolean = {
+      kind: String, shardId: String): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     require(shardId != CompactedShard, s"shard id $CompactedShard is reserved")
     val ids = shardIds(spark, path)
     if (ids.contains(shardId)) return false
@@ -100,7 +101,8 @@ object MediaFeatureStore {
   /** Small-file maintenance — the SeenStore.compact protocol verbatim:
     * meta first (crash-safe), one folded `shard=__compacted` tree,
     * historical ids kept so shard replays still short-circuit. */
-  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean = {
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1): Boolean =
+    graft.core.WriterLease.withLease(spark, path) {
     val ids = shardIds(spark, path)
     if (ids.isEmpty) return false
     if (!ids.contains(CompactedShard))

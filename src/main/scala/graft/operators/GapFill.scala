@@ -38,7 +38,16 @@ import graft.functions.expressions.AsOfExpressions
   */
 object GapFill {
 
-  /** @param series   one row per (keys, tsCol) observation
+  /** PRECONDITION — observations must be STEP-ALIGNED: the output contains
+    * only the grid slots `lo + k·step`, so an observation off the grid
+    * (02:30 under a 1-hour step) influences its neighbours' fill/interp
+    * values but is NOT emitted as a row of its own (ClickHouse WITH FILL
+    * would keep it alongside the fill rows). Series produced by a
+    * time-bucketing aggregation (`date_trunc`/`window` at the same step —
+    * the intended input, and what q165 feeds) are aligned by construction;
+    * align any other series first, e.g. by truncating `tsCol` to the step.
+    *
+    * @param series   one row per (keys, tsCol) observation
     * @param keys     series identity columns
     * @param tsCol    TimestampType observation column
     * @param valueCol numeric measure to fill

@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     // corpus↔corpus equi-joins must never broadcast-hash (see the rule doc)
     ext.injectOptimizerRule(_ => DemoteCorpusBroadcast)
+    // registered rollup stores answer raw-table aggregates from states
+    ext.injectOptimizerRule(_ => RollupRewrite)
   }
 }
 
@@ -178,5 +180,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DemoteCorpusBroadcast))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DemoteCorpusBroadcast
+    if (!spark.experimental.extraOptimizations.contains(RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewrite
   }
 }

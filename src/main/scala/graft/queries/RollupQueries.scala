@@ -395,6 +395,52 @@ object RollupQueries {
     "q159_streaming_rollup" -> ((s, dir) =>
       graft.streaming.StreamingReconcile.rollupStream(s, dir)),
 
+    // MATERIALIZED-VIEW AUTO-REWRITE (the ClickHouse MV-read behaviour,
+    // round-10 #1): the q156 store is built and REGISTERED as the
+    // materialized view of the raw events table; the emission then runs
+    // the RAW-TABLE aggregate — groupBy over Tables.load(events), no
+    // mention of the store — and the RollupRewrite optimizer rule answers
+    // it from merged states. Structural claim oracle-gated the q147 way:
+    // `raw_scan_elided` is computed from the emission's own optimized
+    // plan (store states scanned, raw fixture NOT), and the DuckDB oracle
+    // recomputes the aggregate from raw — so the rewrite must be both
+    // plan-real and bit-identical. At 100 TB this is the read that turns
+    // a corpus scan+shuffle into a dimension-sized states merge with NO
+    // query change.
+    "q171_rollup_rewrite" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val store = Fs.scratchDir("graft_rollup_rewrite")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i)
+              .select(col("event_type"), to_date(col("ts")).as("event_day"),
+                col("value")),
+            keys = Seq("event_type", "event_day"),
+            measures = Seq("value" -> col("value")),
+            shardId = s"batch_$i")
+        }
+        graft.plans.MaterializedRollups.register(ev, store.toString,
+          keys = Seq("event_type" -> col("event_type"),
+            "event_day" -> to_date(col("ts"))),
+          measures = Seq("value" -> col("value")))
+        try {
+          val raw = ev.groupBy(col("event_type"),
+              to_date(col("ts")).as("event_day"))
+            .agg(count(lit(1)).as("n"),
+              sum(AggStore.micros(col("value"))).as("sum_micros"),
+              min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+            .orderBy("event_type", "event_day")
+          val paths = graft.plans.MaterializedRollups.scanPaths(raw)
+          val elided = !paths.exists(_.contains("events.parquet")) &&
+            paths.exists(_.contains(store.toString))
+          require(elided, s"rollup rewrite did not fire — plan scans $paths")
+          raw.withColumn("raw_scan_elided", lit(elided))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.unregister(ev)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Z-order layout round trip: rewrite events through
     // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
     // 2-d box query over the re-laid-out files. q76 gates the curve
@@ -501,6 +547,11 @@ object RollupQueries {
       ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q171_rollup_rewrite" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS event_day, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
     "q157_hash_sample" ->
       ("SELECT o_orderkey, o_custkey, c_name, o_totalprice " +

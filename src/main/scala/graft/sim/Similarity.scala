@@ -243,7 +243,8 @@ object Similarity {
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCentroids: Int = 16, lloydIters: Int = 0,
-      lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit = {
+      lloydSamplePct: Int = 100, shardId: String = "shard0"): Unit =
+    graft.core.WriterLease.withLease(corpus.sparkSession, path) {
     val cents = trainIvfCentroids(corpus, idCol, vecCol, nCentroids,
       lloydIters, lloydSamplePct) // LOCAL literal — see trainIvfCentroids
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -294,11 +295,13 @@ object Similarity {
       path: String, shardId: String): Unit = {
     require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
     val spark = newRows.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     require(meta.shards.nonEmpty, s"no IVF index at $path — build before append")
     if (meta.shards.contains(shardId)) return
     writeAssignedShard(newRows, idCol, vecCol, genRoot(path, meta.gen), shardId)
     writeIvfMeta(spark, path, meta.shards + shardId, meta.gen)
+    }
   }
 
   private val IvfCompactedShard = "__compacted"
@@ -389,7 +392,8 @@ object Similarity {
     * coalesce the centroids relation. Probe results identical
     * before/after (spec'd); partition pruning on `centroid_id` is
     * untouched because the directory layout is. */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     val root = genRoot(path, meta.gen)
     graft.core.AtomicStore.compact(spark, s"$root/centroids")
@@ -530,7 +534,8 @@ object Similarity {
     * build over the same rows — q113 gates that equivalence externally. */
   def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nCentroids: Int = 16, lloydIters: Int = 0,
-      lloydSamplePct: Int = 100): Unit = {
+      lloydSamplePct: Int = 100): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     require(meta.shards.nonEmpty, s"no IVF index at $path — nothing to rebalance")
     val oldRoot = genRoot(path, meta.gen)
@@ -1012,6 +1017,7 @@ object Similarity {
       path: String, m: Int = 8, kCodes: Int = 32, lloydIters: Int = 1,
       shardId: String = "shard0"): Unit = {
     val spark = corpus.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, lloydIters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // a rebuild must not inherit stale code partitions or generations
@@ -1022,6 +1028,7 @@ object Similarity {
     deleteGenDirs(spark, path, keep = "")
     writePqShard(corpus, idCol, vecCol, path, shardId)
     writeIvfMeta(spark, path, Set(shardId))
+    }
   }
 
   /** Fold a new shard's codes in at O(shard) against the frozen
@@ -1031,11 +1038,13 @@ object Similarity {
       path: String, shardId: String): Unit = {
     require(shardId != IvfCompactedShard, s"shard id $IvfCompactedShard is reserved")
     val spark = newRows.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     require(meta.shards.nonEmpty, s"no PQ index at $path — build before append")
     if (meta.shards.contains(shardId)) return
     writePqShard(newRows, idCol, vecCol, genRoot(path, meta.gen), shardId)
     writeIvfMeta(spark, path, meta.shards + shardId, meta.gen)
+    }
   }
 
   /** PQ drift maintenance — [[rebalanceIvfIndex]]'s contract for the
@@ -1052,6 +1061,7 @@ object Similarity {
       path: String, m: Int = 8, kCodes: Int = 32,
       lloydIters: Int = 1): Unit = {
     val spark = corpus.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     require(meta.shards.nonEmpty, s"no PQ index at $path — nothing to rebalance")
     val nextGen = "gen-" + (meta.gen match {
@@ -1071,6 +1081,7 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
     }
     deleteGenDirs(spark, path, keep = nextGen)
+    }
   }
 
   private def writePqShard(rows: DataFrame, idCol: String, vecCol: String,
@@ -1111,7 +1122,8 @@ object Similarity {
   /** Small-file maintenance for the codes tree; [[compactIvfIndex]]
     * discipline (meta first, atomic swap, historical ids kept). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readIvfMeta(spark, path)
     val root = genRoot(path, meta.gen)
     graft.core.AtomicStore.compact(spark, s"$root/codebooks")

@@ -103,6 +103,7 @@ object Retrieval {
       docs: DataFrame, textCol: String, idCol: String, path: String,
       buckets: Int = 64, shardId: String = "base"): Unit = {
     val spark = docs.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     // a rebuild over a previously-used path must not inherit stale shard
     // subtrees (the shard write replaces only its OWN partitions)
     for (tree <- Seq("postings", "impacts")) {
@@ -117,6 +118,7 @@ object Retrieval {
         metaRelation(spark, shardDfOf(tf), stats, buckets,
           Set(shardId)))
     } finally tf.unpersist()
+    }
   }
 
   /** Fold one new shard into an existing index at O(shard) cost: postings
@@ -130,6 +132,7 @@ object Retrieval {
       docs: DataFrame, textCol: String, idCol: String, path: String,
       shardId: String): Boolean = {
     val spark = docs.sparkSession
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readMeta(spark, path)
     if (meta.shards.contains(shardId)) {
       System.err.println(s"[bm25] shard $shardId already in index at $path — skipping")
@@ -149,6 +152,7 @@ object Retrieval {
         metaRelation(spark, mergedDf, merged, meta.buckets, meta.shards + shardId))
     } finally tf.unpersist()
     true
+    }
   }
 
   /** Small-file maintenance: rewrite the postings tree (shards × buckets
@@ -161,7 +165,8 @@ object Retrieval {
     * ([[graft.core.AtomicStore.replaceVia]]). Historical shard ids STAY
     * in the guard, so replays of long-gone shards still short-circuit
     * after compaction. */
-  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.WriterLease.withLease(spark, path) {
     val meta = readMeta(spark, path)
     if (!meta.shards.contains(CompactedShard))
       graft.core.AtomicStore.replace(spark, s"$path/meta",
