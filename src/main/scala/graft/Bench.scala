@@ -169,10 +169,15 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"regressions":$regressionsJson,"regressions_min":$regressionsMinJson,"queries":$qs,"medians":$medians,"runs":$runsJson,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Stable-file copy of the artifact (driver stdout capture failed in
     // r1) — FULL runs only: a filtered iteration run must not overwrite
-    // the round's record with a subset.
+    // the round's record with a subset. Written BOTH to tmp/ (scratch)
+    // and to bench/ (tracked — the round-9 verdict wants the compact
+    // line's full_record pointer to resolve to a file that survives in
+    // git, not a tmp path).
+    val trackedRecord = "bench/full_record_latest.json"
     if (wanted.isEmpty) try {
       Files.createDirectories(Paths.get("tmp"))
       Files.writeString(Paths.get("tmp/bench_latest.json"), line + "\n")
+      Files.writeString(Paths.get(trackedRecord), line + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(line)
     // COMPACT summary as the LAST stdout line (round-8 verdict #5): the
@@ -181,7 +186,7 @@ object Bench {
     // (BENCH_r08 'parsed: null'). This line carries the headline numbers
     // + the regression verdict and POINTS at the full per-query record,
     // so the round artifact is parseable standalone.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"n_regressions_median":${regressed.size},"n_regressions_min":${regressedMin.size},"regressions_min":$regressionsCompact,"failed":$failedJson,"sf":"$sfDir","full_record":"tmp/bench_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"n_queries":${results.size},"r1_subset_n":${r1Present.size},"r1_subset_sum":${fmt(r1Sum)},"r1_subset_recorded_r01":299.292,"n_regressions_median":${regressed.size},"n_regressions_min":${regressedMin.size},"regressions_min":$regressionsCompact,"failed":$failedJson,"sf":"$sfDir","full_record":"$trackedRecord"}""")
     spark.stop()
   }
 }

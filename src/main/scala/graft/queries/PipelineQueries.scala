@@ -1367,7 +1367,7 @@ object PipelineQueries {
     * DuckDB oracle regenerates the identical batch with no hash function
     * in the loop. Within-query collisions are intentional (both engines
     * dedup at the contract boundary). */
-  private def batchQueryDf(s: SparkSession, n: Int = BatchQueryCount): DataFrame = {
+  private[graft] def batchQueryDf(s: SparkSession, n: Int = BatchQueryCount): DataFrame = {
     val v = BatchVocab.length
     val vocabArr = array(BatchVocab.map(lit): _*)
     s.range(n.toLong).select(
