@@ -441,6 +441,45 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // The COARSENED auto-rewrite (q171's subset-key arm as its own gate):
+    // the same (type, day) store answers a groupBy(type)-ONLY raw-table
+    // aggregate through AggStore.mergedAt — the cascaded-MV read routed
+    // by the optimizer rule, exact because every state re-merges
+    // associatively at the coarser key. Same plan-assert discipline; the
+    // oracle recomputes GROUP BY event_type from raw.
+    "q173_rollup_rewrite_coarse" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val store = Fs.scratchDir("graft_rollup_rewrite_coarse")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i)
+              .select(col("event_type"), to_date(col("ts")).as("event_day"),
+                col("value")),
+            keys = Seq("event_type", "event_day"),
+            measures = Seq("value" -> col("value")),
+            shardId = s"batch_$i")
+        }
+        graft.plans.MaterializedRollups.register(ev, store.toString,
+          keys = Seq("event_type" -> col("event_type"),
+            "event_day" -> to_date(col("ts"))),
+          measures = Seq("value" -> col("value")))
+        try {
+          val raw = ev.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(AggStore.micros(col("value"))).as("sum_micros"),
+              min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+            .orderBy("event_type")
+          val paths = graft.plans.MaterializedRollups.scanPaths(raw)
+          val elided = !paths.exists(_.contains("events.parquet")) &&
+            paths.exists(_.contains(store.toString))
+          require(elided, s"coarsened rollup rewrite did not fire — plan scans $paths")
+          raw.withColumn("raw_scan_elided", lit(elided))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.unregister(ev)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Z-order layout round trip: rewrite events through
     // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
     // 2-d box query over the re-laid-out files. q76 gates the curve
@@ -553,6 +592,11 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_day"),
+    "q173_rollup_rewrite_coarse" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q157_hash_sample" ->
       ("SELECT o_orderkey, o_custkey, c_name, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
