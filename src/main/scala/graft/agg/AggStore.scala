@@ -370,6 +370,46 @@ object AggStore {
       mergeStatesAt(states(spark, path, meta).get, meta, coarseKeys), meta)
   }
 
+  /** [[mergedAt]] generalised to DERIVED grouping expressions over the
+    * store's key columns (`month(event_day)`, `bucket(id)`, …): every
+    * state is an associative, commutative merge, so states regroup
+    * losslessly under ANY function of the keys — the read-time RE-GRAIN
+    * behind time-rollup dashboards, where ClickHouse stacks a second
+    * coarser MV. Still O(states). Each `(name, expr)` grouping expression
+    * may reference ONLY key columns (referencing a state column would
+    * group by a value the merge is about to fold — rejected loudly);
+    * names must not collide with state names. */
+  def mergedBy(spark: SparkSession, path: String,
+      groups: Seq[(String, Column)]): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.stateSchema.nonEmpty,
+      s"no aggregate store at $path — append a shard first")
+    require(groups.nonEmpty, "mergedBy needs at least one grouping expression")
+    require(groups.map(_._1).intersect(meta.stateNames).isEmpty,
+      s"grouping names ${groups.map(_._1)} collide with state names")
+    val st = states(spark, path, meta).get
+    // resolve the expressions against the states relation and verify they
+    // reference key columns only
+    val proj = st.select(groups.map { case (n, c) => c.as(n) }: _*)
+    // ROOT Project only: the plan below it is the store read itself,
+    // whose internal projections legitimately reference state columns
+    proj.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.foreach { e =>
+          val refs = e.references.map(_.name).toSet
+          require(refs.subsetOf(meta.keyNames.toSet),
+            s"mergedBy expression '${e.sql}' references non-key columns " +
+              s"${refs -- meta.keyNames.toSet} — grouping expressions may " +
+              s"use only the store keys ${meta.keyNames}")
+        }
+      case _ => ()
+    }
+    val aggs = meta.stateNames.map(mergeExpr)
+    finishMerged(
+      st.groupBy(groups.map { case (n, c) => c.as(n) }: _*)
+        .agg(aggs.head, aggs.tail: _*), meta)
+  }
+
   /** Derived read-time columns over merged states: per-measure avg
     * (`avg_v` for the single-measure form, `<m>_avg` for named measures —
     * the standard sum/count decomposition) and the sketch estimate. */

@@ -129,9 +129,11 @@ object MaterializedRollups {
   *
   * Matching is conservative — any of these falls back to the raw plan:
   *  - a node other than Project/Filter between the Aggregate and the scan;
-  *  - a grouping expression that is not one of the store's key exprs
+  *  - a grouping expression that is neither one of the store's key exprs
   *    (a strict SUBSET of keys rewrites through `mergedAt` — the
-  *    cascaded-MV read; states re-merge losslessly);
+  *    cascaded-MV read; states re-merge losslessly) nor a DERIVED
+  *    expression over keys (`month(event_day)` on a daily store rewrites
+  *    through `mergedBy` — the read-time re-grain);
   *  - an aggregate other than `count(1)` / `sum(micro-units(m))` /
   *    `min(m)` / `max(m)` over registered measure expressions — these are
   *    the forms the states reproduce BIT-EXACTLY (integer micro-sums;
@@ -211,23 +213,45 @@ object RollupRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     def resolveNorm(e: Expression): Expression = normalize(applySubst(e, subst))
 
-    // 1. groupings ↦ store keys (injective; subset ⇒ mergedAt)
+    // 1. groupings ↦ store keys: a grouping is either a key itself
+    //    (subset ⇒ mergedAt) or a DERIVED expression over keys — e.g.
+    //    `month(event_day)` over a daily store — which regroups the
+    //    states losslessly through mergedBy (the read-time re-grain;
+    //    every state merge is associative+commutative, so any function
+    //    of the keys is a valid coarser grouping)
+    final case class GSpec(name: String, norm: Expression, c: Column,
+      derived: Boolean)
     val keyByNorm = reg.keys.map { case (n, x) => x -> n }.toMap
-    val groupKeyNames = agg.groupingExpressions.map(g => keyByNorm.get(resolveNorm(g)))
-    if (groupKeyNames.exists(_.isEmpty)) return None
-    val groupKeys = groupKeyNames.flatten
-    if (groupKeys.distinct.size != groupKeys.size || groupKeys.isEmpty) return None
+    val specs: Seq[GSpec] = agg.groupingExpressions.zipWithIndex.map {
+      case (g, i) =>
+        val norm = resolveNorm(g)
+        keyByNorm.get(norm) match {
+          case Some(k) => GSpec(k, norm, col(k), derived = false)
+          case None =>
+            val replaced = replaceKeySubtrees(norm, reg.keys)
+            // residual base attribute: the grouping needs non-key data;
+            // no key occurrence at all: nothing to regroup by — fall back
+            if (replaced.exists(_.isInstanceOf[AttributeReference])) return None
+            if (replaced == norm) return None
+            GSpec(s"__g$i", norm,
+              org.apache.spark.sql.GraftColumnBridge.column(replaced),
+              derived = true)
+        }
+    }
+    if (specs.map(_.norm).distinct.size != specs.size || specs.isEmpty) return None
+    val hasDerived = specs.exists(_.derived)
+    val plainKeys = specs.filterNot(_.derived).map(_.name)
 
     // 2. filters: registered ones are baked into the states; extras must
-    //    reference grouping keys only (then they apply post-merge)
+    //    reference grouping expressions only (then they apply post-merge)
     val regFilterSet = reg.filters.toSet
     val extras = qFilters.map(f => normalize(applySubst(f, subst)))
       .filterNot(regFilterSet.contains)
     val baked = qFilters.map(f => normalize(applySubst(f, subst))).toSet
     if (!reg.filters.forall(baked.contains)) return None // store is NARROWER than the query
-    val groupKeyNorms = reg.keys.filter { case (n, _) => groupKeys.contains(n) }
+    val groupNorms = specs.map(s => s.name -> s.norm)
     val extraCols: Seq[Column] = extras.map { f =>
-      val replaced = replaceKeySubtrees(f, groupKeyNorms)
+      val replaced = replaceKeySubtrees(f, groupNorms)
       // any residual base attribute means the filter needs non-key data
       if (replaced.exists(_.isInstanceOf[AttributeReference])) return None
       org.apache.spark.sql.GraftColumnBridge.column(replaced)
@@ -236,7 +260,6 @@ object RollupRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // 3. outputs ↦ store columns (None = not rewritable)
     val microByNorm = reg.microSums.map { case (n, x) => x -> n }.toMap
     val plainByNorm = reg.plains.map { case (n, x) => x -> n }.toMap
-    val groupNormToKey = keyByNorm // same mapping, grouping side
     val picks: Seq[(String, Column)] = agg.aggregateExpressions.map { ne =>
       val (inner, outName) = ne match {
         case Alias(e, n) => (e, n)
@@ -264,9 +287,9 @@ object RollupRewrite extends Rule[LogicalPlan] with PredicateHelper {
             }
             case _ => return None
           }
-        case e => groupNormToKey.get(resolveNorm(e)) match {
-          case Some(k) if groupKeys.contains(k) => outName -> col(k)
-          case _ => return None
+        case e => specs.find(_.norm == resolveNorm(e)) match {
+          case Some(s) => outName -> col(s.name)
+          case None => return None
         }
       }
     }
@@ -275,15 +298,19 @@ object RollupRewrite extends Rule[LogicalPlan] with PredicateHelper {
     //    store, drifted schema) aborts the rewrite via the caller's catch
     val spark = SparkSession.active
     val storeDf =
-      if (groupKeys.size == reg.keys.size) graft.agg.AggStore.merged(spark, reg.storePath)
-      else graft.agg.AggStore.mergedAt(spark, reg.storePath, groupKeys)
+      if (hasDerived)
+        graft.agg.AggStore.mergedBy(spark, reg.storePath,
+          specs.map(s => s.name -> s.c))
+      else if (plainKeys.size == reg.keys.size)
+        graft.agg.AggStore.merged(spark, reg.storePath)
+      else graft.agg.AggStore.mergedAt(spark, reg.storePath, plainKeys)
     // drift guard: every referenced store column must exist
     val have = storeDf.columns.toSet
     val needed = picks.flatMap { case (_, c) =>
       org.apache.spark.sql.GraftColumnBridge.expression(c).collect {
         case u: UnresolvedAttribute => u.name
       }
-    } ++ groupKeys
+    } ++ specs.map(_.name)
     if (!needed.forall(have.contains)) return None
     val substituted = extraCols.foldLeft(storeDf)((df, c) => df.filter(c))
       .select(picks.map { case (n, c) => c.as(n) }: _*)

@@ -480,6 +480,49 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // DERIVED-KEY re-grain through the auto-rewrite (the third rewrite
+    // arm, round-10 extension): a raw-table aggregate grouped by
+    // MONTH-OF-DAY — a FUNCTION of the store key, not the key itself —
+    // routes through AggStore.mergedBy, which regroups the daily states
+    // under the derived expression (associative merges regroup
+    // losslessly under any function of the keys). This is the dashboard
+    // time-rollup ClickHouse answers with a SECOND coarser MV; here it
+    // is the same store, one states-sized groupBy. Plan-asserted +
+    // from-raw oracle like q171/q173.
+    "q174_rollup_rewrite_regrain" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val store = Fs.scratchDir("graft_rollup_rewrite_regrain")
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            ev.filter(pmod(col("event_id"), lit(3L)) === i)
+              .select(col("event_type"), to_date(col("ts")).as("event_day"),
+                col("value")),
+            keys = Seq("event_type", "event_day"),
+            measures = Seq("value" -> col("value")),
+            shardId = s"batch_$i")
+        }
+        graft.plans.MaterializedRollups.register(ev, store.toString,
+          keys = Seq("event_type" -> col("event_type"),
+            "event_day" -> to_date(col("ts"))),
+          measures = Seq("value" -> col("value")))
+        try {
+          val raw = ev.groupBy(col("event_type"),
+              trunc(to_date(col("ts")), "month").as("event_month"))
+            .agg(count(lit(1)).as("n"),
+              sum(AggStore.micros(col("value"))).as("sum_micros"),
+              min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+            .orderBy("event_type", "event_month")
+          val paths = graft.plans.MaterializedRollups.scanPaths(raw)
+          val elided = !paths.exists(_.contains("events.parquet")) &&
+            paths.exists(_.contains(store.toString))
+          require(elided, s"regrain rollup rewrite did not fire — plan scans $paths")
+          raw.withColumn("raw_scan_elided", lit(elided))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.unregister(ev)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Z-order layout round trip: rewrite events through
     // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
     // 2-d box query over the re-laid-out files. q76 gates the curve
@@ -597,6 +640,12 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q174_rollup_rewrite_regrain" ->
+      ("SELECT event_type, CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS event_month, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, event_month"),
     "q157_hash_sample" ->
       ("SELECT o_orderkey, o_custkey, c_name, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -76,6 +76,29 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("derived grouping over a key rewrites through mergedBy (read-time re-grain)") {
+    val regrain = events.groupBy(col("event_type"),
+        trunc(to_date(col("ts")), "month").as("event_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(AggStore.micros(col("value"))).as("sum_micros"),
+        min(col("value")).as("min_v"))
+    val expected = asSet(regrain)
+    withStore { store =>
+      MaterializedRollups.register(events, store, keyExprs, measureExprs)
+      val df = events.groupBy(col("event_type"),
+          trunc(to_date(col("ts")), "month").as("event_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(AggStore.micros(col("value"))).as("sum_micros"),
+          min(col("value")).as("min_v"))
+      assert(!scansRaw(df), "month-of-day grouping should regroup the daily states")
+      assert(asSet(df) == expected)
+      // a derived grouping over NON-key data must fall back
+      val foreign = events.groupBy((col("user_id") % 10).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansRaw(foreign))
+    }
+  }
+
   test("extra filter on a grouping key applies post-merge") {
     val expected = asSet(rawAgg.filter(col("event_type") === "click"))
     withStore { store =>
