@@ -500,6 +500,36 @@ class AggStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("subset"))
   }
 
+  test("mergedBy: states regroup exactly under a DERIVED key expression; non-key refs rejected") {
+    val ev = events
+    val store = tmpDir("agg_merged_by")
+    appendSplit(store, 3)
+    // month-of-day re-grain ≡ from-raw GROUP BY the same expression
+    val viaStates = AggStore.mergedBy(spark, store, Seq(
+        "event_type" -> col("event_type"),
+        "event_month" -> trunc(col("event_day"), "month")))
+      .select("event_type", "event_month", "n", "sum_micros", "min_v", "max_v")
+      .collect().map(_.toSeq).toSet
+    val fromRawM = ev.groupBy(col("event_type"),
+        trunc(col("event_day"), "month").as("event_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(AggStore.micros(col("value"))).as("sum_micros"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .collect().map(_.toSeq).toSet
+    assert(viaStates == fromRawM)
+    // grouping by a STATE column would fold a value the merge is about to
+    // recompute — rejected loudly, never silently wrong
+    val e1 = intercept[IllegalArgumentException] {
+      AggStore.mergedBy(spark, store, Seq("bad" -> col("n")))
+    }
+    assert(e1.getMessage.contains("non-key"))
+    // grouping names must not shadow state names
+    val e2 = intercept[IllegalArgumentException] {
+      AggStore.mergedBy(spark, store, Seq("n" -> col("event_type")))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("quantile-sketch state: merged estimates honour the GK rank bound; compact, tail, and drift contracts hold") {
     val ev = Tables.load(spark, sf001, "events")
       .select("event_id", "event_type", "value")
