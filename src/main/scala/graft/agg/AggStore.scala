@@ -635,6 +635,10 @@ object AggStore {
     // 3. COMMIT: the meta schema flip
     writeMeta(spark, path, meta.shardIds + CompactedShard, newSchema,
       meta.keyNames)
+    // a live MV registration describes the PRE-migration measure list —
+    // drop it rather than let the rewrite serve a reshaped store
+    // (re-register against the new defining query explicitly)
+    graft.plans.MaterializedRollups.invalidateStore(path)
     true
   }
 
@@ -654,6 +658,9 @@ object AggStore {
         val live = states(spark, path, meta).get
           .filter(!coalesce(expired, lit(false)))
         swapCompacted(spark, path, meta, mergeStates(live, meta), nFiles)
+        // deleted history ≠ the registered defining query any more — a
+        // live MV registration must not keep rewriting raw aggregates
+        graft.plans.MaterializedRollups.invalidateStore(path)
         true
       }
     }
@@ -707,6 +714,9 @@ object AggStore {
       s"keyRewrite changed the state schema to ${merged.schema} — rewrites " +
         s"must preserve each key's data type (store has ${meta.stateSchema.get})")
     swapCompacted(spark, path, meta, merged, nFiles)
+    // coarsened history no longer answers the ORIGINAL-grain defining
+    // query — drop any live MV registration instead of serving it wrong
+    graft.plans.MaterializedRollups.invalidateStore(path)
     true
   }
 }

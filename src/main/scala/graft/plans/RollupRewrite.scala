@@ -101,6 +101,19 @@ object MaterializedRollups {
       .flatMap { case (rel, _, _) => RollupRewrite.singleScanPath(rel) }
       .foreach(p => regs.remove(normPath(p)))
 
+  /** Drop every registration backed by `storePath` — called by the store
+    * MAINTENANCE ops that change what the states MEAN (retire/expire
+    * coarsen or delete history; migrate re-shapes measures): after such
+    * an op the store no longer answers the ORIGINAL defining query, and
+    * a live registration would make the rewrite serve coarsened/reshaped
+    * history for a full-grain raw query — silently wrong. The operator
+    * re-registers explicitly if the post-maintenance store still answers
+    * a (different) defining query. */
+  def invalidateStore(storePath: String): Unit = {
+    val n = normPath(storePath)
+    regs.entrySet().removeIf(e => normPath(e.getValue.storePath) == n)
+  }
+
   /** Test/emergency escape hatch: forget every registration. */
   def clear(): Unit = regs.clear()
 

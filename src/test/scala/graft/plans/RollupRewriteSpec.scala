@@ -210,6 +210,31 @@ class RollupRewriteSpec extends SparkSpec {
     } finally MaterializedRollups.clear()
   }
 
+  test("store maintenance that changes state meaning invalidates the registration") {
+    val expected = asSet(rawAgg)
+    withStore { store =>
+      MaterializedRollups.register(events, store, keyExprs, measureExprs)
+      assert(!scansRaw(rawAgg))
+      // TTL retirement coarsens old days onto months: the store no longer
+      // answers the full-grain defining query — the rewrite must NOT keep
+      // serving it (silently wrong history); raw plan returns, answer exact
+      AggStore.retire(spark, store,
+        expired = col("event_day") < lit("2100-01-01").cast("date"),
+        keyRewrite = Map("event_day" -> trunc(col("event_day"), "month")))
+      val df = rawAgg
+      assert(scansRaw(df), "a retired store must not keep answering the original grain")
+      assert(asSet(df) == expected)
+    }
+    // migrate reshapes measures: same invalidation contract
+    withStore { store =>
+      MaterializedRollups.register(events, store, keyExprs, measureExprs)
+      assert(!scansRaw(rawAgg))
+      AggStore.migrate(spark, store,
+        Seq("value" -> col("value"), "extra" -> (col("value") + 1)), raw = null)
+      assert(scansRaw(rawAgg), "a migrated store must require re-registration")
+    }
+  }
+
   test("unregister restores the raw plan") {
     withStore { store =>
       MaterializedRollups.register(events, store, keyExprs, measureExprs)
