@@ -523,6 +523,62 @@ object RollupQueries {
       } finally Fs.deleteRecursively(store)
     }),
 
+    // TPC-H Q1 THROUGH THE AUTO-REWRITE (the filter-subsumption arm as a
+    // catalog gate, on the canonical analytics query): the q161 store —
+    // five measures incl. the derived disc_price/charge expressions —
+    // is registered WITH its shipdate defining filter; the emission runs
+    // the RAW Q1 shape over Tables.load(lineitem) with the same filter,
+    // and the rule must recognise the filter as baked into the states
+    // (a query WITHOUT it is spec-guaranteed to fall back) and answer
+    // every sum from merged micro-unit states bit-exactly. This is the
+    // full ClickHouse deployment pattern end to end: MV in front of the
+    // fact table, reports unchanged, corpus scan gone.
+    "q175_rollup_rewrite_q1" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cutoff = lit("1998-09-02 23:59:59").cast("timestamp")
+      val store = Fs.scratchDir("graft_rollup_rewrite_q1")
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val measures = Seq(
+        "qty" -> col("l_quantity"),
+        "price" -> col("l_extendedprice"),
+        "disc_price" -> discPrice,
+        "charge" -> (discPrice * (lit(1.0) + col("l_tax"))),
+        "disc" -> col("l_discount"))
+      try {
+        (0L to 2L).foreach { i =>
+          AggStore.appendMeasures(s, store.toString,
+            li.filter(col("l_shipdate") <= cutoff)
+              .filter(pmod(col("l_orderkey"), lit(3L)) === i),
+            keys = Seq("l_returnflag", "l_linestatus"),
+            measures = measures, shardId = s"batch_$i")
+        }
+        graft.plans.MaterializedRollups.register(li, store.toString,
+          keys = Seq("l_returnflag" -> col("l_returnflag"),
+            "l_linestatus" -> col("l_linestatus")),
+          measures = measures,
+          filter = Some(col("l_shipdate") <= cutoff))
+        try {
+          val raw = li.filter(col("l_shipdate") <= cutoff)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(
+              sum(AggStore.micros(col("l_quantity"))).as("qty_sum_u"),
+              sum(AggStore.micros(col("l_extendedprice"))).as("price_sum_u"),
+              sum(AggStore.micros(discPrice)).as("disc_price_sum_u"),
+              sum(AggStore.micros(discPrice * (lit(1.0) + col("l_tax"))))
+                .as("charge_sum_u"),
+              sum(AggStore.micros(col("l_discount"))).as("disc_sum_u"),
+              count(lit(1)).as("count_order"))
+            .orderBy("l_returnflag", "l_linestatus")
+          val paths = graft.plans.MaterializedRollups.scanPaths(raw)
+          val elided = !paths.exists(_.contains("lineitem.parquet")) &&
+            paths.exists(_.contains(store.toString))
+          require(elided, s"Q1 rollup rewrite did not fire — plan scans $paths")
+          raw.withColumn("raw_scan_elided", lit(elided))
+            .localCheckpoint(true)
+        } finally graft.plans.MaterializedRollups.unregister(li)
+      } finally Fs.deleteRecursively(store)
+    }),
+
     // Z-order layout round trip: rewrite events through
     // ZOrder.writeClustered on (user_id, day-offset of ts), then run a
     // 2-d box query over the re-laid-out files. q76 gates the curve
@@ -646,6 +702,19 @@ object RollupQueries {
         "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros, " +
         "min(value) AS min_v, max(value) AS max_v, TRUE AS raw_scan_elided " +
         "FROM events GROUP BY 1, 2 ORDER BY event_type, event_month"),
+    "q175_rollup_rewrite_q1" -> {
+      def sumU(e: String, as: String) =
+        s"CAST(sum(CAST(floor(($e) * 1e6) AS BIGINT)) AS BIGINT) AS $as"
+      "SELECT l_returnflag, l_linestatus, " +
+        sumU("l_quantity", "qty_sum_u") + ", " +
+        sumU("l_extendedprice", "price_sum_u") + ", " +
+        sumU("l_extendedprice * (1.0 - l_discount)", "disc_price_sum_u") + ", " +
+        sumU("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "charge_sum_u") + ", " +
+        sumU("l_discount", "disc_sum_u") + ", " +
+        "count(*) AS count_order, TRUE AS raw_scan_elided FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    },
     "q157_hash_sample" ->
       ("SELECT o_orderkey, o_custkey, c_name, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
